@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run graft.Verify
+output against the DuckDB oracles and diff exactly (schema + values).
+
+Usage: python3 tools/check.py [SF_DIR] [VERIFY_OUT]
+(defaults: /root/testdata/sf0.01 /tmp/verify_out)
+"""
+import glob
+import json
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+ok, bad = [], []
+for name in sorted(oracle):
+    files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
+    if not files:
+        bad.append((name, "NO SPARK OUTPUT"))
+        continue
+    try:
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        want = con.sql(oracle[name]).df()
+    except Exception as e:
+        bad.append((name, f"SQL ERROR: {str(e)[:200]}"))
+        continue
+    g, w = norm(got), norm(want)
+    if list(g.columns) != list(w.columns):
+        bad.append((name, f"COLUMNS spark={list(g.columns)} oracle={list(w.columns)}"))
+        continue
+    if [str(t) for t in g.dtypes] != [str(t) for t in w.dtypes]:
+        bad.append((name, f"DTYPES spark={dict(zip(g.columns, map(str, g.dtypes)))} "
+                          f"oracle={dict(zip(w.columns, map(str, w.dtypes)))}"))
+        continue
+    if len(g) != len(w):
+        bad.append((name, f"ROWS spark={len(g)} oracle={len(w)}"))
+        continue
+    if g.equals(w):
+        ok.append(name)
+        continue
+    # locate first mismatching cell for diagnostics
+    detail = "VALUES differ"
+    for c in g.columns:
+        a, b = g[c], w[c]
+        if a.dtype.kind == "f":
+            eq = (a.isna() & b.isna()) | np.isclose(a, b, rtol=0, atol=0, equal_nan=True)
+            close = (a.isna() & b.isna()) | np.isclose(a, b, rtol=1e-9, equal_nan=True)
+            if not eq.all():
+                i = int(np.argmin(eq.values))
+                tag = "close" if close.all() else "FAR"
+                detail = f"col {c} row {i}: spark={a.iloc[i]!r} oracle={b.iloc[i]!r} ({tag})"
+                break
+        else:
+            eq = (a.isna() & b.isna()) | (a == b)
+            if not eq.all():
+                i = int(np.argmin(eq.values))
+                detail = f"col {c} row {i}: spark={a.iloc[i]!r} oracle={b.iloc[i]!r}"
+                break
+    bad.append((name, detail))
+
+print(f"PASS {len(ok)}/{len(oracle)}")
+for n in ok:
+    print(f"  ok   {n}")
+for n, why in bad:
+    print(f"  FAIL {n}: {why}")
+sys.exit(1 if bad else 0)
