@@ -22,18 +22,18 @@ object Tables {
     * timestamp (DuckDB likewise truncates ns->us on read, so the two
     * engines agree).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  private val eventsLock = new Object
+  def events(spark: SparkSession, dir: String): DataFrame = eventsLock.synchronized {
     import org.apache.spark.sql.functions._
-    val prev = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    // Left set for the session: it only affects TIMESTAMP(NANOS)
+    // columns, and restoring it would break the lazy plan's later
+    // (re-)analysis of this scan.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try {
-      val raw = spark.read.parquet(s"$dir/events.parquet")
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
-      else raw
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
-      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    }
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      // NB: integer division (`div`), not `/` — Long `/` promotes to
+      // double, which cannot represent 2024-epoch nanos exactly.
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns._
+
+/** Document deduplication operators (training-data pipeline
+  * extensions). Every variant is shuffle-join based — no cross join,
+  * no driver-side collection — so each scales to sharded 100 TB
+  * corpora:
+  *
+  *   - exact:   one hash-groupBy (window over fingerprint).
+  *   - MinHash: shingle explode -> k min-aggregates -> band keys ->
+  *              bucket self-join (candidates only) -> exact-Jaccard
+  *              verify restricted to candidates.
+  *   - Jaccard: inverted-index self-join on shingles (exhaustive but
+  *              still equi-join shaped; use MinHash at scale).
+  *   - SimHash: 60-bit fingerprint; 4×15-bit chunk banding guarantees
+  *              full recall at hamming <= 3 (pigeonhole) with an
+  *              equi-join instead of an O(n^2) comparison.
+  */
+object Dedup {
+
+  /** id column + canonical (min) id per exact-normalized-text group. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = md5(lower(trim(col(textCol))))
+    docs.select(col(idCol), fp.as("fp"))
+      .withColumn("canonical_id", min(col(idCol)).over(Window.partitionBy("fp")))
+  }
+
+  /** Distinct (id, shingle) pairs. */
+  def docShingles(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s"))
+      .distinct()
+
+  /** Exhaustive n-gram Jaccard pairs >= `threshold` via inverted index:
+    * shingle equi-join computes intersections, set sizes join in the
+    * union term. Emits (d1, d2, jac) with d1 < d2.
+    */
+  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("x"), col("d1") === col("x.doc"))
+      .join(sizes.as("y"), col("d2") === col("y.doc"))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** MinHash signatures: k salted-md5 min-aggregates per doc. */
+  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
+    val aggs = (0 until k).map(j => min(saltedMd5(j, col("s"))).as(s"h$j"))
+    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any of `bands` band keys
+    * (band key = md5 of `rows` consecutive signature components).
+    */
+  def lshCandidates(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("key"))
+    }
+    val banded = sig.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("d1"), col("y.doc").as("d2"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup detection: candidates from `lshCandidates`,
+    * then exact Jaccard verification computed ONLY for candidates
+    * (shingle joins fan out per candidate pair, not per corpus pair).
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol)
+    val cand = lshCandidates(minhashSignatures(sh, k), bands, k / bands)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("a"), col("d1") === col("a.doc"))
+      .join(sh.as("b"), col("d2") === col("b.doc") && col("a.s") === col("b.s"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("x"), col("d1") === col("x.doc"))
+      .join(sizes.as("y"), col("d2") === col("y.doc"))
+      .select(col("d1"), col("d2"),
+        (col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** SimHash fingerprints (60-bit) per doc. */
+  def simhashFingerprints(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      simhash60(tokens(col(textCol))).as("sim"))
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3
+    * for guaranteed recall with 4 chunks over 60 bits).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(docs, idCol, textCol)
+    val chunkStructs = (0 until 4).map { c =>
+      struct(lit(c).as("c"),
+        shiftright(col("sim"), 15 * c).bitwiseAND(lit(32767L)).as("k"))
+    }
+    val chunks = fp.select(col("doc"), col("sim"),
+        explode(array(chunkStructs: _*)).as("ck"))
+      .select(col("doc"), col("sim"), col("ck.c").as("c"), col("ck.k").as("k"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.c") === col("y.c") && col("x.k") === col("y.k") &&
+        col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("d1"), col("y.doc").as("d2"),
+        expr("bit_count(x.sim ^ y.sim)").cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — the query set is broadcast, so
+  * the corpus streams through map-side (no shuffle of the 100 TB side);
+  * per-query top-k is a windowed rank over a corpus-partitioned
+  * aggregate.
+  *
+  * Scale path: cell-restricted search (IVF-style). Candidates are
+  * limited to the query's cell (here the precomputed `label` column
+  * stands in for a learned coarse quantizer), turning the scan into a
+  * cell-key equi-join — the standard trade of recall for a ~#cells
+  * fan-in reduction.
+  *
+  * All cosines use exact quantized integer arithmetic (VectorFns), so
+  * ranks are deterministic across engines and partitionings.
+  */
+object Similarity {
+
+  /** Prepares (id, cell, qvec, norm2). */
+  def prep(emb: DataFrame, idCol: String, vecCol: String,
+           cellCol: Option[String]): DataFrame = {
+    val q = quantize(col(vecCol))
+    emb.select(
+      col(idCol).as("id"),
+      cellCol.map(col).getOrElse(lit(0)).as("cell"),
+      q.as("v")
+    ).withColumn("n2", qnorm2(col("v")))
+  }
+
+  /** Brute-force cosine top-k of `corpus` for each row of `queries`
+    * (both prepped). Deterministic tiebreak on candidate id.
+    */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val qs = broadcast(queries.select(col("id").as("query_id"),
+      col("v").as("qv"), col("n2").as("qn2")))
+    val scored = corpus.join(qs, col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"),
+        qcosine(qdot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Cell-restricted (IVF-style) top-k: candidates share the query's
+    * cell. Equi-join on cell key — scales as an ordinary shuffle join.
+    */
+  def cellTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val qs = broadcast(queries.select(col("id").as("query_id"),
+      col("cell").as("qcell"), col("v").as("qv"), col("n2").as("qn2")))
+    val scored = corpus
+      .join(qs, col("cell") === col("qcell") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"),
+        qcosine(qdot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** All corpus pairs with cosine >= threshold (embedding near-dup).
+    * Exhaustive O(n^2/2) comparison — correct baseline; at scale,
+    * bucket by an LSH of the vector first and reuse the same verify.
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame =
+    corpus.as("a").join(corpus.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        qcosine(qdot(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
+      .where(col("cos") >= threshold)
+}

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Event-stream analytics in batch form over `events` (the streaming-
+  * shaped surface: tumbling windows, sessionization, JSON props).
+  * The same transforms run under Structured Streaming (see
+  * graft.streaming); batch keeps them oracle-checkable.
+  *
+  * `events.ts` is TIMESTAMP(NANOS) parquet: Spark reads it via
+  * Tables.events (ns -> us truncation), DuckDB oracles CAST to
+  * microsecond TIMESTAMP so both engines agree.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "events_tumbling_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+                col("cnt"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
+    "events_sessionize" -> ((s, d) => {
+      // 30-min-gap sessionization via lag + running sum — the batch
+      // analog of flatMapGroupsWithState session windows.
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gap = unix_micros(col("ts")) -
+        unix_micros(lag(col("ts"), 1).over(order))
+      val newSession = when(gap > 1800L * 1000000L, 1).otherwise(0)
+      Tables.events(s, d)
+        .withColumn("session_id",
+          sum(newSession).over(order.rowsBetween(Window.unboundedPreceding,
+                                                 Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("cnt"),
+             min(col("ts")).as("session_start"),
+             max(col("ts")).as("session_end"),
+             moneySum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+    "events_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+        .orderBy("event_id"))
+  )
+
+  private val evSql =
+    """ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |              event_type, value, props FROM events)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "events_tumbling_window" ->
+      s"""WITH $evSql
+         |SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  count(*) AS cnt,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      s"""WITH $evSql,
+         |x AS (SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+         |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+         |      THEN 1 ELSE 0 END AS ns
+         |      FROM ev),
+         |s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |      FROM x)
+         |SELECT user_id, session_id, count(*) AS cnt,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_id, event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextFns._
+import graft.operators.Dedup
+
+/** Text-analysis + deduplication queries over `documents` (training-
+  * data pipeline extensions; BASELINE.json north star). Oracles
+  * reproduce every hash via md5 so DuckDB matches bit-for-bit.
+  */
+object TextDedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "text_token_stats" -> ((s, d) => {
+      val w = tokens(col("text"))
+      t(s, d, "documents").select(
+          col("doc_id"),
+          size(w).as("word_cnt"),
+          col("n_chars"),
+          (col("n_chars").cast("double") / size(w)).as("chars_per_token"))
+        .orderBy("doc_id")
+    }),
+    "text_quality_score" -> ((s, d) => {
+      val w = tokens(col("text"))
+      val wordCnt = size(w)
+      val uniqRatio = size(array_distinct(w)).cast("double") / wordCnt
+      val avgWordLen = length(replace(col("text"), lit(" "), lit("")))
+        .cast("double") / wordCnt
+      t(s, d, "documents").select(
+          col("doc_id"), wordCnt.as("word_cnt"), uniqRatio.as("uniq_ratio"),
+          avgWordLen.as("avg_word_len"),
+          (wordCnt >= 50 && uniqRatio >= 0.3).as("is_quality"))
+        .orderBy("doc_id")
+    }),
+    "text_langid" -> ((s, d) => {
+      // Stopword-marker argmax; CASE chain order breaks ties (en first).
+      val Seq(en, de, es, fr) = langMarkers.map { case (lang, _) =>
+        langScore(col("text"), lang)
+      }
+      // argmax via explicit comparisons, deterministic tie order:
+      val guess = when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+      t(s, d, "documents").select(
+          col("doc_id"), en.as("score_en"), de.as("score_de"),
+          es.as("score_es"), fr.as("score_fr"), guess.as("lang_guess"))
+        .orderBy("doc_id")
+    }),
+    "text_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"), md5(col("text")).as("fp"),
+          hash60(col("text")).as("fp60"))
+        .orderBy("doc_id")),
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(
+          Dedup.docShingles(t(s, d, "documents"), "doc_id", "text"), 0.5)
+        .orderBy("d1", "d2")),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("d1", "d2")),
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("d1", "d2"))
+  )
+
+  private val shinglesSql =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS u(i))""".stripMargin
+
+  private def markerCountSql(word: String): String = {
+    val m = s" $word "
+    s"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '$m', ' '))) / ${m.length - 1} AS INT)"
+  }
+  private def langScoreSql(lang: String): String =
+    langMarkers.toMap.apply(lang).map(markerCountSql).mkString("(", " + ", ")")
+
+  private val minhashSigSql: String = {
+    val comps = (0 until 16)
+      .map(j => s"min(md5('$j|' || s)) AS h$j").mkString(", ")
+    s"sig AS (SELECT doc, $comps FROM sh GROUP BY doc)"
+  }
+  private val bandSql: String = {
+    val bands = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"h${b * 4 + r}").mkString(" || '|' || ")
+      s"md5($cols) AS b$b"
+    }.mkString(", ")
+    s"banded AS (SELECT doc, $bands FROM sig)"
+  }
+
+  private val simhashFpSql =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+      |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(tk), 1, 15)) AS BIGINT) AS h FROM tok),
+      |bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sgn
+      |         FROM th, (SELECT unnest(range(0, 60)) AS b) GROUP BY 1, 2),
+      |fp AS (SELECT doc_id AS doc,
+      |              CAST(sum(CASE WHEN sgn > 0 THEN 1::BIGINT << b ELSE 0::BIGINT END) AS BIGINT) AS sim
+      |       FROM bits GROUP BY 1)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS word_cnt,
+        |  n_chars,
+        |  CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(len(w) AS INT) AS word_cnt,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS uniq_ratio,
+        |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(w) AS avg_word_len,
+        |  (len(w) >= 50 AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.3) AS is_quality
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id,
+         |  ${langScoreSql("en")} AS score_en,
+         |  ${langScoreSql("de")} AS score_de,
+         |  ${langScoreSql("es")} AS score_es,
+         |  ${langScoreSql("fr")} AS score_fr,
+         |  CASE
+         |    WHEN ${langScoreSql("en")} >= ${langScoreSql("de")}
+         |     AND ${langScoreSql("en")} >= ${langScoreSql("es")}
+         |     AND ${langScoreSql("en")} >= ${langScoreSql("fr")} THEN 'en'
+         |    WHEN ${langScoreSql("de")} >= ${langScoreSql("es")}
+         |     AND ${langScoreSql("de")} >= ${langScoreSql("fr")} THEN 'de'
+         |    WHEN ${langScoreSql("es")} >= ${langScoreSql("fr")} THEN 'es'
+         |    ELSE 'fr' END AS lang_guess
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp60
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS fp,
+        |  min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canonical_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesSql,
+         |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jac
+         |FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
+         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shinglesSql,
+         |$minhashSigSql,
+         |$bandSql,
+         |cand AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+         |         FROM banded a JOIN banded b
+         |           ON a.doc < b.doc AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+         |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT d1, d2, count(*) AS i
+         |          FROM cand JOIN sh a ON d1 = a.doc JOIN sh b ON d2 = b.doc AND a.s = b.s
+         |          GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jac
+         |FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
+         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $simhashFpSql
+         |SELECT a.doc AS d1, b.doc AS d2,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc < b.doc
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+         |ORDER BY 1, 2""".stripMargin
+  )
+}

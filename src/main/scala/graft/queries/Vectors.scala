@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.Similarity
+
+/** Similarity-search queries over `embeddings` (vec_id, embedding
+  * Array[Float] 64-dim, label). Quantized integer cosine keeps every
+  * value bit-identical to the DuckDB oracle.
+  */
+object Vectors {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def prepped(s: SparkSession, d: String): DataFrame =
+    Similarity.prep(t(s, d, "embeddings"), "vec_id", "embedding", Some("label"))
+
+  val queries: Map[String, Q] = Map(
+    "ann_cosine_topk" -> ((s, d) => {
+      val corpus = prepped(s, d)
+      Similarity.cosineTopK(corpus.where(col("id") < 5), corpus, 10)
+        .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+    "ann_ivf_label" -> ((s, d) => {
+      val corpus = prepped(s, d)
+      Similarity.cellTopK(corpus.where(col("id") < 5), corpus, 5)
+        .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
+    "dedup_embedding_cosine" -> ((s, d) =>
+      Similarity.nearDupPairs(prepped(s, d), 0.45)
+        .orderBy("id1", "id2"))
+  )
+
+  /** Shared oracle CTE: quantized vectors + exact integer norms. */
+  private val prepSql =
+    """e AS (SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+      |       FROM embeddings),
+      |n AS (SELECT vec_id, label, v,
+      |         CAST(list_sum(list_transform(v, p -> p * p)) AS BIGINT) AS n2
+      |      FROM e)""".stripMargin
+
+  private val cosSql =
+    """CAST(CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+      |        k -> q.v[k] * c.v[k])) AS BIGINT) AS DOUBLE)
+      | / sqrt(CAST(q.n2 * c.n2 AS DOUBLE))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH $prepSql,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, $cosSql AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |           FROM scored)
+         |SELECT query_id, vec_id, rank, cos FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_label" ->
+      s"""WITH $prepSql,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, $cosSql AS cos
+         |  FROM n q JOIN n c ON q.vec_id < 5 AND c.label = q.label
+         |                    AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |           FROM scored)
+         |SELECT query_id, vec_id, rank, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH $prepSql,
+         |pairs AS (
+         |  SELECT q.vec_id AS id1, c.vec_id AS id2, $cosSql AS cos
+         |  FROM n q JOIN n c ON q.vec_id < c.vec_id)
+         |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.45
+         |ORDER BY 1, 2""".stripMargin
+  )
+}
