@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata (the 100 TB training-data layout — one
+  * row per asset, media bytes inline or as object-store pointers).
+  *
+  * The Spark-side machinery (schema, partition-sized batching,
+  * iterator signatures, deterministic outputs) is real and tested; the
+  * codec itself is STUBBED (no image/audio libraries in this
+  * container): `decodeStub` derives a deterministic fake feature
+  * vector from the bytes. Swap `decodeStub` for a real decoder (JNI /
+  * ONNX runtime) without touching any plumbing.
+  *
+  * Scala's `mapPartitions` is the JVM analog of PySpark's
+  * `mapInPandas`: one iterator per partition, so per-partition codec
+  * setup happens once and rows stream through without materializing
+  * the partition.
+  */
+object Multimodal {
+
+  final case class MediaRow(asset_id: Long, kind: String, bytes: Array[Byte],
+                            width: Int, height: Int)
+  final case class MediaFeatures(asset_id: Long, kind: String,
+                                 features: Array[Float])
+  final case class Frame(asset_id: Long, frame_no: Int, offset: Long,
+                         frame_bytes: Array[Byte])
+
+  /** ??? real codec goes here ??? — deterministic stand-in: hashes
+    * 64-byte strides of the payload into a fixed-dim float vector.
+    * Deterministic in the bytes, so tests and retries are stable.
+    */
+  private[multimodal] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (bytes != null) {
+      var i = 0
+      while (i < bytes.length) {
+        val b = out.length
+        out(i % b) += (bytes(i) & 0xff) / 255.0f
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Feature extraction over media bytes: one codec init per
+    * partition, streaming rows through. Output is a fixed-dim
+    * `Array[Float]` column ready for the graft.operators.Similarity
+    * path.
+    */
+  def extractFeatures(media: Dataset[MediaRow], dim: Int = 32): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec setup would happen here (once, not per row)
+      rows.map(r => MediaFeatures(r.asset_id, r.kind, decodeStub(r.bytes, dim)))
+    }
+  }
+
+  /** Frame sampling: emits every `stride`-th fixed-size slice of the
+    * payload (stand-in for video keyframe extraction). Generator-shaped
+    * (0..n rows out per row in) — flatMap keeps it streaming.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 256,
+                   stride: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = if (r.bytes == null) 0 else r.bytes.length / frameSize
+      (0 until n by stride).map { f =>
+        Frame(r.asset_id, f, f.toLong * frameSize,
+          java.util.Arrays.copyOfRange(r.bytes, f * frameSize,
+            (f + 1) * frameSize))
+      }
+    }
+  }
+
+  /** Byte-level metadata pass (pure column ops — no UDF): payload
+    * size, magic-byte sniff, sha-style fingerprint for dedup.
+    */
+  def describe(media: DataFrame, bytesCol: String = "bytes"): DataFrame =
+    media
+      .withColumn("n_bytes", length(col(bytesCol)))
+      .withColumn("magic", hex(substring(col(bytesCol), 1, 4)))
+      .withColumn("content_fp", md5(col(bytesCol)))
+}

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns._
+import graft.functions.expressions.GraftFunctions
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
@@ -27,12 +28,13 @@ object Similarity {
   /** Prepares (id, cell, qvec, norm2). */
   def prep(emb: DataFrame, idCol: String, vecCol: String,
            cellCol: Option[String]): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
     val q = quantize(col(vecCol))
     emb.select(
       col(idCol).as("id"),
       cellCol.map(col).getOrElse(lit(0)).as("cell"),
       q.as("v")
-    ).withColumn("n2", qnorm2(col("v")))
+    ).withColumn("n2", expr("graft_qdot(v, v)"))
   }
 
   /** Brute-force cosine top-k of `corpus` for each row of `queries`
@@ -43,7 +45,7 @@ object Similarity {
       col("v").as("qv"), col("n2").as("qn2")))
     val scored = corpus.join(qs, col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("vec_id"),
-        qcosine(qdot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
+        qcosine(expr("graft_qdot(qv, v)"), col("qn2"), col("n2")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -58,7 +60,7 @@ object Similarity {
     val scored = corpus
       .join(qs, col("cell") === col("qcell") && col("id") =!= col("query_id"))
       .select(col("query_id"), col("id").as("vec_id"),
-        qcosine(qdot(col("qv"), col("v")), col("qn2"), col("n2")).as("cos"))
+        qcosine(expr("graft_qdot(qv, v)"), col("qn2"), col("n2")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -71,6 +73,6 @@ object Similarity {
   def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame =
     corpus.as("a").join(corpus.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        qcosine(qdot(col("a.v"), col("b.v")), col("a.n2"), col("b.n2")).as("cos"))
+        qcosine(expr("graft_qdot(a.v, b.v)"), col("a.n2"), col("b.n2")).as("cos"))
       .where(col("cos") >= threshold)
 }

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface for the event analytics (the batch
+  * twins live in graft.queries.Events and are oracle-checked; these
+  * transforms are source-agnostic and run identically over
+  * `readStream` or a batch frame).
+  *
+  * Design: watermark + tumbling/session windows for the standard
+  * shapes; `flatMapGroupsWithState` for custom per-key state (the
+  * escape hatch Spark gives when built-in windows can't express the
+  * semantics). State per key is O(1) — safe under millions of users.
+  */
+object EventStreams {
+
+  /** Tumbling hourly aggregate with a 2h watermark. Append-mode
+    * compatible: emits only closed windows on streams.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Built-in session windows (30-min gap) — the idiomatic Spark path. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("cnt"),
+        col("sum_value"))
+
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionAcc(startMs: Long, lastMs: Long, cnt: Long,
+                              sum: Double)
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, cnt: Long, sum_value: Double)
+
+  /** Custom-state sessionization via flatMapGroupsWithState: closes a
+    * session when the event-time gap exceeds `gapMs` or the state times
+    * out past the watermark. Demonstrates arbitrary stateful
+    * processing; use [[sessionWindows]] unless custom state is needed.
+    */
+  def sessionizeStateful(events: Dataset[Event],
+                         gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, new Timestamp(s.startMs),
+              new Timestamp(s.lastMs), s.cnt, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var acc = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              acc = acc match {
+                case null => SessionAcc(t, t, 1L, e.value)
+                case a if t - a.lastMs > gapMs =>
+                  closed += Session(user, new Timestamp(a.startMs),
+                    new Timestamp(a.lastMs), a.cnt, a.sum)
+                  SessionAcc(t, t, 1L, e.value)
+                case a =>
+                  SessionAcc(a.startMs, t, a.cnt + 1, a.sum + e.value)
+              }
+            }
+            if (acc != null) {
+              state.update(acc)
+              state.setTimeoutTimestamp(acc.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}
