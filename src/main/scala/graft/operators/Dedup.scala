@@ -40,7 +40,8 @@ object Dedup {
     * shingle equi-join computes intersections, set sizes join in the
     * union term. Emits (d1, d2, jac) with d1 < d2.
     */
-  def jaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
+    val sh = shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
@@ -54,49 +55,43 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
-  /** MinHash signatures: k salted-md5 min-aggregates per doc. */
-  def minhashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val aggs = (0 until k).map(j => min(saltedMd5(j, col("s"))).as(s"h$j"))
-    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
-  }
-
-  /** LSH candidate pairs: docs sharing any of `bands` band keys
-    * (band key = md5 of `rows` consecutive signature components).
-    */
-  def lshCandidates(sig: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val bandStructs = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => col(s"h${b * rows + r}"))
-      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("key"))
-    }
-    val banded = sig.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-        col("x.doc") < col("y.doc"))
-      .select(col("x.doc").as("d1"), col("y.doc").as("d2"))
-      .distinct()
-  }
-
-  /** MinHash+LSH near-dup detection: candidates from `lshCandidates`,
-    * then exact Jaccard verification computed ONLY for candidates
-    * (shingle joins fan out per candidate pair, not per corpus pair).
+  /** MinHash+LSH near-dup detection, fully row-local until the band
+    * join: per-doc distinct shingle ARRAY (no explode), single-pass
+    * k-component signature via the native `graft_minhash` expression,
+    * band keys, bucket self-join for candidates, and exact-Jaccard
+    * verification via `array_intersect` on just the candidate pairs.
+    * The only shuffles are the tiny band join and the candidate
+    * lookups — the corpus-wide shingle exchange is gone, which is what
+    * survives a 100 TB corpus.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol)
-    val cand = lshCandidates(minhashSignatures(sh, k), bands, k / bands)
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(sh.as("a"), col("d1") === col("a.doc"))
-      .join(sh.as("b"), col("d2") === col("b.doc") && col("a.s") === col("b.s"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("x"), col("d1") === col("x.doc"))
-      .join(sizes.as("y"), col("d2") === col("y.doc"))
+    graft.functions.expressions.MinHashSignature.register(docs.sparkSession)
+    val rpb = k / bands
+    val base = docs
+      .select(col(idCol).as("doc"),
+        array_distinct(shingles(col(textCol))).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .withColumn("sig", expr(s"graft_minhash(sh, $k)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until bands).map { b =>
+      val comps = (0 until rpb).map(r => element_at(col("sig"), b * rpb + r + 1))
+      struct(lit(b).as("band"), md5(concat_ws("|", comps: _*)).as("key"))
+    }
+    val banded = base.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+        col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("d1"), col("y.doc").as("d2"))
+      .distinct()
+    val a = base.select(col("doc").as("d1"), col("sh").as("sh1"), col("n").as("n1"))
+    val b = base.select(col("doc").as("d2"), col("sh").as("sh2"), col("n").as("n2"))
+    cand.join(a, "d1").join(b, "d2")
+      .withColumn("i", size(array_intersect(col("sh1"), col("sh2"))))
       .select(col("d1"), col("d2"),
-        (col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))).as("jac"))
+        (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jac"))
       .where(col("jac") >= threshold)
   }
 
@@ -112,6 +107,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val fp = simhashFingerprints(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("c"),
         shiftright(col("sim"), 15 * c).bitwiseAND(lit(32767L)).as("k"))
