@@ -79,7 +79,7 @@ object Fns {
     * small (≤ #years per entity) so the collected array is bounded;
     * the heavy lifting (grouping) stays distributed.
     */
-  val yearRuns: UserDefinedFunction = udf { years: Seq[Int] =>
+  private[graft] def yearRunsStr(years: Seq[Int]): String = {
     val ys = if (years == null) Seq.empty[Int] else years.distinct.sorted
     if (ys.isEmpty) ""
     else {
@@ -98,6 +98,8 @@ object Fns {
       sb.toString
     }
   }
+
+  val yearRuns: UserDefinedFunction = udf(yearRunsStr _)
 
   /** R `format(x, digits = 3, scientific = TRUE)` ≈ `%.2E`
     * (`05-discrepancies-last-year.Rmd:22-25`). US locale pinned.
