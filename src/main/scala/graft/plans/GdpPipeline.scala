@@ -262,6 +262,21 @@ object GdpPipeline {
         lit("0").as("CommentConfidentiality"),
         lit(refDate).as("RefDate"))
 
+  /** S8 parity data (`gdp_compare_with_old_data.R:54-90`): the exact
+    * per-economy (Year, Variable, Release, Value) series the
+    * reference's ggplot/PDF step consumes — rendering itself stays
+    * outside the engine (SURVEY §2.1 S8); export this and point any
+    * plotter at it.
+    */
+  def perEconomySeries(cmp: DataFrame): DataFrame =
+    cmp.unpivot(
+        Array(col("Code"), col("Economy_Label"), col("Year"), col("Variable")),
+        Array(col("`Value.old`"), col("`Value.new`")),
+        "Release", "Value")
+      .withColumn("Release",
+        when(col("Release") === "Value.old", "old").otherwise("new"))
+      .orderBy("Economy_Label", "Variable", "Release", "Year")
+
   /** Entry point 2 (`gdp_compare_with_old_data.R:19-51`): old release
     * vs new release, full outer on (Code, Year, Variable) with
     * `.old`/`.new` value suffixes, label taken from the new side.

@@ -334,6 +334,13 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"),
           roundHalfEven(col("l_quantity") / 2).as("half_qty"))
         .orderBy("l_orderkey", "l_linenumber")),
+    "sci_format" -> ((s, d) =>
+      // §2.9: R format(digits=3, scientific=TRUE) ≈ %.2E; scalar UDF,
+      // US locale pinned (matches C printf %E in the oracle).
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sciFormat(col("l_extendedprice")).as("sci"))
+        .orderBy("l_orderkey", "l_linenumber")),
     "date_format_refdate" -> ((s, d) =>
       // §2.9: d-MMM-yy RefDate + date part extraction.
       t(s, d, "orders")
@@ -558,6 +565,9 @@ object Relational {
         |FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY 1""".stripMargin,
     "round_half_even" ->
       """SELECT l_orderkey, l_linenumber, round_even(l_quantity / 2, 0) AS half_qty
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "sci_format" ->
+      """SELECT l_orderkey, l_linenumber, printf('%.2E', l_extendedprice) AS sci
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "date_format_refdate" ->
       """SELECT o_orderkey,
