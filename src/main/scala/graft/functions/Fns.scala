@@ -102,9 +102,28 @@ object Fns {
   val yearRuns: UserDefinedFunction = udf(yearRunsStr _)
 
   /** R `format(x, digits = 3, scientific = TRUE)` ≈ `%.2E`
-    * (`05-discrepancies-last-year.Rmd:22-25`). US locale pinned.
+    * (`05-discrepancies-last-year.Rmd:22-25`).
+    *
+    * NOT `String.format("%.2E")`: Java's Formatter rounds decimal ties
+    * HALF_UP while C printf (R, DuckDB, glibc) rounds the exact binary
+    * value HALF_EVEN — 6765.0 formats as 6.77E+03 in Java but
+    * 6.76E+03 everywhere else. Rounding the exact BigDecimal expansion
+    * with HALF_EVEN reproduces printf.
     */
+  private[graft] def sciFormatStr(d: Double): String = {
+    if (d == 0.0) return "0.00E+00"
+    if (d.isNaN || d.isInfinite) return d.toString
+    val exact = new java.math.BigDecimal(math.abs(d))
+    val rounded = exact.round(
+      new java.math.MathContext(3, java.math.RoundingMode.HALF_EVEN))
+    val exp = rounded.precision - rounded.scale - 1
+    val mantissa = rounded.movePointLeft(exp).setScale(2)
+    val sign = if (d < 0) "-" else ""
+    val expSign = if (exp < 0) "-" else "+"
+    f"$sign${mantissa.toPlainString}E$expSign${math.abs(exp)}%02d"
+  }
+
   val sciFormat: UserDefinedFunction = udf { d: java.lang.Double =>
-    if (d == null) null else String.format(Locale.US, "%.2E", d)
+    if (d == null) null else sciFormatStr(d)
   }
 }

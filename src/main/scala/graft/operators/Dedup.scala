@@ -12,11 +12,14 @@ import graft.functions.TextFns._
   * corpora:
   *
   *   - exact:   one hash-groupBy (window over fingerprint).
-  *   - MinHash: shingle explode -> k min-aggregates -> band keys ->
-  *              bucket self-join (candidates only) -> exact-Jaccard
-  *              verify restricted to candidates.
-  *   - Jaccard: inverted-index self-join on shingles (exhaustive but
-  *              still equi-join shaped; use MinHash at scale).
+  *   - MinHash: row-local signatures (native graft_minhash) -> band
+  *              keys -> bucket self-join -> exact-Jaccard verify on
+  *              candidates only (approximate recall, cheapest).
+  *   - Jaccard: EXACT pairs via PPJoin-style prefix+length filtering
+  *              (no false negatives; prefix order is md5 for engine
+  *              portability — on Zipf-distributed real corpora, order
+  *              by ascending global frequency instead for far smaller
+  *              candidate buckets).
   *   - SimHash: 60-bit fingerprint; 4×15-bit chunk banding guarantees
   *              full recall at hamming <= 3 (pigeonhole) with an
   *              equi-join instead of an O(n^2) comparison.
@@ -36,22 +39,50 @@ object Dedup {
     docs.select(col(idCol).as("doc"), explode(shingles(col(textCol), n)).as("s"))
       .distinct()
 
-  /** Exhaustive n-gram Jaccard pairs >= `threshold` via inverted index:
-    * shingle equi-join computes intersections, set sizes join in the
-    * union term. Emits (d1, d2, jac) with d1 < d2.
+  /** EXACT n-gram Jaccard pairs >= `threshold` (same result set as the
+    * naive all-pairs computation) with PPJoin-style pruning:
+    *
+    *   - prefix filter: under any global shingle order, two sets with
+    *     Jaccard >= t must share one of each other's first
+    *     n - ceil(t*n) + 1 shingles — so the inverted index holds only
+    *     prefixes (md5 order keeps the choice engine-portable);
+    *   - length filter: |A|/|B| must lie in [t, 1/t];
+    *   - verification via the native merge-scan intersect on candidate
+    *     pairs only.
+    *
+    * Emits (d1, d2, jac) with d1 < d2.
     */
-  def jaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
-    val sh = shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("d1"), col("b.doc").as("d2"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("x"), col("d1") === col("x.doc"))
-      .join(sizes.as("y"), col("d2") === col("y.doc"))
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double): DataFrame = {
+    graft.functions.expressions.SortedIntersectSize.register(docs.sparkSession)
+    val base = docs
+      .select(col(idCol).as("doc"),
+        array_sort(array_distinct(shingles(col(textCol)))).as("sh"))
+      .withColumn("n", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    val ordered = array_sort(transform(col("sh"),
+      s => struct(md5(s).as("h"), s.as("s"))))
+    val prefixes = base
+      .select(col("doc"), col("n"),
+        explode(transform(slice(ordered, lit(1), prefixLen),
+          x => x.getField("s"))).as("s"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
+        col("b.n") * threshold <= col("a.n") &&
+        col("a.n") * threshold <= col("b.n"))
+      .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
+      .distinct()
+    // Verification: native merge-scan intersection over the sorted
+    // shingle arrays — the doc-side lookups broadcast (base is
+    // corpus-row-sized, not shingle-row-sized), so candidates never
+    // shuffle with their array payloads.
+    val a = base.select(col("doc").as("d1"), col("sh").as("sh1"), col("n").as("n1"))
+    val b = base.select(col("doc").as("d2"), col("sh").as("sh2"), col("n").as("n2"))
+    cand.join(a, "d1").join(b, "d2")
+      .withColumn("i", expr("graft_sorted_intersect_size(sh1, sh2)"))
       .select(col("d1"), col("d2"),
-        (col("i").cast("double") / (col("x.n") + col("y.n") - col("i"))).as("jac"))
+        (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jac"))
       .where(col("jac") >= threshold)
   }
 
@@ -69,9 +100,10 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     graft.functions.expressions.MinHashSignature.register(docs.sparkSession)
     val rpb = k / bands
+    graft.functions.expressions.SortedIntersectSize.register(docs.sparkSession)
     val base = docs
       .select(col(idCol).as("doc"),
-        array_distinct(shingles(col(textCol))).as("sh"))
+        array_sort(array_distinct(shingles(col(textCol)))).as("sh"))
       .withColumn("n", size(col("sh")))
       .withColumn("sig", expr(s"graft_minhash(sh, $k)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -89,7 +121,7 @@ object Dedup {
     val a = base.select(col("doc").as("d1"), col("sh").as("sh1"), col("n").as("n1"))
     val b = base.select(col("doc").as("d2"), col("sh").as("sh2"), col("n").as("n2"))
     cand.join(a, "d1").join(b, "d2")
-      .withColumn("i", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("i", expr("graft_sorted_intersect_size(sh1, sh2)"))
       .select(col("d1"), col("d2"),
         (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jac"))
       .where(col("jac") >= threshold)

@@ -60,8 +60,7 @@ object TextDedup {
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
     "dedup_ngram_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(
-          Dedup.docShingles(t(s, d, "documents"), "doc_id", "text"), 0.5)
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 0.5)
         .orderBy("d1", "d2")),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")

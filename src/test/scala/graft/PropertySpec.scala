@@ -45,6 +45,49 @@ class PropertySpec extends SparkSpec {
     }, tests = 200)
   }
 
+  test("jaccardPairs (prefix-filtered) equals the naive all-pairs " +
+       "computation on random corpora") {
+    val rng = new Random(7)
+    val vocab = Vector("spark", "row", "data", "join", "scan", "key",
+      "sort", "merge", "hash", "batch")
+    def doc(): String =
+      (0 until (3 + rng.nextInt(12))).map(_ => vocab(rng.nextInt(vocab.size)))
+        .mkString(" ")
+    (1 to 3).foreach { _ =>
+      val docs = (0 until 40).map(i => (i.toLong, doc()))
+      def shingleSet(t: String): Set[String] = {
+        val w = t.split(" ")
+        (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+      }
+      val naive = (for {
+        (i, ti) <- docs; (j, tj) <- docs if i < j
+        a = shingleSet(ti); b = shingleSet(tj)
+        inter = (a & b).size
+        jac = inter.toDouble / (a.size + b.size - inter)
+        if jac >= 0.5
+      } yield (i, j)).toSet
+      val got = graft.operators.Dedup
+        .jaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 0.5)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(got === naive)
+    }
+  }
+
+  test("simhash 4x15-bit chunk banding never misses a pair at " +
+       "hamming <= 3 (pigeonhole)") {
+    val rng = new Random(11)
+    (1 to 2000).foreach { _ =>
+      val a = rng.nextLong() & ((1L << 60) - 1)
+      // flip up to 3 random bits
+      val flips = (0 until rng.nextInt(4)).map(_ => rng.nextInt(60))
+      val b = flips.foldLeft(a)((acc, bit) => acc ^ (1L << bit))
+      val shareChunk = (0 until 4).exists { c =>
+        ((a >> (15 * c)) & 0x7fff) == ((b >> (15 * c)) & 0x7fff)
+      }
+      assert(shareChunk, s"a=$a b=$b flips=$flips")
+    }
+  }
+
   test("Hierarchy.closure equals the naive transitive closure on " +
        "random DAGs") {
     val rng = new Random(42)
