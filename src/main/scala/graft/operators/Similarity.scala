@@ -66,6 +66,53 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Deterministic ±1 random-hyperplane matrix: component (p, i) is
+    * +1 iff the low bit of the 60-bit md5 hash of "p|i" is set. Both
+    * engines can rebuild it from the same rule, so LSH bucketing stays
+    * oracle-checkable.
+    */
+  def hyperplanes(planes: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until planes).map { p =>
+      (0 until dim).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p|$i".getBytes("UTF-8"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        if ((java.lang.Long.parseLong(hex.substring(0, 15), 16) & 1L) == 1L) 1L
+        else -1L
+      }
+    }
+
+  /** Sign-random-projection bucket (P-bit string) for a quantized
+    * vector column: bit p = (v . plane_p >= 0). Exact integer dots via
+    * graft_qdot -> bit-identical buckets everywhere.
+    */
+  def srpBucket(v: org.apache.spark.sql.Column,
+                planes: Seq[Seq[Long]]): org.apache.spark.sql.Column =
+    concat(planes.map { plane =>
+      when(call_function("graft_qdot", v, typedLit(plane)) >= 0, "1")
+        .otherwise("0")
+    }: _*)
+
+  /** LSH-bucketed ANN: queries only score candidates in their own
+    * sign-random-projection bucket. The 100 TB shape: bucket is a
+    * precomputable partition/cluster key, the scan becomes an
+    * equi-join, recall trades against #planes.
+    */
+  def srpTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Seq[Seq[Long]]): DataFrame = {
+    val withBucket = (df: DataFrame) =>
+      df.withColumn("bucket", srpBucket(col("v"), planes))
+    val qs = broadcast(withBucket(queries).select(col("id").as("query_id"),
+      col("bucket").as("qbucket"), col("v").as("qv"), col("n2").as("qn2")))
+    val scored = withBucket(corpus)
+      .join(qs, col("bucket") === col("qbucket") && col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"),
+        qcosine(expr("graft_qdot(qv, v)"), col("qn2"), col("n2")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** All corpus pairs with cosine >= threshold (embedding near-dup).
     * Exhaustive O(n^2/2) comparison — correct baseline; at scale,
     * bucket by an LSH of the vector first and reuse the same verify.

@@ -29,10 +29,22 @@ object Vectors {
         .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
         .orderBy("query_id", "rank")
     }),
+    "ann_lsh_hyperplane" -> ((s, d) => {
+      // Scale path: sign-random-projection buckets (md5-derived ±1
+      // planes shared verbatim with the oracle SQL).
+      val corpus = prepped(s, d)
+      Similarity.srpTopK(corpus.where(col("id") < 5), corpus, 5,
+          Similarity.hyperplanes(Planes, Dim))
+        .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
     "dedup_embedding_cosine" -> ((s, d) =>
       Similarity.nearDupPairs(prepped(s, d), 0.45)
         .orderBy("id1", "id2"))
   )
+
+  private val Planes = 8
+  private val Dim = 64
 
   /** Shared oracle CTE: quantized vectors + exact integer norms. */
   private val prepSql =
@@ -71,6 +83,32 @@ object Vectors {
          |           FROM scored)
          |SELECT query_id, vec_id, rank, cos FROM ranked
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_hyperplane" -> {
+      // bucket bit p: sign of the exact integer dot with plane p; the
+      // plane constants are generated from the same md5 rule the Spark
+      // side uses, so both engines agree bit-for-bit.
+      val planeSql = graft.operators.Similarity.hyperplanes(Planes, Dim)
+        .map(p => p.mkString("[", ",", "]"))
+      val bucketExpr = planeSql.map { pl =>
+        s"""(CASE WHEN CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+           |   k -> v[k] * ($pl)[k])) AS BIGINT) >= 0
+           | THEN '1' ELSE '0' END)""".stripMargin
+      }.mkString(" || ")
+      s"""WITH $prepSql,
+         |b AS (SELECT vec_id, label, v, n2, $bucketExpr AS bucket FROM n),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    CAST(CAST(list_sum(list_transform(range(1, len(q.v) + 1),
+         |            k -> q.v[k] * c.v[k])) AS BIGINT) AS DOUBLE)
+         |     / sqrt(CAST(q.n2 * c.n2 AS DOUBLE)) AS cos
+         |  FROM b q JOIN b c ON q.vec_id < 5 AND c.bucket = q.bucket
+         |                    AND c.vec_id <> q.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, vec_id) AS INT) AS rank
+         |           FROM scored)
+         |SELECT query_id, vec_id, rank, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "dedup_embedding_cosine" ->
       s"""WITH $prepSql,
          |pairs AS (
