@@ -14,7 +14,7 @@ object Bench {
     "between_dynamic", "window_anchor", "hierarchy_rollup",
     "unpivot_measures", "first_in_group",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-    "text_quality_score", "ann_cosine_topk",
+    "text_quality_score", "ann_cosine_topk", "ann_lsh_hyperplane",
     "events_tumbling_window", "events_sessionize")
 
   def main(args: Array[String]): Unit = {

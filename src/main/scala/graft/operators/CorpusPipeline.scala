@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns._
+
+/** End-to-end training-corpus curation: the composition a 100 TB
+  * pretraining-data run actually executes, built from graft's operator
+  * families —
+  *
+  *   quality gate -> language gate -> exact dedup -> near-dup removal
+  *   (MinHash+LSH) -> canonical corpus.
+  *
+  * Near-dup removal keeps each duplicate cluster's minimum id: cluster
+  * membership is the connected component of the near-dup pair graph,
+  * approximated here by one hop (drop any doc that pairs with a
+  * smaller surviving id) — the standard single-pass policy; run the
+  * pair step to fixpoint for full components (Hierarchy.closure works
+  * on the pair list).
+  */
+object CorpusPipeline {
+
+  final case class Config(minWords: Int = 30,
+                          minUniqRatio: Double = 0.2,
+                          langs: Set[String] = Set("en"),
+                          jaccardThreshold: Double = 0.8)
+
+  /** Returns the curated corpus with provenance columns
+    * (`drop_reason` null = kept).
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             cfg: Config = Config()): DataFrame = {
+    val w = tokens(col(textCol))
+    val wordCnt = size(w)
+    val uniqRatio = size(array_distinct(w)).cast("double") / wordCnt
+    val langGuess = {
+      val Seq(en, de, es, fr) = langMarkers.map { case (l, _) =>
+        langScore(col(textCol), l)
+      }
+      when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es").otherwise("fr")
+    }
+
+    val gated = docs
+      .withColumn("__words", wordCnt)
+      .withColumn("__uniq", uniqRatio)
+      .withColumn("__lang", langGuess)
+      .withColumn("drop_reason",
+        when(col("__words") < cfg.minWords, "too_short")
+          .when(col("__uniq") < cfg.minUniqRatio, "low_diversity")
+          .when(!col("__lang").isin(cfg.langs.toSeq: _*), "language"))
+
+    val alive = gated.where(col("drop_reason").isNull)
+
+    // exact dedup: canonical id per normalized-text group
+    val exactCanon = Dedup.exact(alive, idCol, textCol)
+      .select(col(idCol).as("__id"), col("canonical_id"))
+    val afterExact = gated
+      .join(exactCanon, gated(idCol) === col("__id"), "left")
+      .withColumn("drop_reason",
+        coalesce(col("drop_reason"),
+          when(col("canonical_id") < gated(idCol), "exact_duplicate")))
+      .drop("__id")
+
+    // near-dup removal among survivors: drop the larger id of each pair
+    val survivors = afterExact.where(col("drop_reason").isNull)
+      .select(col(idCol), col(textCol))
+    val nearPairs = Dedup.minhashLshPairs(survivors, idCol, textCol,
+        threshold = cfg.jaccardThreshold)
+      .select(col("d2").as("__near_dup_id")).distinct()
+    afterExact
+      .join(nearPairs, afterExact(idCol) === col("__near_dup_id"), "left")
+      .withColumn("drop_reason",
+        coalesce(col("drop_reason"),
+          when(col("__near_dup_id").isNotNull, "near_duplicate")))
+      .drop("__near_dup_id", "__words", "__uniq")
+      .withColumnRenamed("__lang", "lang_guess")
+  }
+}
