@@ -27,6 +27,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local[32] with 8g heap: dedup verify sides (corpus rows +
+      // shingle arrays, ~25MB at sf0.1) should hash-broadcast rather
+      // than sort-merge; clusters tune this to their own memory.
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
