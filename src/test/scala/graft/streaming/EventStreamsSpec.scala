@@ -42,6 +42,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumblingCounts over a real file stream (readStream.parquet) " +
+       "matches the batch answer") {
+    val dir = sf("sf0.001")
+    val batch = graft.Tables.events(spark, dir)
+    // file streams want a directory; stage the single parquet into one
+    val staged = java.nio.file.Files.createTempDirectory("evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    // raw schema carries ts as long nanos (nanosAsLong); rebuild the
+    // timestamp exactly like Tables.events
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val stream = spark.readStream
+      .schema(raw.schema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = tumblingCounts(stream).writeStream
+      .format("memory").queryName("file_tumble").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT sum(cnt) FROM file_tumble")
+        .as[Long].head()
+      assert(got === batch.count())
+    } finally q.stop()
+  }
+
   test("sessionizeStateful (flatMapGroupsWithState) closes a session " +
        "when the in-batch gap exceeds 30 minutes") {
     implicit val sq = spark.sqlContext
