@@ -9,13 +9,14 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native MinHash signature: for a document's shingle array, computes
-  * all k components `min over shingles of md5(j + "|" + shingle)` in a
-  * single pass — the salted-md5 scheme graft's DuckDB oracles can
-  * reproduce verbatim (`min(md5('j|' || s))`).
+/** Native MinHash signature: for a document's HASHED shingle array
+  * (graft_shingle_hashes output), computes all k components
+  * `min over shingles of md5(j + "|" + hash)` in a single pass — the
+  * salted-md5 scheme graft's DuckDB oracles reproduce verbatim
+  * (`min(md5('j|' || CAST(h AS VARCHAR)))`).
   *
   * Why custom: the composable formulation explodes shingles
   * (corpus x ~90 rows), runs k md5 expressions per row and k
@@ -33,10 +34,10 @@ case class MinHashSignature(left: Expression, right: Expression)
   override def prettyName: String = "graft_minhash"
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+    case (ArrayType(LongType, _), IntegerType) if right.foldable =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      "graft_minhash expects (array<string>, literal int k)")
+      "graft_minhash expects (array<bigint>, literal int k)")
   }
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
@@ -66,18 +67,17 @@ object MinHashSignature {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      if (!shingles.isNullAt(i)) {
-        val s = shingles.getUTF8String(i).getBytes
-        var j = 0
-        while (j < k) {
-          md.reset()
-          md.update(String.valueOf(j).getBytes(StandardCharsets.US_ASCII))
-          md.update('|'.toByte)
-          md.update(s)
-          val d = md.digest()
-          if (mins(j) == null || unsignedLess(d, mins(j))) mins(j) = d
-          j += 1
-        }
+      val hStr = String.valueOf(shingles.getLong(i))
+        .getBytes(StandardCharsets.US_ASCII)
+      var j = 0
+      while (j < k) {
+        md.reset()
+        md.update(String.valueOf(j).getBytes(StandardCharsets.US_ASCII))
+        md.update('|'.toByte)
+        md.update(hStr)
+        val d = md.digest()
+        if (mins(j) == null || unsignedLess(d, mins(j))) mins(j) = d
+        j += 1
       }
       i += 1
     }

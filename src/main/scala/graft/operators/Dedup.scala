@@ -54,19 +54,19 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double): DataFrame = {
-    graft.functions.expressions.SortedIntersectSize.register(docs.sparkSession)
+    graft.functions.expressions.SortedLongIntersectSize.register(docs.sparkSession)
+    graft.functions.expressions.ShingleHashes.register(docs.sparkSession)
     val base = docs
       .select(col(idCol).as("doc"),
-        array_sort(array_distinct(shingles(col(textCol)))).as("sh"))
+        expr(s"graft_shingle_hashes($textCol, 3)").as("sh"))
       .withColumn("n", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sh is sorted by hash — a uniform global order — so the prefix is
+    // simply the leading slice; no per-doc reordering pass needed.
     val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
-    val ordered = array_sort(transform(col("sh"),
-      s => struct(md5(s).as("h"), s.as("s"))))
     val prefixes = base
       .select(col("doc"), col("n"),
-        explode(transform(slice(ordered, lit(1), prefixLen),
-          x => x.getField("s"))).as("s"))
+        explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
         col("b.n") * threshold <= col("a.n") &&
@@ -80,7 +80,7 @@ object Dedup {
     val a = base.select(col("doc").as("d1"), col("sh").as("sh1"), col("n").as("n1"))
     val b = base.select(col("doc").as("d2"), col("sh").as("sh2"), col("n").as("n2"))
     cand.join(a, "d1").join(b, "d2")
-      .withColumn("i", expr("graft_sorted_intersect_size(sh1, sh2)"))
+      .withColumn("i", expr("graft_sorted_long_intersect_size(sh1, sh2)"))
       .select(col("d1"), col("d2"),
         (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jac"))
       .where(col("jac") >= threshold)
@@ -99,11 +99,12 @@ object Dedup {
                       k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     graft.functions.expressions.MinHashSignature.register(docs.sparkSession)
+    graft.functions.expressions.SortedLongIntersectSize.register(docs.sparkSession)
+    graft.functions.expressions.ShingleHashes.register(docs.sparkSession)
     val rpb = k / bands
-    graft.functions.expressions.SortedIntersectSize.register(docs.sparkSession)
     val base = docs
       .select(col(idCol).as("doc"),
-        array_sort(array_distinct(shingles(col(textCol)))).as("sh"))
+        expr(s"graft_shingle_hashes($textCol, 3)").as("sh"))
       .withColumn("n", size(col("sh")))
       .withColumn("sig", expr(s"graft_minhash(sh, $k)"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -121,7 +122,7 @@ object Dedup {
     val a = base.select(col("doc").as("d1"), col("sh").as("sh1"), col("n").as("n1"))
     val b = base.select(col("doc").as("d2"), col("sh").as("sh2"), col("n").as("n2"))
     cand.join(a, "d1").join(b, "d2")
-      .withColumn("i", expr("graft_sorted_intersect_size(sh1, sh2)"))
+      .withColumn("i", expr("graft_sorted_long_intersect_size(sh1, sh2)"))
       .select(col("d1"), col("d2"),
         (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jac"))
       .where(col("jac") >= threshold)

@@ -70,10 +70,17 @@ object TextDedup {
         .orderBy("d1", "d2"))
   )
 
+  /** Hashed shingle sets: same 60-bit md5 hashing as the native
+    * `graft_shingle_hashes` expression, so hash sets match the Spark
+    * side bit-for-bit.
+    */
   private val shinglesSql =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |sh AS (SELECT DISTINCT doc_id AS doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |       FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS u(i))""".stripMargin
+      |rawsh AS (SELECT doc_id AS doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |          FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS u(i)),
+      |sh AS (SELECT DISTINCT doc,
+      |              CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+      |       FROM rawsh)""".stripMargin
 
   private def markerCountSql(word: String): String = {
     val m = s" $word "
@@ -84,7 +91,7 @@ object TextDedup {
 
   private val minhashSigSql: String = {
     val comps = (0 until 16)
-      .map(j => s"min(md5('$j|' || s)) AS h$j").mkString(", ")
+      .map(j => s"min(md5('$j|' || CAST(h AS VARCHAR))) AS h$j").mkString(", ")
     s"sig AS (SELECT doc, $comps FROM sh GROUP BY doc)"
   }
   private val bandSql: String = {
@@ -146,7 +153,7 @@ object TextDedup {
       s"""WITH $shinglesSql,
          |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc GROUP BY 1, 2)
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc GROUP BY 1, 2)
          |SELECT d1, d2, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jac
          |FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
@@ -160,7 +167,7 @@ object TextDedup {
          |           ON a.doc < b.doc AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
          |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT d1, d2, count(*) AS i
-         |          FROM cand JOIN sh a ON d1 = a.doc JOIN sh b ON d2 = b.doc AND a.s = b.s
+         |          FROM cand JOIN sh a ON d1 = a.doc JOIN sh b ON d2 = b.doc AND a.h = b.h
          |          GROUP BY 1, 2)
          |SELECT d1, d2, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jac
          |FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
