@@ -128,11 +128,13 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
-  /** SimHash fingerprints (60-bit) per doc. */
+  /** SimHash fingerprints (60-bit) per doc via the native expression. */
   def simhashFingerprints(docs: DataFrame, idCol: String,
-                          textCol: String): DataFrame =
+                          textCol: String): DataFrame = {
+    graft.functions.expressions.Simhash60.register(docs.sparkSession)
     docs.select(col(idCol).as("doc"),
-      simhash60(tokens(col(textCol))).as("sim"))
+      expr(s"graft_simhash60($textCol)").as("sim"))
+  }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3
     * for guaranteed recall with 4 chunks over 60 bits).
