@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFns
+import graft.functions.expressions._
+
+/** Every native codegen expression must agree exactly with its
+  * composable (built-in-function) formulation — the property that
+  * keeps the DuckDB oracles valid after each optimization swap.
+  */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.Tables.t(spark, sf("sf0.001"), "documents").limit(100).cache()
+
+  test("graft_shingles == array_sort(array_distinct(HOF shingles))") {
+    WordShingles.register(spark)
+    val mismatches = docs.select(
+        expr("graft_shingles(text, 3)").as("native"),
+        array_sort(array_distinct(TextFns.shingles(col("text"), 3))).as("hof"))
+      .where(col("native") =!= col("hof")).count()
+    assert(mismatches === 0)
+  }
+
+  test("graft_shingle_hashes == sorted distinct hash60 of HOF shingles") {
+    ShingleHashes.register(spark)
+    val hof = array_sort(array_distinct(transform(
+      TextFns.shingles(col("text"), 3), s => TextFns.hash60(s))))
+    val mismatches = docs.select(
+        expr("graft_shingle_hashes(text, 3)").as("native"), hof.as("hof"))
+      .where(col("native") =!= col("hof")).count()
+    assert(mismatches === 0)
+  }
+
+  test("graft_sorted_long_intersect_size == size(array_intersect)") {
+    SortedLongIntersectSize.register(spark)
+    ShingleHashes.register(spark)
+    val pairs = docs.limit(20).select(expr("graft_shingle_hashes(text, 3)").as("a"))
+      .crossJoin(docs.limit(20).select(expr("graft_shingle_hashes(text, 3)").as("b")))
+    val mismatches = pairs.select(
+        expr("graft_sorted_long_intersect_size(a, b)").as("native"),
+        size(array_intersect(col("a"), col("b"))).as("hof"))
+      .where(col("native") =!= col("hof")).count()
+    assert(mismatches === 0)
+  }
+
+  test("graft_simhash60 == the vote-loop reference on the token multiset") {
+    Simhash60.register(spark)
+    val fromExpr = docs.select(col("doc_id"), expr("graft_simhash60(text)").as("sim"))
+      .as[(Long, Long)].collect().toMap
+    val reference = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().map { case (id, text) =>
+        val votes = new Array[Int](60)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        text.split(" ", -1).foreach { tok =>
+          val h = ShingleHashes.hash60(md, tok)
+          (0 until 60).foreach { b =>
+            if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          }
+        }
+        id -> (0 until 60).foldLeft(0L)((acc, b) =>
+          if (votes(b) > 0) acc | (1L << b) else acc)
+      }.toMap
+    assert(fromExpr === reference)
+  }
+}
