@@ -46,6 +46,19 @@ object Events {
              moneySum(col("value")).as("sum_value"))
         .orderBy("user_id", "session_id")
     }),
+    "events_top_type_per_hour" -> ((s, d) => {
+      // windowed top-1: dominant event type per hour (grouped count +
+      // rank with deterministic tiebreak).
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("hour"))
+        .orderBy(col("cnt").desc, col("event_type"))
+      hourly.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("hour"), col("event_type"), col("cnt"))
+        .orderBy("hour")
+    }),
     "events_json_extract" -> ((s, d) =>
       Tables.events(s, d)
         .select(col("event_id"), col("event_type"),
@@ -77,6 +90,15 @@ object Events {
          |  min(ts) AS session_start, max(ts) AS session_end,
          |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_top_type_per_hour" ->
+      s"""WITH $evSql,
+         |hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+         |                  count(*) AS cnt
+         |           FROM ev GROUP BY 1, 2),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY hour
+         |             ORDER BY cnt DESC, event_type) AS rn FROM hourly)
+         |SELECT hour, event_type, cnt FROM ranked WHERE rn = 1
+         |ORDER BY hour""".stripMargin,
     "events_json_extract" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val

@@ -67,7 +67,26 @@ object TextDedup {
         .orderBy("d1", "d2")),
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("d1", "d2"))
+        .orderBy("d1", "d2")),
+    "text_ngram_topk" -> ((s, d) => {
+      // corpus vocabulary: top-50 word trigrams by document frequency
+      // (distinct docs), the frequency-table step of corpus curation.
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+        .distinct()
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("s"))
+        .limit(50)
+    }),
+    "text_length_histogram" -> ((s, d) =>
+      // document length distribution in 100-char buckets.
+      t(s, d, "documents")
+        .groupBy(floor(col("n_chars") / 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("bucket"))
   )
 
   /** Hashed shingle sets: same 60-bit md5 hashing as the native
@@ -173,6 +192,16 @@ object TextDedup {
          |FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+    "text_ngram_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS u(i))
+        |SELECT s, count(*) AS doc_freq FROM sh GROUP BY s
+        |ORDER BY doc_freq DESC, s LIMIT 50""".stripMargin,
+    "text_length_histogram" ->
+      """SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+        |  count(*) AS cnt, min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashFpSql
          |SELECT a.doc AS d1, b.doc AS d2,
