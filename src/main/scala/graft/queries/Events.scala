@@ -46,6 +46,21 @@ object Events {
              moneySum(col("value")).as("sum_value"))
         .orderBy("user_id", "session_id")
     }),
+    "events_asof_join" -> ((s, d) => {
+      // as-of join: each purchase joined to the user's latest prior
+      // click (graft.operators.AsofJoin; DuckDB's native ASOF JOIN is
+      // the oracle). (user_id, ts) is unique in the data, so the
+      // carried row is deterministic.
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      graft.operators.AsofJoin.asofJoin(purchases, clicks, "user_id",
+          "ts", "click_ts", Seq("click_id", "click_ts"))
+        .orderBy("event_id")
+    }),
     "events_top_type_per_hour" -> ((s, d) => {
       // windowed top-1: dominant event type per hour (grouped count +
       // rank with deterministic tiebreak).
@@ -90,6 +105,17 @@ object Events {
          |  min(ts) AS session_start, max(ts) AS session_end,
          |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_asof_join" ->
+      s"""WITH $evSql,
+         |p AS (SELECT event_id, user_id, ts, value FROM ev
+         |      WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id FROM ev
+         |      WHERE event_type = 'click')
+         |SELECT p.event_id, p.user_id, p.ts, p.value,
+         |  c.click_id AS asof_click_id, c.click_ts AS asof_click_ts
+         |FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+         |ORDER BY p.event_id""".stripMargin,
     "events_top_type_per_hour" ->
       s"""WITH $evSql,
          |hourly AS (SELECT date_trunc('hour', ts) AS hour, event_type,
