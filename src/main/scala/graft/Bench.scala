@@ -15,7 +15,7 @@ object Bench {
     "unpivot_measures", "first_in_group",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "text_quality_score", "ann_cosine_topk", "ann_lsh_hyperplane",
-    "events_tumbling_window", "events_sessionize")
+    "events_tumbling_window", "events_sessionize", "events_asof_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
