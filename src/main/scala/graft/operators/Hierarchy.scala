@@ -49,7 +49,9 @@ object Hierarchy {
         .join(base.as("e"), col("p.descendant") === col("e.ancestor"))
         .select(col("p.ancestor").as("ancestor"),
                 col("e.descendant").as("descendant"))
-      val grown = paths.union(extended).distinct().localCheckpoint()
+      // lazy checkpoint: the count() below materializes it, so each
+      // iteration costs ONE job instead of checkpoint+count.
+      val grown = paths.union(extended).distinct().localCheckpoint(false)
       val n = grown.count()
       converged = n == prevCount
       prevCount = n

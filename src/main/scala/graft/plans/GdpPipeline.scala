@@ -154,11 +154,13 @@ object GdpPipeline {
         acc.withColumn(c, when(col("__matched"), col(s"${c}__new"))
           .otherwise(col(c)))
       }
+      // lazy checkpoint: the next expandableCount() materializes it,
+      // saving one job per iteration.
       df = replaced
         .where(col("Child_IsTarget") === "True" || col("__matched") ||
                col("Parent_Label") === "Other territories")
         .select(edges.columns.map(col): _*)
-        .localCheckpoint()
+        .localCheckpoint(false)
       iters += 1
     }
     df
