@@ -46,6 +46,22 @@ object Events {
              moneySum(col("value")).as("sum_value"))
         .orderBy("user_id", "session_id")
     }),
+    "events_range_join" -> ((s, d) => {
+      // banded interval join: (click, purchase) pairs of the same user
+      // within 5 minutes — equi-join on tolerance-sized time bands, no
+      // per-key cross product (graft.operators.RangeJoin).
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.RangeJoin.bandJoin(clicks, purchases, "user_id",
+          "ts", "ts", 5L * 60 * 1000000)
+        .select(col("l_user_id").as("user_id"),
+          col("l_event_id").as("click_id"),
+          col("r_event_id").as("purchase_id"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
     "events_asof_join" -> ((s, d) => {
       // as-of join: each purchase joined to the user's latest prior
       // click (graft.operators.AsofJoin; DuckDB's native ASOF JOIN is
@@ -105,6 +121,14 @@ object Events {
          |  min(ts) AS session_start, max(ts) AS session_end,
          |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_range_join" ->
+      s"""WITH $evSql,
+         |c AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts, event_id FROM ev WHERE event_type = 'purchase')
+         |SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+         |FROM c JOIN p ON c.user_id = p.user_id
+         |  AND abs(epoch_us(c.ts) - epoch_us(p.ts)) <= 300000000
+         |ORDER BY 1, 2, 3""".stripMargin,
     "events_asof_join" ->
       s"""WITH $evSql,
          |p AS (SELECT event_id, user_id, ts, value FROM ev
