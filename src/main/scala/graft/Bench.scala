@@ -38,25 +38,37 @@ object Bench {
     // outside the timed region.
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
 
+    val missing = headline.filterNot(SparkEntry.queries.contains)
+    if (missing.nonEmpty)
+      System.err.println(
+        s"WARN Bench: headline queries missing from SparkEntry.queries: ${missing.mkString(", ")}")
+
     // Two timed executions per query, report the min: steady-state
-    // throughput, not first-run codegen/JIT compilation.
+    // throughput, not first-run codegen/JIT compilation. A query that
+    // throws reports the sentinel -1 (never a plausible timing) and is
+    // listed in "errors".
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         // Operators persist shared intermediates; each invocation
         // builds fresh frames, so drop the previous run's cache
         // entries or they accumulate and thrash the heap.
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case t: Throwable =>
+                   System.err.println(s"WARN Bench: $name failed: $t"); false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      val good = runs.collect { case (true, t) => t }
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val errs = failed.mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

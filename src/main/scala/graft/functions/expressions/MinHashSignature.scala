@@ -67,17 +67,19 @@ object MinHashSignature {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      val hStr = String.valueOf(shingles.getLong(i))
-        .getBytes(StandardCharsets.US_ASCII)
-      var j = 0
-      while (j < k) {
-        md.reset()
-        md.update(String.valueOf(j).getBytes(StandardCharsets.US_ASCII))
-        md.update('|'.toByte)
-        md.update(hStr)
-        val d = md.digest()
-        if (mins(j) == null || unsignedLess(d, mins(j))) mins(j) = d
-        j += 1
+      if (!shingles.isNullAt(i)) {
+        val hStr = String.valueOf(shingles.getLong(i))
+          .getBytes(StandardCharsets.US_ASCII)
+        var j = 0
+        while (j < k) {
+          md.reset()
+          md.update(String.valueOf(j).getBytes(StandardCharsets.US_ASCII))
+          md.update('|'.toByte)
+          md.update(hStr)
+          val d = md.digest()
+          if (mins(j) == null || unsignedLess(d, mins(j))) mins(j) = d
+          j += 1
+        }
       }
       i += 1
     }

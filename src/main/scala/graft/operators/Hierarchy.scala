@@ -58,6 +58,11 @@ object Hierarchy {
       paths = grown
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Hierarchy.closure did not converge within maxDepth=$maxDepth " +
+          "iterations — the edge list is cyclic or deeper than maxDepth; " +
+          "raise maxDepth or break the cycle")
     paths
   }
 

@@ -32,10 +32,21 @@ object Staged {
   }
 
   /** R `slice(-c((nrow(.)-k+1):nrow(.)))`: drop the last k rows of a
-    * staged frame (scraped-CSV footers). Runs one count job.
+    * staged frame (scraped-CSV footers).
+    *
+    * Single pass over ONE partition with a k-row sliding buffer — no
+    * separate count job, no count()/limit() order-consistency
+    * assumption across jobs, no 2^31 row-count cast. The coalesce(1)
+    * pins "last k" to the file order these staged inputs carry.
     */
   def dropTrailingRows(df: DataFrame, k: Int): DataFrame = {
-    val keep = df.count() - k
-    df.coalesce(1).limit(math.max(keep, 0L).toInt)
+    require(k >= 0, s"dropTrailingRows: k must be >= 0, got $k")
+    df.coalesce(1).mapPartitions { it =>
+      val buf = scala.collection.mutable.Queue.empty[org.apache.spark.sql.Row]
+      it.flatMap { r =>
+        buf.enqueue(r)
+        if (buf.size > k) Iterator.single(buf.dequeue()) else Iterator.empty
+      }
+    }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 }

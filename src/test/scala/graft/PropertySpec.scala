@@ -118,4 +118,15 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("Hierarchy.closure throws (not silent truncation) when maxDepth " +
+       "is smaller than the hierarchy depth") {
+    // chain n0 -> n1 -> ... -> n6: diameter 6, so maxDepth=3 cannot
+    // reach the fixpoint and must fail loudly.
+    val chain = (0 until 6).map(i => (s"n$i", s"n${i + 1}"))
+    assertThrows[IllegalStateException] {
+      Hierarchy.closure(chain.toDF("parent", "child"), "parent", "child",
+        maxDepth = 3).count()
+    }
+  }
 }

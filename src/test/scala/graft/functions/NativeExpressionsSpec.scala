@@ -47,6 +47,17 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("graft_minhash skips null array elements (matches doc contract)") {
+    MinHashSignature.register(spark)
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](7L, null, 42L)))
+      .toDF("hashes")
+    val withoutNull = Seq(Tuple1(Seq[java.lang.Long](7L, 42L)))
+      .toDF("hashes")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select(expr("graft_minhash(hashes, 4)")).as[Seq[String]].head()
+    assert(sig(withNull) === sig(withoutNull))
+  }
+
   test("graft_simhash60 == the vote-loop reference on the token multiset") {
     Simhash60.register(spark)
     val fromExpr = docs.select(col("doc_id"), expr("graft_simhash60(text)").as("sim"))
