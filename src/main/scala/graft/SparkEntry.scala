@@ -18,6 +18,7 @@ object SparkEntry {
     */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Analytics.queries ++
       graft.queries.TextDedup.queries ++
       graft.queries.Vectors.queries ++
       graft.queries.Events.queries
@@ -27,6 +28,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+      graft.queries.Analytics.oracles ++
       graft.queries.TextDedup.oracles ++
       graft.queries.Vectors.oracles ++
       graft.queries.Events.oracles

@@ -1,0 +1,277 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.Fns._
+import graft.operators.Skew
+
+/** Second-wave analytics operators (round 2): the relational surface a
+  * reference user would expect beyond SURVEY §2's literal inventory —
+  * semi/anti joins, EXCEPT/INTERSECT, grouping sets (ROLLUP/CUBE),
+  * exact percentiles, running/moving/lag windows, ntile, deterministic
+  * hash sampling, two-phase distinct counts, date arithmetic and regex
+  * cleanup. All follow the determinism rules in [[Relational]] (decimal
+  * money sums, total-order tiebreaks, engine-portable md5 hashing).
+  *
+  * Scale notes are on each query; the common theme is that every one
+  * of these is a single shuffle (or none): semi/anti joins prune
+  * payload columns before the exchange, grouping sets share one
+  * scan+shuffle for all grouping levels, window queries sort once per
+  * partition key, and the hash sample is a pure map-side filter.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- semi / anti joins ----------------------------------------------
+    "join_semi" -> ((s, d) => {
+      // J8: existence check WITHOUT fanout — left_semi never duplicates
+      // left rows and never carries right columns, so only the join key
+      // shuffles (at 100 TB: semi-join beats join+distinct by the width
+      // of the payload).
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+    "join_anti" -> ((s, d) => {
+      // J9: NOT EXISTS — customers with no URGENT order.
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").where(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---- set ops beyond UNION ---------------------------------------------
+    "except_distinct" -> ((s, d) => {
+      // U2: EXCEPT (distinct semantics) — ordering customers outside
+      // the BUILDING segment.
+      val a = t(s, d, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val b = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      a.except(b).orderBy("custkey")
+    }),
+    "intersect_distinct" -> ((s, d) => {
+      // U3: INTERSECT (distinct semantics).
+      val a = t(s, d, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val b = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      a.intersect(b).orderBy("custkey")
+    }),
+
+    // ---- grouping sets ------------------------------------------------------
+    "grouping_rollup" -> ((s, d) =>
+      // A9: ROLLUP — every grouping level computed from ONE scan and
+      // one shuffle (vs. a union of per-level aggregates). Labels are
+      // coalesced so output carries no engine-ordering-sensitive nulls.
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(moneySum(col("l_extendedprice")).as("sum_price"),
+             count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+                col("sum_price"), col("cnt"))
+        .orderBy("returnflag", "linestatus")),
+    "grouping_cube" -> ((s, d) =>
+      // A10: CUBE with the grouping_id bitmask (same bit order as SQL
+      // GROUPING(a, b)).
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), grouping_id().cast("int").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+                col("cnt"), col("gid"))
+        .orderBy("returnflag", "linestatus")),
+
+    // ---- percentiles / distribution -----------------------------------------
+    "percentile_grouped" -> ((s, d) =>
+      // A11: EXACT linear-interpolation percentiles per group (Spark
+      // `percentile`, not approx_percentile — quartile fractions on
+      // integer-valued quantities interpolate to exactly-representable
+      // doubles, so the hash compare is meaningful).
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.25)").as("p25"),
+             expr("percentile(l_quantity, 0.5)").as("p50"),
+             expr("percentile(l_quantity, 0.75)").as("p75"))
+        .orderBy("l_returnflag")),
+
+    // ---- windows --------------------------------------------------------------
+    "window_running_sum" -> ((s, d) => {
+      // W5: cumulative sum per key under a total order; decimal
+      // accumulation keeps every prefix independent of plan layout.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dbl(sum(money(col("o_totalprice"))).over(w)).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "window_lag_delta" -> ((s, d) => {
+      // W6: lag/lead — spend delta vs. the customer's previous order.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          (col("o_totalprice") - lag(col("o_totalprice"), 1).over(w))
+            .as("delta_prev"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "window_moving_sum" -> ((s, d) => {
+      // W7: bounded moving frame (3-row trailing sum + frame size).
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dbl(sum(money(col("o_totalprice"))).over(w)).as("mov_sum3"),
+          count(lit(1)).over(w).as("mov_n"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "ntile_quartiles" -> ((s, d) => {
+      // W8: ntile bucketing under a total order (price quartile within
+      // each return flag).
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          ntile(4).over(w).as("price_quartile"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- sampling / distinct at scale ------------------------------------------
+    "sample_hash" -> ((s, d) =>
+      // S9: deterministic ~1/16 sample via md5 prefix — reproducible
+      // across engines and runs, pure map-side filter (no sort, no
+      // shuffle, no RNG seed coordination across 1000 executors).
+      t(s, d, "orders")
+        .where(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy("o_orderkey")),
+    "distinct_count_two_phase" -> ((s, d) =>
+      // A12: count-distinct via two-phase (distinct-then-count) — the
+      // formulation that spreads a skewed COUNT(DISTINCT) over all
+      // reducers instead of one hot one (graft.operators.Skew).
+      Skew.twoPhaseDistinctCount(t(s, d, "lineitem"),
+          col("l_returnflag"), col("l_partkey"), "distinct_parts")
+        .select(col("key").as("l_returnflag"), col("distinct_parts"))
+        .orderBy("l_returnflag")),
+
+    // ---- scalar surface: dates and regex ------------------------------------------
+    "date_arith" -> ((s, d) =>
+      // §2.9+: date_trunc / add_months (with month-end clamping) /
+      // last_day / datediff.
+      t(s, d, "orders")
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("order_month"),
+          add_months(col("o_orderdate").cast("date"), 3).as("due_month"),
+          last_day(col("o_orderdate")).as("month_end"),
+          datediff(lit("1998-01-01").cast("date"),
+                   col("o_orderdate").cast("date")).as("days_to_cutoff"))
+        .orderBy("o_orderkey")),
+    "regexp_clean" -> ((s, d) =>
+      // §2.9+: global regexp_replace + group extract.
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("deverbed"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
+        .orderBy("p_partkey"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY 1""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY 1""".stripMargin,
+    "except_distinct" ->
+      """SELECT * FROM (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY 1""".stripMargin,
+    "intersect_distinct" ->
+      """SELECT * FROM (
+        |  SELECT DISTINCT o_custkey AS custkey FROM orders
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY 1""".stripMargin,
+    "grouping_rollup" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+        |  COALESCE(l_linestatus, '(all)') AS linestatus,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "grouping_cube" ->
+      """SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+        |  COALESCE(l_linestatus, '(all)') AS linestatus,
+        |  count(*) AS cnt,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin,
+    "percentile_grouped" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "window_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY 1, 2""".stripMargin,
+    "window_lag_delta" ->
+      """SELECT o_custkey, o_orderkey,
+        |  o_totalprice - lag(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS delta_prev
+        |FROM orders ORDER BY 1, 2""".stripMargin,
+    "window_moving_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum3,
+        |  count(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
+        |FROM orders ORDER BY 1, 2""".stripMargin,
+    "ntile_quartiles" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(ntile(4) OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT)
+        |    AS price_quartile
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY 1""".stripMargin,
+    "distinct_count_two_phase" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS due_month,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT)
+        |    AS days_to_cutoff
+        |FROM orders ORDER BY 1""".stripMargin,
+    "regexp_clean" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS deverbed,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
+        |FROM part ORDER BY 1""".stripMargin
+  )
+}

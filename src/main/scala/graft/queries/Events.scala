@@ -94,7 +94,18 @@ object Events {
       Tables.events(s, d)
         .select(col("event_id"), col("event_type"),
           get_json_object(col("props"), "$.k").cast("int").as("k_val"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+    "events_sliding_window" -> ((s, d) =>
+      // overlapping 10-min windows sliding by 5 min: every event lands
+      // in exactly windowDuration/slide = 2 windows; Spark expands them
+      // map-side (no self-join), one shuffle for the aggregate.
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+                col("cnt"), col("sum_value"))
+        .orderBy("window_start", "event_type"))
   )
 
   private val evSql =
@@ -152,6 +163,17 @@ object Events {
     "events_json_extract" ->
       """SELECT event_id, event_type,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "events_sliding_window" ->
+      // each event belongs to starts {bucket5(ts), bucket5(ts) - 5min};
+      // time_bucket aligns to the same 5-minute grid as Spark's window().
+      s"""WITH $evSql,
+         |w AS (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+         |                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE])
+         |        AS window_start,
+         |      event_type, value FROM ev)
+         |SELECT window_start, event_type, count(*) AS cnt,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
