@@ -15,6 +15,7 @@ object Bench {
     "unpivot_measures", "first_in_group",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "text_quality_score", "ann_cosine_topk", "ann_lsh_hyperplane",
+    "ann_ivf_kmeans", "grouping_rollup", "window_running_sum",
     "events_tumbling_window", "events_sessionize", "events_asof_join")
 
   def main(args: Array[String]): Unit = {

@@ -40,7 +40,18 @@ object Vectors {
     }),
     "dedup_embedding_cosine" -> ((s, d) =>
       Similarity.nearDupPairs(prepped(s, d), 0.45)
-        .orderBy("id1", "id2"))
+        .orderBy("id1", "id2")),
+    "ann_ivf_kmeans" -> ((s, d) => {
+      // REAL IVF: deterministic seeds (vec_id < 8) -> one Lloyd
+      // refinement over quantized integer means -> nprobe=2 probing.
+      // The learned-coarse-quantizer path (vs. ann_ivf_label's
+      // precomputed cells); centroids broadcast, corpus never shuffles.
+      val corpus = prepped(s, d)
+      graft.operators.Ivf.topK(corpus.where(col("id") < 5), corpus, 5,
+          cells = 8, nprobe = 2)
+        .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
+        .orderBy("query_id", "rank")
+    })
   )
 
   private val Planes = 8
@@ -60,6 +71,12 @@ object Vectors {
     """CAST(CAST(list_sum(list_transform(range(1, len(q.v) + 1),
       |        k -> q.v[k] * c.v[k])) AS BIGINT) AS DOUBLE)
       | / sqrt(CAST(q.n2 * c.n2 AS DOUBLE))""".stripMargin
+
+  /** Quantized-cosine SQL for arbitrary (vector, norm) column pairs. */
+  private def cosFor(va: String, vb: String, n2a: String, n2b: String) =
+    s"""CAST(CAST(list_sum(list_transform(range(1, len($va) + 1),
+       |        k -> $va[k] * $vb[k])) AS BIGINT) AS DOUBLE)
+       | / sqrt(CAST($n2a * $n2b AS DOUBLE))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -115,6 +132,47 @@ object Vectors {
          |  SELECT q.vec_id AS id1, c.vec_id AS id2, $cosSql AS cos
          |  FROM n q JOIN n c ON q.vec_id < c.vec_id)
          |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.45
-         |ORDER BY 1, 2""".stripMargin
+         |ORDER BY 1, 2""".stripMargin,
+    "ann_ivf_kmeans" ->
+      // mirrors graft.operators.Ivf exactly: seed cells = vec_id < 8,
+      // one quantized-mean Lloyd step (floor(sum/n + 0.5)), reassign,
+      // nprobe=2 probe, exact rank.
+      s"""WITH $prepSql,
+         |seeds AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, n2 AS cn2
+         |          FROM n WHERE vec_id < 8),
+         |s0 AS (SELECT x.vec_id, x.v, x.n2, s.cell,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY ${cosFor("x.v", "s.cv", "x.n2", "s.cn2")} DESC,
+         |                    s.cell) AS rn
+         |       FROM n x CROSS JOIN seeds s),
+         |asg0 AS (SELECT vec_id, v, n2, cell FROM s0 WHERE rn = 1),
+         |comp AS (SELECT cell, k AS pos,
+         |           CAST(floor(CAST(sum(v[k]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cq
+         |         FROM asg0, UNNEST(range(1, 65)) AS r(k) GROUP BY 1, 2),
+         |cents AS (SELECT cell, list(cq ORDER BY pos) AS cv FROM comp GROUP BY 1),
+         |cn AS (SELECT cell, cv,
+         |         CAST(list_sum(list_transform(cv, p -> p * p)) AS BIGINT) AS cn2
+         |       FROM cents),
+         |s1 AS (SELECT x.vec_id, x.v, x.n2, c.cell,
+         |         row_number() OVER (PARTITION BY x.vec_id
+         |           ORDER BY ${cosFor("x.v", "c.cv", "x.n2", "c.cn2")} DESC,
+         |                    c.cell) AS rn
+         |       FROM n x CROSS JOIN cn c),
+         |asg AS (SELECT vec_id, v, n2, cell FROM s1 WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < 5),
+         |ps AS (SELECT q.query_id, q.qv, q.qn2, c.cell,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${cosFor("q.qv", "c.cv", "q.qn2", "c.cn2")} DESC,
+         |                    c.cell) AS rn
+         |       FROM q CROSS JOIN cn c),
+         |probe AS (SELECT query_id, qv, qn2, cell FROM ps WHERE rn <= 2),
+         |scored AS (SELECT p.query_id, a.vec_id,
+         |             ${cosFor("p.qv", "a.v", "p.qn2", "a.n2")} AS cos
+         |           FROM probe p JOIN asg a USING (cell)
+         |           WHERE a.vec_id <> p.query_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id) AS INT) AS rank FROM scored)
+         |SELECT query_id, vec_id, rank, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   )
 }
