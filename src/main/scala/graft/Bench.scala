@@ -44,13 +44,14 @@ object Bench {
       System.err.println(
         s"WARN Bench: headline queries missing from SparkEntry.queries: ${missing.mkString(", ")}")
 
-    // Two timed executions per query, report the min: steady-state
-    // throughput, not first-run codegen/JIT compilation. A query that
-    // throws reports the sentinel -1 (never a plausible timing) and is
-    // listed in "errors".
+    // Three timed executions per query, report the min: steady-state
+    // throughput, not first-run codegen/JIT compilation (and the min
+    // shields the reported number from background-load spikes). A
+    // query that throws reports the sentinel -1 (never a plausible
+    // timing) and is listed in "errors".
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to 3).map { _ =>
         // Operators persist shared intermediates; each invocation
         // builds fresh frames, so drop the previous run's cache
         // entries or they accumulate and thrash the heap.

@@ -45,8 +45,11 @@ object Hierarchy {
     var iter = 0
     var converged = false
     while (!converged && iter < maxDepth) {
+      // edge list is the dimension side (closure() contract) — keep it
+      // broadcast so no iteration ever shuffles the growing path set
+      // for the join; the only exchange left is the distinct.
       val extended = paths.as("p")
-        .join(base.as("e"), col("p.descendant") === col("e.ancestor"))
+        .join(broadcast(base.as("e")), col("p.descendant") === col("e.ancestor"))
         .select(col("p.ancestor").as("ancestor"),
                 col("e.descendant").as("descendant"))
       // lazy checkpoint: the count() below materializes it, so each

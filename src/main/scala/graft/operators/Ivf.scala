@@ -28,18 +28,32 @@ object Ivf {
 
   /** Assign every corpus row (`id`, `v`, `n2`) to its nearest centroid
     * (`cell`, `cv`, `cn2`) by quantized cosine; ties break to the
-    * lowest cell id. Centroids are broadcast — no corpus shuffle.
+    * lowest cell id.
+    *
+    * ZERO corpus shuffle: the centroid table is folded into one array
+    * row and cross-broadcast, and the argmax runs as a higher-order
+    * `aggregate` inside the row — no fanout, no re-grouping, the
+    * 100 TB corpus streams through map-side once. The explicit
+    * (cos, cell) tiebreak makes the fold independent of centroid
+    * array order.
     */
   def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = corpus.join(broadcast(centroids))
-      .select(col("id"), col("v"), col("n2"), col("cell"),
-        qcosine(call_function("graft_qdot", col("v"), col("cv")),
-          col("n2"), col("cn2")).as("cos"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("cos").desc, col("cell"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("id"), col("v"), col("n2"), col("cell"))
+    val centArr = broadcast(centroids.agg(
+      collect_list(struct(col("cell"), col("cv"), col("cn2"))).as("cents")))
+    corpus.crossJoin(centArr)
+      .select(col("id"), col("v"), col("n2"),
+        aggregate(col("cents"),
+          struct(lit(-2.0d).as("best"), lit(-1).as("cell")),
+          (acc, c) => {
+            val cos = qcosine(
+              call_function("graft_qdot", col("v"), c.getField("cv")),
+              col("n2"), c.getField("cn2"))
+            when(cos > acc.getField("best") ||
+                 (cos === acc.getField("best") &&
+                  c.getField("cell") < acc.getField("cell")),
+              struct(cos.as("best"), c.getField("cell").as("cell")))
+              .otherwise(acc)
+          }).getField("cell").as("cell"))
   }
 
   /** One Lloyd refinement: per-cell quantized mean,
@@ -87,7 +101,11 @@ object Ivf {
     val seeds = corp.where(col("id") < cells)
       .select(col("id").cast("int").as("cell"),
         col("v").as("cv"), col("n2").as("cn2"))
+    // cents feeds both the re-assignment and the probe branch of the
+    // plan; persist so the seed-assignment + refinement subtree runs
+    // once (it is C rows — the cost is in computing it, not holding it).
     val cents = refine(assign(corp, seeds))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assigned = assign(corp, cents)
     val cands = probe(qs, cents, nprobe)
       .join(assigned, "cell")
