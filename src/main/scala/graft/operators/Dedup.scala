@@ -67,16 +67,59 @@ object Dedup {
     val prefixes = base
       .select(col("doc"), col("n"),
         explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
-    val cand = prefixes.as("a").join(prefixes.as("b"),
+    verifyCandidates(base, candidatesFromPrefixes(prefixes, threshold), threshold)
+  }
+
+  /** EXACT Jaccard pairs like [[jaccardPairs]], but the PPJoin global
+    * shingle order is ASCENDING DOCUMENT FREQUENCY (ties by hash)
+    * instead of raw hash order. On Zipf-distributed corpora the
+    * prefixes then hold the RAREST shingles, so the inverted-index
+    * buckets — and the candidate join that dominates at 100 TB —
+    * shrink by orders of magnitude. Costs one extra corpus-shingle
+    * aggregation (the document-frequency table) and a per-doc
+    * rank — the standard PPJoin trade. Result set is identical under
+    * any total order (same oracle).
+    */
+  def jaccardPairsFreq(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double): DataFrame = {
+    graft.functions.expressions.SortedLongIntersectSize.register(docs.sparkSession)
+    graft.functions.expressions.ShingleHashes.register(docs.sparkSession)
+    val base = docs
+      .select(col(idCol).as("doc"),
+        expr(s"graft_shingle_hashes($textCol, 3)").as("sh"))
+      .withColumn("n", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = base.select(col("doc"), col("n"), explode(col("sh")).as("s"))
+    // sh is per-doc distinct, so count(*) is document frequency.
+    val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("df"), col("s"))
+    val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    val prefixes = exploded.join(dfreq, "s")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= prefixLen)
+      .select(col("doc"), col("n"), col("s"))
+    verifyCandidates(base, candidatesFromPrefixes(prefixes, threshold), threshold)
+  }
+
+  /** Prefix-bucket self-join + length filter -> distinct candidate
+    * pairs (d1 < d2). `prefixes` columns: (doc, n, s).
+    */
+  private def candidatesFromPrefixes(prefixes: DataFrame,
+                                     threshold: Double): DataFrame =
+    prefixes.as("a").join(prefixes.as("b"),
         col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
         col("b.n") * threshold <= col("a.n") &&
         col("a.n") * threshold <= col("b.n"))
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
-    // Verification: native merge-scan intersection over the sorted
-    // shingle arrays — the doc-side lookups broadcast (base is
-    // corpus-row-sized, not shingle-row-sized), so candidates never
-    // shuffle with their array payloads.
+
+  /** Verification: native merge-scan intersection over the sorted
+    * shingle arrays — the doc-side lookups broadcast (base is
+    * corpus-row-sized, not shingle-row-sized), so candidates never
+    * shuffle with their array payloads.
+    */
+  private def verifyCandidates(base: DataFrame, cand: DataFrame,
+                               threshold: Double): DataFrame = {
     val a = base.select(col("doc").as("d1"), col("sh").as("sh1"), col("n").as("n1"))
     val b = base.select(col("doc").as("d2"), col("sh").as("sh2"), col("n").as("n2"))
     cand.join(a, "d1").join(b, "d2")

@@ -62,6 +62,12 @@ object TextDedup {
     "dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 0.5)
         .orderBy("d1", "d2")),
+    "dedup_ngram_jaccard_freq" -> ((s, d) =>
+      // same exact result set under frequency-ordered PPJoin prefixes
+      // (rare shingles first -> far smaller candidate buckets on Zipf
+      // corpora); same oracle as dedup_ngram_jaccard.
+      Dedup.jaccardPairsFreq(t(s, d, "documents"), "doc_id", "text", 0.5)
+        .orderBy("d1", "d2")),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")
         .orderBy("d1", "d2")),
@@ -169,6 +175,15 @@ object TextDedup {
         |  min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canonical_id
         |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
+      s"""WITH $shinglesSql,
+         |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(i AS DOUBLE) / (x.n + y.n - i) AS jac
+         |FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
+         |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+    "dedup_ngram_jaccard_freq" ->
       s"""WITH $shinglesSql,
          |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i

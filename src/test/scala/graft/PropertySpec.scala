@@ -70,6 +70,12 @@ class PropertySpec extends SparkSpec {
         .jaccardPairs(docs.toDF("doc_id", "text"), "doc_id", "text", 0.5)
         .select("d1", "d2").as[(Long, Long)].collect().toSet
       assert(got === naive)
+      // the frequency-ordered prefix variant must produce the SAME
+      // exact result set (PPJoin is order-invariant).
+      val gotFreq = graft.operators.Dedup
+        .jaccardPairsFreq(docs.toDF("doc_id", "text"), "doc_id", "text", 0.5)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(gotFreq === naive)
     }
   }
 
