@@ -29,6 +29,35 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Overlapping sliding windows (10 min every 5 min) with a 2h
+    * watermark — streaming twin of the batch `events_sliding_window`
+    * oracle query. Spark expands each event to its
+    * windowDuration/slide windows map-side; no self-join.
+    */
+  def slidingCounts(events: DataFrame,
+                    window_ : String = "10 minutes",
+                    slide: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Streaming exact dedup on an id column, state bounded by the
+    * watermark (`dropDuplicatesWithinWatermark`): duplicates arriving
+    * within the watermark horizon are dropped, state for older keys is
+    * evicted — the at-least-once-source -> effectively-once-sink step
+    * of an event ingestion pipeline. State is O(distinct ids per
+    * horizon), not O(stream).
+    */
+  def dedupWithinWatermark(events: DataFrame,
+                           idCols: Seq[String] = Seq("event_id"),
+                           horizon: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Built-in session windows (30-min gap) — the idiomatic Spark path. */
   def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

@@ -68,6 +68,43 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingCounts on a MemoryStream: every event lands in exactly " +
+       "two 10-min/5-min windows") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = slidingCounts(df).writeStream
+      .format("memory").queryName("slide_test").outputMode("complete").start()
+    try {
+      input.addData((ts(7), "click", 1.0), (ts(12), "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, cnt FROM slide_test ORDER BY window_start")
+        .as[(Timestamp, Long)].collect().toSeq
+      // event@:07 -> windows [:00, :05]; event@:12 -> [:05, :10]
+      assert(rows === Seq((ts(0), 1L), (ts(5), 2L), (ts(10), 1L)))
+      assert(rows.map(_._2).sum === 2 * 2)
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops re-delivered event ids inside the " +
+       "watermark horizon") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val q = dedupWithinWatermark(df).writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), 1.0), (1L, ts(1), 1.0), (2L, ts(2), 5.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(3), 1.0)) // re-delivery, still in horizon
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id FROM dedup_test ORDER BY event_id")
+        .as[Long].collect().toSeq
+      assert(got === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionizeStateful (flatMapGroupsWithState) closes a session " +
        "when the in-batch gap exceeds 30 minutes") {
     implicit val sq = spark.sqlContext
