@@ -145,6 +145,42 @@ object Analytics {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "stats_moments" -> ((s, d) => {
+      // A13: order-insensitive second moments. Spark's stddev/corr
+      // merge partial states in partition order (nondeterministic at
+      // scale); computing from EXACT decimal power sums makes variance,
+      // stddev and correlation independent of cluster layout — and
+      // bit-comparable to the oracle, which uses the same formula.
+      val q = money(col("l_quantity"))
+      val p = money(col("l_extendedprice"))
+      val moments = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dbl(sum(q)).as("sx"), dbl(sum(q * q)).as("sxx"),
+          dbl(sum(p)).as("sy"), dbl(sum(p * p)).as("syy"),
+          dbl(sum(q * p)).as("sxy"))
+      val varQty = (col("n") * col("sxx") - col("sx") * col("sx")) /
+        (col("n") * (col("n") - 1))
+      val corr = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy")))
+      moments.select(col("l_returnflag"), varQty.as("var_qty"),
+          sqrt(varQty).as("stddev_qty"), corr.as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }),
+    "percent_rank_price" -> ((s, d) => {
+      // W9: percent_rank + cume_dist under a total order — both are
+      // exact rational values ((rank-1)/(n-1), rank/n), so doubles
+      // compare bit-for-bit across engines.
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // ---- sampling / distinct at scale ------------------------------------------
     "sample_hash" -> ((s, d) =>
       // S9: deterministic ~1/16 sample via md5 prefix — reproducible
@@ -252,6 +288,29 @@ object Analytics {
         |  CAST(ntile(4) OVER (PARTITION BY l_returnflag
         |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT)
         |    AS price_quartile
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
+        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
+        |  (n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+        |FROM m ORDER BY 1""".stripMargin,
+    "percent_rank_price" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  percent_rank() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cume
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
