@@ -56,6 +56,25 @@ object TextDedup {
           col("doc_id"), md5(col("text")).as("fp"),
           hash60(col("text")).as("fp60"))
         .orderBy("doc_id")),
+    "text_rolling_fingerprint" -> ((s, d) =>
+      // Rabin–Karp-style polynomial rolling hash over character codes,
+      // mod 2^31-1 (no 64-bit overflow: acc*31 + code < 2^36). Pure
+      // codegen HOF fold — incremental-update-friendly shape for
+      // streaming fingerprints.
+      t(s, d, "documents").select(col("doc_id"),
+          aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
+            lit(0L), (acc, ch) => (acc * 31 + ch) % 2147483647L).as("rh"))
+        .orderBy("doc_id")),
+    "text_stopword_ratio" -> ((s, d) => {
+      // stopword density — the quality-scoring signal used to filter
+      // boilerplate/low-content docs from training corpora.
+      val w = tokens(col("text"))
+      val stopCnt = size(filter(w, tk => tk === "the" || tk === "a"))
+      t(s, d, "documents").select(col("doc_id"),
+          size(w).as("word_cnt"), stopCnt.as("stop_cnt"),
+          (stopCnt.cast("double") / size(w)).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
@@ -170,6 +189,20 @@ object TextDedup {
       """SELECT doc_id, md5(text) AS fp,
         |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS fp60
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_stopword_ratio" ->
+      """SELECT doc_id,
+        |  CAST(len(w) AS INT) AS word_cnt,
+        |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS INT) AS stop_cnt,
+        |  CAST(len(list_filter(w, t -> t = 'the' OR t = 'a')) AS DOUBLE) / len(w)
+        |    AS stop_ratio
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, md5(lower(trim(text))) AS fp,
         |  min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canonical_id
