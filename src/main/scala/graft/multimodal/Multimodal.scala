@@ -75,6 +75,39 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize over row-major single-channel byte
+    * images (width×height == bytes.length). This one is NOT a stub —
+    * for raw grayscale buffers it is the real operation; for encoded
+    * formats swap the sampling loop for a decoder the same way as
+    * [[decodeStub]]. Rows whose dimensions don't match their payload
+    * pass through unchanged (documented as upstream corruption —
+    * filter on `width * height == length(bytes)` to quarantine).
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int,
+             targetH: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.bytes == null || r.width * r.height != r.bytes.length ||
+            r.width <= 0 || r.height <= 0) r
+        else {
+          val out = new Array[Byte](targetW * targetH)
+          var y = 0
+          while (y < targetH) {
+            val sy = y * r.height / targetH
+            var x = 0
+            while (x < targetW) {
+              out(y * targetW + x) = r.bytes(sy * r.width + x * r.width / targetW)
+              x += 1
+            }
+            y += 1
+          }
+          MediaRow(r.asset_id, r.kind, out, targetW, targetH)
+        }
+      }
+    }
+  }
+
   /** Byte-level metadata pass (pure column ops — no UDF): payload
     * size, magic-byte sniff, sha-style fingerprint for dedup.
     */

@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import org.apache.spark.sql.functions.lit
+
 import graft.SparkSpec
 import graft.multimodal.Multimodal._
 
@@ -30,6 +32,38 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(f => (f.frame_no, f.offset)).toSeq ===
       Seq((0, 0L), (4, 1024L)))
     assert(frames.forall(_.frame_bytes.length === 256))
+  }
+
+  test("resize: nearest-neighbor over row-major grayscale bytes") {
+    val img = spark.createDataset(Seq(
+      // 4x4 image with distinct corner values
+      MediaRow(1L, "image",
+        Array.tabulate(16)(i => (i * 10).toByte), 4, 4)))
+    val out = resize(img, 2, 2).collect().head
+    assert(out.width === 2 && out.height === 2 && out.bytes.length === 4)
+    // nearest-neighbor picks (0,0) (0,2) (2,0) (2,2) => 0, 20, 80, 100
+    assert(out.bytes.toSeq === Seq(0, 20, 80, 100).map(_.toByte))
+    // mismatched dims pass through untouched
+    val bad = spark.createDataset(Seq(
+      MediaRow(2L, "image", Array.tabulate(10)(_.toByte), 4, 4)))
+    assert(resize(bad, 2, 2).collect().head.bytes.length === 10)
+  }
+
+  test("media features flow end-to-end into the ANN similarity path") {
+    val m = media(12)
+    // scale raw features to unit range before the quantized-cosine
+    // path (exactly what a real pipeline does pre-similarity)
+    val feats = extractFeatures(m, dim = 16).toDF()
+      .select($"asset_id".as("vec_id"),
+        org.apache.spark.sql.functions.transform($"features",
+          x => x / lit(256.0f)).as("embedding"),
+        lit(0).as("label"))
+    val prepped = graft.operators.Similarity.prep(
+      feats, "vec_id", "embedding", None)
+    val top = graft.operators.Similarity.cosineTopK(
+      prepped.filter($"id" < 2), prepped, 3).collect()
+    assert(top.length === 2 * 3)
+    assert(top.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("vec_id")))
   }
 
   test("describe: byte-level metadata via pure column ops") {
