@@ -91,8 +91,12 @@ object GraftFunctions {
   * get the function without touching session internals).
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_qdot"),
       GraftFunctions.qdotInfo,
       (children: Seq[Expression]) => LongArrayDot(children.head, children(1))))
+    // band joins (|a-b| <= tol with no equi key) plan as banded
+    // equi-joins instead of nested loops
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRule)
+  }
 }
