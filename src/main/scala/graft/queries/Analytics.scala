@@ -199,6 +199,47 @@ object Analytics {
         .select(col("key").as("l_returnflag"), col("distinct_parts"))
         .orderBy("l_returnflag")),
 
+    "except_all_parts" -> ((s, d) =>
+      // U4: EXCEPT ALL (multiset semantics — per-row multiplicity).
+      t(s, d, "lineitem").select(col("l_partkey"))
+        .exceptAll(t(s, d, "part").select(col("p_partkey")))
+        .orderBy("l_partkey")),
+    "string_agg_nations" -> ((s, d) => {
+      // A14: ordered string aggregation (listagg shape) — sort inside
+      // the collected array so the result is partition-order-free.
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(", ", array_sort(collect_list(col("n_name"))))
+               .as("nations"),
+             count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    }),
+    "agg_predicates" -> ((s, d) =>
+      // A15: predicate aggregates — count_if / bool_and / bool_or.
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("count_if(l_quantity > 25)").as("big_qty_cnt"),
+             expr("bool_and(l_extendedprice > 0)").as("all_pos_price"),
+             expr("bool_or(l_discount > 0.05)").as("any_big_disc"))
+        .orderBy("l_returnflag")),
+    "window_first_last" -> ((s, d) => {
+      // W10: first_value / last_value / nth_value over the full
+      // partition frame (explicit unbounded frame — last_value under
+      // the default frame is the running row, a classic footgun).
+      val order = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = order.rowsBetween(Window.unboundedPreceding,
+                                   Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(full).as("first_price"),
+          last(col("o_totalprice")).over(full).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // ---- scalar surface: dates and regex ------------------------------------------
     "date_arith" -> ((s, d) =>
       // §2.9+: date_trunc / add_months (with month-end clamping) /
@@ -289,6 +330,34 @@ object Analytics {
         |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT)
         |    AS price_quartile
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "except_all_parts" ->
+      """SELECT * FROM (
+        |  SELECT l_partkey FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT p_partkey FROM part)
+        |ORDER BY 1""".stripMargin,
+    "string_agg_nations" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ', ' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_predicates" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS big_qty_cnt,
+        |  bool_and(l_extendedprice > 0) AS all_pos_price,
+        |  bool_or(l_discount > 0.05) AS any_big_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY 1, 2""".stripMargin,
     "stats_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag,
