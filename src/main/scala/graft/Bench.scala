@@ -16,7 +16,8 @@ object Bench {
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "text_quality_score", "ann_cosine_topk", "ann_lsh_hyperplane",
     "ann_ivf_kmeans", "grouping_rollup", "window_running_sum",
-    "events_tumbling_window", "events_sessionize", "events_asof_join")
+    "events_tumbling_window", "events_sessionize", "events_asof_join",
+    "corpus_curate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

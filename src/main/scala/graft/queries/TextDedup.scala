@@ -111,20 +111,31 @@ object TextDedup {
         .agg(count(lit(1)).as("cnt"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
-        .orderBy("bucket"))
+        .orderBy("bucket")),
+    "corpus_curate" -> ((s, d) =>
+      // END-TO-END curation: quality gate -> language gate -> exact
+      // dedup -> MinHash+LSH near-dup removal, with per-doc provenance.
+      // The whole composition is oracle-checked, not just the pieces.
+      graft.operators.CorpusPipeline
+        .curate(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("lang_guess"), col("canonical_id"),
+                col("drop_reason"))
+        .orderBy("doc_id"))
   )
 
   /** Hashed shingle sets: same 60-bit md5 hashing as the native
     * `graft_shingle_hashes` expression, so hash sets match the Spark
-    * side bit-for-bit.
+    * side bit-for-bit. `src` must expose (doc_id, text).
     */
-  private val shinglesSql =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |rawsh AS (SELECT doc_id AS doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-      |          FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS u(i)),
-      |sh AS (SELECT DISTINCT doc,
-      |              CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
-      |       FROM rawsh)""".stripMargin
+  private def shinglesSqlFrom(src: String) =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |rawsh AS (SELECT doc_id AS doc, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       |          FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS u(i)),
+       |sh AS (SELECT DISTINCT doc,
+       |              CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h
+       |       FROM rawsh)""".stripMargin
+
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   private def markerCountSql(word: String): String = {
     val m = s" $word "
@@ -256,6 +267,55 @@ object TextDedup {
          |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
          |FROM fp a JOIN fp b ON a.doc < b.doc
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3
-         |ORDER BY 1, 2""".stripMargin
+         |ORDER BY 1, 2""".stripMargin,
+    "corpus_curate" ->
+      // mirrors CorpusPipeline.curate with Config() defaults: minWords
+      // 30, minUniqRatio 0.2, langs {en}, jaccardThreshold 0.8.
+      s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    len(string_split(text, ' ')) AS words,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS uniq,
+         |    CASE
+         |      WHEN ${langScoreSql("en")} >= ${langScoreSql("de")}
+         |       AND ${langScoreSql("en")} >= ${langScoreSql("es")}
+         |       AND ${langScoreSql("en")} >= ${langScoreSql("fr")} THEN 'en'
+         |      WHEN ${langScoreSql("de")} >= ${langScoreSql("es")}
+         |       AND ${langScoreSql("de")} >= ${langScoreSql("fr")} THEN 'de'
+         |      WHEN ${langScoreSql("es")} >= ${langScoreSql("fr")} THEN 'es'
+         |      ELSE 'fr' END AS lang_guess
+         |  FROM documents),
+         |g1 AS (SELECT *,
+         |    CASE WHEN words < 30 THEN 'too_short'
+         |         WHEN uniq < 0.2 THEN 'low_diversity'
+         |         WHEN lang_guess <> 'en' THEN 'language' END AS dr1
+         |  FROM base),
+         |alive AS (SELECT * FROM g1 WHERE dr1 IS NULL),
+         |canon AS (SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS canonical_id
+         |  FROM alive),
+         |g2 AS (SELECT g1.*, c.canonical_id,
+         |    COALESCE(g1.dr1, CASE WHEN c.canonical_id < g1.doc_id
+         |                          THEN 'exact_duplicate' END) AS dr2
+         |  FROM g1 LEFT JOIN canon c USING (doc_id)),
+         |surv AS (SELECT doc_id, text FROM g2 WHERE dr2 IS NULL),
+         |${shinglesSqlFrom("surv")},
+         |$minhashSigSql,
+         |$bandSql,
+         |cand AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+         |         FROM banded a JOIN banded b
+         |           ON a.doc < b.doc AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)),
+         |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT d1, d2, count(*) AS i
+         |          FROM cand JOIN sh a ON d1 = a.doc JOIN sh b ON d2 = b.doc AND a.h = b.h
+         |          GROUP BY 1, 2),
+         |neardup AS (SELECT DISTINCT d2 AS doc_id
+         |            FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
+         |            WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.8)
+         |SELECT g2.doc_id, g2.lang_guess, g2.canonical_id,
+         |  COALESCE(g2.dr2, CASE WHEN n.doc_id IS NOT NULL
+         |                        THEN 'near_duplicate' END) AS drop_reason
+         |FROM g2 LEFT JOIN neardup n USING (doc_id)
+         |ORDER BY g2.doc_id""".stripMargin
   )
 }
