@@ -27,12 +27,28 @@ import org.apache.spark.sql.functions._
   */
 object Hierarchy {
 
+  /** Edge count at or below which the fixpoint runs on the driver:
+    * one collect instead of ~depth blocking Spark jobs. Dimension
+    * hierarchies (the documented use) are thousands of edges; the
+    * worst-case in-memory closure at this bound (~100k edges × depth
+    * ≤ 32) is a few million string pairs — comfortably driver-sized.
+    */
+  val DriverSideEdgeLimit: Long = 100_000L
+
   /** Returns the closure as columns (`ancestor`, `descendant`).
-    * Reflexive pairs are NOT included (matches the reference: a node
-    * does not contribute to itself twice).
+    * Reflexive pairs are NOT included for DAGs (matches the reference:
+    * a node does not contribute to itself twice).
+    *
+    * Strategy is size-adaptive: at or under [[DriverSideEdgeLimit]]
+    * edges the fixpoint runs in driver memory (the edge list is the
+    * dimension side — collecting it is one small job, vs. one
+    * join+distinct+count job per depth level); above it, the fully
+    * distributed loop below. Both paths enforce the same maxDepth
+    * contract.
     */
   def closure(edges: DataFrame, parentCol: String, childCol: String,
-              maxDepth: Int = 32): DataFrame = {
+              maxDepth: Int = 32,
+              driverSideEdgeLimit: Long = DriverSideEdgeLimit): DataFrame = {
     val base = edges
       .select(col(parentCol).cast("string").as("ancestor"),
               col(childCol).cast("string").as("descendant"))
@@ -40,8 +56,12 @@ object Hierarchy {
       .distinct()
       .localCheckpoint()
 
+    val baseCount = base.count()
+    if (baseCount <= driverSideEdgeLimit)
+      return closureInMemory(base, maxDepth)
+
     var paths = base
-    var prevCount = paths.count()
+    var prevCount = baseCount
     var iter = 0
     var converged = false
     while (!converged && iter < maxDepth) {
@@ -67,6 +87,36 @@ object Hierarchy {
           "iterations — the edge list is cyclic or deeper than maxDepth; " +
           "raise maxDepth or break the cycle")
     paths
+  }
+
+  /** Driver-side fixpoint over a collected dimension edge list — same
+    * semantics and maxDepth contract as the distributed loop, zero
+    * per-iteration Spark jobs.
+    */
+  private def closureInMemory(base: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = base.sparkSession
+    val edges = base.collect().map(r => (r.getString(0), r.getString(1)))
+    val children: Map[String, Array[String]] =
+      edges.groupBy(_._1).map { case (p, es) => p -> es.map(_._2) }
+    val paths = scala.collection.mutable.HashSet.empty[(String, String)]
+    paths ++= edges
+    var frontier: Set[(String, String)] = edges.toSet
+    var iter = 0
+    while (frontier.nonEmpty && iter < maxDepth) {
+      frontier = for {
+        (a, d) <- frontier
+        d2 <- children.getOrElse(d, Array.empty[String])
+        if paths.add((a, d2))
+      } yield (a, d2)
+      iter += 1
+    }
+    if (frontier.nonEmpty)
+      throw new IllegalStateException(
+        s"Hierarchy.closure did not converge within maxDepth=$maxDepth " +
+          "iterations — the edge list is cyclic or deeper than maxDepth; " +
+          "raise maxDepth or break the cycle")
+    import spark.implicits._
+    spark.createDataset(paths.toSeq.sorted).toDF("ancestor", "descendant")
   }
 
   /** Roll a per-leaf measure up to every ancestor through the closure

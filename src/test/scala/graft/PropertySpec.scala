@@ -117,22 +117,32 @@ class PropertySpec extends SparkSpec {
             d <- reach(p)
           } yield (p, d)).toSet
         }
-        val got = Hierarchy.closure(edges.toDF("parent", "child"),
+        // both strategies: driver-side (small edge lists) and the
+        // distributed fixpoint (forced via limit 0)
+        val gotMem = Hierarchy.closure(edges.toDF("parent", "child"),
             "parent", "child")
           .as[(String, String)].collect().toSet
-        assert(got === naive, s"edges=$edges")
+        assert(gotMem === naive, s"edges=$edges (in-memory)")
+        val gotDist = Hierarchy.closure(edges.toDF("parent", "child"),
+            "parent", "child", driverSideEdgeLimit = 0L)
+          .as[(String, String)].collect().toSet
+        assert(gotDist === naive, s"edges=$edges (distributed)")
       }
     }
   }
 
   test("Hierarchy.closure throws (not silent truncation) when maxDepth " +
-       "is smaller than the hierarchy depth") {
+       "is smaller than the hierarchy depth — both strategies") {
     // chain n0 -> n1 -> ... -> n6: diameter 6, so maxDepth=3 cannot
     // reach the fixpoint and must fail loudly.
     val chain = (0 until 6).map(i => (s"n$i", s"n${i + 1}"))
     assertThrows[IllegalStateException] {
       Hierarchy.closure(chain.toDF("parent", "child"), "parent", "child",
         maxDepth = 3).count()
+    }
+    assertThrows[IllegalStateException] {
+      Hierarchy.closure(chain.toDF("parent", "child"), "parent", "child",
+        maxDepth = 3, driverSideEdgeLimit = 0L).count()
     }
   }
 }
