@@ -355,27 +355,38 @@ object Relational {
     "q3_shipping" -> ((s, d) => {
       val o = t(s, d, "orders").where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val l = t(s, d, "lineitem").where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      // pre-aggregate revenue per order BEFORE the join: decimal sums
+      // are associative, so regrouping after the join is exact, and the
+      // join's big side shrinks by the lines-per-order factor.
+      val rev = l.groupBy(col("l_orderkey"))
+        .agg(sum(money(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+          .as("rev"))
+      rev.join(o, rev("l_orderkey") === o("o_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(dbl(sum(money(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount"))))
-          .as("revenue"))
+        .agg(dbl(sum(col("rev"))).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
     "q5_region_revenue" -> ((s, d) => {
       // Star join: dims broadcast, single shuffle for the final group.
+      // lineitem pre-aggregates to one revenue row per order before the
+      // fact-fact join (decimal addition is associative, so regrouping
+      // by nation after the join is exact): the orderkey shuffle moves
+      // #orders rows instead of #lineitems.
       val r = t(s, d, "region")
       val n = t(s, d, "nation")
       val c = t(s, d, "customer")
       val o = t(s, d, "orders")
-      val l = t(s, d, "lineitem")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(money(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount")))
+          .as("rev"))
+      rev.join(o, rev("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(dbl(sum(money(col("l_extendedprice")) * rate(lit(1.0) - col("l_discount"))))
-          .as("revenue"))
+        .agg(dbl(sum(col("rev"))).as("revenue"))
         .orderBy("r_name", "n_name")
     })
   )
