@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Analytics.queries ++
       graft.queries.TextDedup.queries ++
       graft.queries.Vectors.queries ++
-      graft.queries.Events.queries
+      graft.queries.Events.queries ++
+      graft.queries.Nested.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Analytics.oracles ++
       graft.queries.TextDedup.oracles ++
       graft.queries.Vectors.oracles ++
-      graft.queries.Events.oracles
+      graft.queries.Events.oracles ++
+      graft.queries.Nested.oracles
 }

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Tables.t
+
+/** Nested-type and sketch surface (round 2, wave 3): map-typed
+  * columns, typed JSON parsing (`from_json` → struct, vs. the
+  * per-path string extraction in [[Events]] `events_json_extract`),
+  * approximate sketches (HLL distinct, approx percentiles,
+  * Misra–Gries heavy hitters).
+  *
+  * Oracle strategy for sketches: approximate values are
+  * engine-specific, so the DuckDB-checked output carries the EXACT
+  * value plus a boolean asserting the sketch landed within its
+  * documented error bound (the oracle emits literal TRUE). Both
+  * engines hash-match only if the sketch is actually that accurate —
+  * the bound itself is what's verified. Sketches are deterministic
+  * (no RNG), so the booleans are stable across runs.
+  */
+object Nested {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "map_segment_counts" -> ((s, d) => {
+      // map-typed columns end-to-end: per-nation map(segment → customer
+      // count) via map_from_entries(collect_list(struct)), queried with
+      // size / element_at / map_filter, then exploded back to rows.
+      // Two shuffles total (pre-agg by (nation, segment), re-agg by
+      // nation); the map stays executor-side — nothing collects.
+      val seg = t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = seg.groupBy(col("c_nationkey"))
+        .agg(map_from_entries(collect_list(struct(col("c_mktsegment"),
+                                                  col("cnt")))).as("m"))
+      m.select(col("c_nationkey"),
+          size(col("m")).as("n_segments"),
+          element_at(col("m"), "BUILDING").as("building_cnt"),
+          explode(map_filter(col("m"), (_, v) => v >= lit(10))))
+        .select(col("c_nationkey"), col("n_segments"), col("building_cnt"),
+                col("key").as("segment"), col("value").as("cnt"))
+        .orderBy("c_nationkey", "segment")
+    }),
+    "events_from_json_struct" -> ((s, d) => {
+      // typed JSON parsing: from_json with an explicit schema yields a
+      // struct column whose field access is a codegen'd ordinal read —
+      // parse ONCE per row even with many downstream field uses
+      // (get_json_object re-parses per path). At 100 TB the parse is
+      // the dominant cost, so once-per-row is the scalable shape.
+      val parsed = Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+      parsed.groupBy(col("event_type"))
+        .agg(sum(col("p.k")).as("sum_k"),
+             count(when(col("p.k") >= 50, lit(1))).as("high_k"),
+             min(col("p.k")).as("min_k"),
+             max(col("p.k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+    "sketch_hll_distinct" -> ((s, d) =>
+      // HLL++ distinct-count sketch (rsd 1%) next to the exact count;
+      // the oracle-checked claim is |approx−exact| ≤ 5%·exact. At
+      // 100 TB the sketch replaces the exact path's per-group key
+      // shuffle with constant-size registers that merge map-side.
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_customers"),
+             approx_count_distinct(col("o_custkey"), 0.01).as("approx"))
+        .select(col("o_orderpriority"), col("exact_customers"),
+          (abs(col("approx") - col("exact_customers")) <=
+            col("exact_customers") * 0.05).as("within_5pct"))
+        .orderBy("o_orderpriority")),
+    "sketch_approx_percentile" -> ((s, d) =>
+      // KLL-style approximate median next to the exact interpolated
+      // percentile (integer-valued l_quantity ⇒ the exact value is a
+      // representable double, per percentile_grouped). Claim checked:
+      // approx within 2% of exact. Sketch is one pass, O(accuracy)
+      // space per group; exact percentile needs the full sorted group.
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("p50_exact"),
+             percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+               .as("p50_approx"))
+        .select(col("l_returnflag"), col("p50_exact"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            abs(col("p50_exact")) * 0.02).as("within_2pct"))
+        .orderBy("l_returnflag")),
+    "heavy_hitters_words" -> ((s, d) =>
+      // EXACT corpus heavy hitters (freq > n/200) via two-pass
+      // Misra–Gries (operators/HeavyHitters): sketch pass + candidate
+      // verify pass — no full-vocabulary shuffle at any point.
+      graft.operators.HeavyHitters
+        .frequentTokens(t(s, d, "documents"), "text", k = 200)
+        .orderBy("word"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "map_segment_counts" ->
+      """WITH seg AS (SELECT c_nationkey, c_mktsegment AS segment,
+        |                    count(*) AS cnt
+        |             FROM customer GROUP BY 1, 2)
+        |SELECT s.c_nationkey,
+        |  CAST((SELECT count(*) FROM seg x
+        |        WHERE x.c_nationkey = s.c_nationkey) AS INT) AS n_segments,
+        |  (SELECT cnt FROM seg x WHERE x.c_nationkey = s.c_nationkey
+        |     AND x.segment = 'BUILDING') AS building_cnt,
+        |  s.segment, s.cnt
+        |FROM seg s WHERE s.cnt >= 10 ORDER BY 1, 4""".stripMargin,
+    "events_from_json_struct" ->
+      """WITH p AS (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |           FROM events)
+        |SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  count(CASE WHEN k >= 50 THEN 1 END) AS high_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sketch_hll_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS exact_customers,
+        |  TRUE AS within_5pct
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sketch_approx_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_exact,
+        |  TRUE AS within_2pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "heavy_hitters_words" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+        |           FROM documents),
+        |tot AS (SELECT count(*) AS n FROM w)
+        |SELECT word, count(*) AS cnt FROM w, tot
+        |GROUP BY word, n HAVING count(*) * 200 > n
+        |ORDER BY word""".stripMargin
+  )
+}
