@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Tables
 import graft.Tables.t
 import graft.functions.Fns._
 import graft.operators.Skew
@@ -133,6 +134,37 @@ object Analytics {
           dbl(sum(money(col("o_totalprice"))).over(w)).as("mov_sum3"),
           count(lit(1)).over(w).as("mov_n"))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+    "window_range_frame" -> ((s, d) => {
+      // W11: value-RANGE frame — trailing-90-DAY spend per customer,
+      // framed by the ORDER BY *value* (epoch days), not row offsets,
+      // so ties (same-day orders) are peers in both engines. One sort
+      // per customer partition, no self-join (the naive formulation is
+      // a range self-join; the window form sweeps each partition once).
+      val days = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(days)
+        .rangeBetween(-90, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dbl(sum(money(col("o_totalprice"))).over(w)).as("trailing_90d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "gap_fill_days" -> ((s, d) => {
+      // densification (gap filling): per-day purchase counts with
+      // explicit zero rows for silent days — sequence() + explode
+      // generates the day spine from the 2-row bounds aggregate
+      // (broadcast), so the fact table is scanned once and nothing
+      // driver-side loops over dates.
+      val daily = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("day")
     }),
     "ntile_quartiles" -> ((s, d) => {
       // W8: ntile bucketing under a total order (price quartile within
@@ -324,6 +356,27 @@ object Analytics {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n
         |FROM orders ORDER BY 1, 2""".stripMargin,
+    "window_range_frame" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |             date_diff('day', DATE '1970-01-01', o_orderdate) AS days
+        |           FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY days
+        |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS trailing_90d
+        |FROM o ORDER BY 1, 2""".stripMargin,
+    "gap_fill_days" ->
+      """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |                      count(*) AS cnt
+        |               FROM events WHERE event_type = 'purchase'
+        |               GROUP BY 1)
+        |SELECT d.day, coalesce(a.cnt, 0) AS cnt
+        |FROM (SELECT unnest(generate_series((SELECT min(day) FROM daily),
+        |                                    (SELECT max(day) FROM daily),
+        |                                    INTERVAL 1 DAY))::DATE AS day) d
+        |LEFT JOIN daily a USING (day)
+        |ORDER BY 1""".stripMargin,
     "ntile_quartiles" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  CAST(ntile(4) OVER (PARTITION BY l_returnflag

@@ -89,6 +89,34 @@ object Nested {
           (abs(col("p50_approx") - col("p50_exact")) <=
             abs(col("p50_exact")) * 0.02).as("within_2pct"))
         .orderBy("l_returnflag")),
+    "array_hof_stats" -> ((s, d) => {
+      // array higher-order functions (transform/aggregate/filter) stay
+      // codegen'd and row-local — per-token stats with zero explode,
+      // zero shuffle: the array never leaves the row.
+      val toks = split(col("text"), " ")
+      val lens = transform(toks, t => length(t))
+      t(s, d, "documents").select(col("doc_id"),
+          size(toks).as("n_toks"),
+          aggregate(lens, lit(0), (a, x) => a + x).as("sum_len"),
+          array_max(lens).as("max_len"),
+          size(filter(toks, t => length(t) >= 8)).as("n_long"))
+        .orderBy("doc_id")
+    }),
+    "bloom_semi_join" -> ((s, d) => {
+      // bloom-pruned semi join (operators/Bloom): the fact side is
+      // filtered map-side by a broadcast bloom filter BEFORE the join's
+      // exchange; the equi-semi-join re-checks survivors so the result
+      // is exactly `lineitem ⋉ urgent orders`.
+      val urgent = t(s, d, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.operators.Bloom
+        .semiJoin(t(s, d, "lineitem"), urgent, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+             graft.functions.Fns.moneySum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
     "heavy_hitters_words" -> ((s, d) =>
       // EXACT corpus heavy hitters (freq > n/200) via two-pass
       // Misra–Gries (operators/HeavyHitters): sketch pass + candidate
@@ -128,6 +156,24 @@ object Nested {
         |  quantile_cont(l_quantity, 0.5) AS p50_exact,
         |  TRUE AS within_2pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "array_hof_stats" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_toks,
+        |  CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+        |       AS INT) AS sum_len,
+        |  CAST(list_max(list_transform(toks, t -> length(t))) AS INT)
+        |    AS max_len,
+        |  CAST(len(list_filter(toks, t -> length(t) >= 8)) AS INT) AS n_long
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "heavy_hitters_words" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
         |           FROM documents),
