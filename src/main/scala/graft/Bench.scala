@@ -17,7 +17,8 @@ object Bench {
     "text_quality_score", "ann_cosine_topk", "ann_lsh_hyperplane",
     "ann_ivf_kmeans", "grouping_rollup", "window_running_sum",
     "events_tumbling_window", "events_sessionize", "events_asof_join",
-    "corpus_curate")
+    "corpus_curate", "heavy_hitters_words", "bloom_semi_join",
+    "window_range_frame")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
