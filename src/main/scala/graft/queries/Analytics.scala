@@ -222,6 +222,26 @@ object Analytics {
         .where(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy("o_orderkey")),
+    "sample_stratified" -> ((s, d) => {
+      // S12: per-stratum deterministic sampling — each event_type keeps
+      // a different fraction (256ths of the md5-hash space), the rate
+      // table rides along as broadcast data (config-as-data, not a
+      // hardcoded when-chain). Same map-side, shuffle-free,
+      // engine-reproducible properties as sample_hash; the grouped
+      // counts keep the oracle output small.
+      import s.implicits._
+      val rates = Seq(("purchase", 256), ("click", 64), ("view", 16))
+        .toDF("event_type", "keep_of_256")
+      val h = conv(substring(md5(col("event_id").cast("string")), 1, 2),
+        16, 10).cast("int")
+      Tables.events(s, d)
+        .join(broadcast(rates), Seq("event_type"), "left")
+        .where(h < coalesce(col("keep_of_256"), lit(0)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("sampled_cnt"),
+             moneySum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    }),
     "distinct_count_two_phase" -> ((s, d) =>
       // A12: count-distinct via two-phase (distinct-then-count) — the
       // formulation that spreads a skewed COUNT(DISTINCT) over all
@@ -438,6 +458,15 @@ object Analytics {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
         |ORDER BY 1""".stripMargin,
+    "sample_stratified" ->
+      """WITH rates(event_type, keep_of_256) AS (
+        |  VALUES ('purchase', 256), ('click', 64), ('view', 16))
+        |SELECT e.event_type, count(*) AS sampled_cnt,
+        |  CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN rates r USING (event_type)
+        |WHERE CAST(concat('0x', substr(md5(CAST(e.event_id AS VARCHAR)), 1, 2))
+        |           AS INT) < r.keep_of_256
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "distinct_count_two_phase" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -68,6 +68,34 @@ object EventStreams {
         col("session_window.end").as("session_end"), col("cnt"),
         col("sum_value"))
 
+  /** Stream-stream interval join: each purchase pairs with the same
+    * user's clicks from the preceding `maxDelay` — the streaming twin
+    * of the batch `events_range_join`/as-of shapes. BOTH sides carry a
+    * watermark and the join condition bounds event time in BOTH
+    * directions, so Spark can evict buffered rows once the watermark
+    * passes `ts + maxDelay`: state is O(events per horizon), not
+    * O(stream). Without the time bound the join state would grow
+    * forever — that's the scale failure mode this operator avoids.
+    */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+                   maxDelay: String = "5 minutes",
+                   horizon: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", horizon)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", horizon)
+    c.join(p, expr(
+        s"""c_user_id = p_user_id AND
+           |purchase_ts >= click_ts AND
+           |purchase_ts <= click_ts + interval $maxDelay""".stripMargin))
+      .select(col("c_user_id").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionAcc(startMs: Long, lastMs: Long, cnt: Long,
                               sum: Double)

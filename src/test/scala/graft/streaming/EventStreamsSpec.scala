@@ -105,6 +105,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin pairs purchases with same-user clicks within the " +
+       "delay bound on two MemoryStreams") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "event_id")
+    val q = intervalJoin(cdf, pdf).writeStream
+      .format("memory").queryName("ij_test").outputMode("append").start()
+    try {
+      // user 1: click@:00 → purchase@:03 matches (≤5m), purchase@:09
+      //   does not; user 2's purchase@:03 must not match user 1's click.
+      clicks.addData((1L, ts(0), 100L))
+      purchases.addData((1L, ts(3), 200L), (1L, ts(9), 201L),
+                        (2L, ts(3), 202L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT click_id, purchase_id FROM ij_test ORDER BY purchase_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq((100L, 200L)))
+    } finally q.stop()
+  }
+
   test("sessionizeStateful (flatMapGroupsWithState) closes a session " +
        "when the in-batch gap exceeds 30 minutes") {
     implicit val sq = spark.sqlContext
