@@ -117,6 +117,16 @@ object Nested {
              graft.functions.Fns.moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
     }),
+    "pack_chunks" -> ((s, d) =>
+      // concat-and-chunk sequence packing (operators/Packing): global
+      // exclusive prefix sum computed with a range shuffle + two narrow
+      // passes — NOT the single-reducer global window the oracle uses.
+      graft.operators.Packing.packChunks(
+          t(s, d, "documents")
+            .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("toks")),
+          "doc_id", "toks", budget = 2048)
+        .orderBy("chunk_id")),
     "heavy_hitters_words" -> ((s, d) =>
       // EXACT corpus heavy hitters (freq > n/200) via two-pass
       // Misra–Gries (operators/HeavyHitters): sketch pass + candidate
@@ -174,6 +184,18 @@ object Nested {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pack_chunks" ->
+      """WITH d AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |           FROM documents),
+        |o AS (SELECT doc_id, toks,
+        |        CAST(sum(toks) OVER (ORDER BY doc_id
+        |          ROWS UNBOUNDED PRECEDING) - toks AS BIGINT) AS off
+        |      FROM d)
+        |SELECT CAST(off // 2048 AS BIGINT) AS chunk_id,
+        |  count(*) AS n_docs, min(doc_id) AS first_doc,
+        |  max(doc_id) AS last_doc, CAST(sum(toks) AS BIGINT) AS sum_tokens
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
     "heavy_hitters_words" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
         |           FROM documents),
