@@ -70,6 +70,30 @@ object Dedup {
     verifyCandidates(base, candidatesFromPrefixes(prefixes, threshold), threshold)
   }
 
+  /** Benchmark decontamination: each corpus doc that shares at least
+    * one 3-gram shingle with ANY benchmark doc, with its overlap count
+    * — the "remove eval-set contamination" step of training-data prep.
+    *
+    * The benchmark side (eval sets) is small by nature, so its distinct
+    * shingle-hash set BROADCASTS: the 100 TB corpus is scanned once,
+    * shingled row-locally (native graft_shingle_hashes), and probed
+    * map-side — the only exchange is the per-doc count aggregation over
+    * matching (doc, shingle) pairs, which contamination's rarity keeps
+    * tiny. Returns (`doc`, `n_shared`); anti-join the ids to purge.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    graft.functions.expressions.ShingleHashes.register(corpus.sparkSession)
+    // graft_shingle_hashes emits the DISTINCT sorted hash set per doc,
+    // so exploding yields distinct (doc, h) pairs with no extra dedup.
+    def sh(df: DataFrame) = df.select(col(idCol).as("doc"),
+      explode(expr(s"graft_shingle_hashes($textCol, 3)")).as("h"))
+    val bench = sh(benchmark).select(col("h")).distinct()
+    sh(corpus).join(broadcast(bench), "h")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** EXACT Jaccard pairs like [[jaccardPairs]], but the PPJoin global
     * shingle order is ASCENDING DOCUMENT FREQUENCY (ties by hash)
     * instead of raw hash order. On Zipf-distributed corpora the

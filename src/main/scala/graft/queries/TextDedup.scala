@@ -87,6 +87,29 @@ object TextDedup {
       // corpora); same oracle as dedup_ngram_jaccard.
       Dedup.jaccardPairsFreq(t(s, d, "documents"), "doc_id", "text", 0.5)
         .orderBy("d1", "d2")),
+    "decontaminate" -> ((s, d) => {
+      // benchmark decontamination: docs overlapping the "eval set"
+      // (here: every 50th doc) by >= 1 shingle, with overlap counts.
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "doc_id", "text")
+        .select(col("doc").as("doc_id"), col("n_shared"))
+        .orderBy("doc_id")
+    }),
+    "quota_per_source" -> ((s, d) => {
+      // domain balancing: deterministic per-source quota (first 10 by
+      // doc_id). One window sort per source partition; under extreme
+      // source skew swap for sample_stratified-style hash gates.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 10)
+        .select(col("source"), col("doc_id"), col("rk"))
+        .orderBy("source", "doc_id")
+    }),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")
         .orderBy("d1", "d2")),
@@ -236,6 +259,18 @@ object TextDedup {
          |FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+    "decontaminate" ->
+      s"""WITH $shinglesSql,
+         |bench AS (SELECT DISTINCT h FROM sh WHERE doc % 50 = 0),
+         |corp AS (SELECT doc, h FROM sh WHERE doc % 50 <> 0)
+         |SELECT corp.doc AS doc_id, count(*) AS n_shared
+         |FROM corp JOIN bench USING (h)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quota_per_source" ->
+      """SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |       AS INT) AS rk
+        |FROM documents QUALIFY rk <= 10 ORDER BY 1, 2""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesSql,
          |$minhashSigSql,
