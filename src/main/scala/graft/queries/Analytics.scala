@@ -155,10 +155,14 @@ object Analytics {
       // generates the day spine from the 2-row bounds aggregate
       // (broadcast), so the fact table is scanned once and nothing
       // driver-side loops over dates.
+      // persisted: both the bounds aggregate (spine side) and the join
+      // probe read `daily`, so the fact table is scanned once, not twice
+      // (the cache is day-count sized, not event sized).
       val daily = Tables.events(s, d)
         .where(col("event_type") === "purchase")
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt"))
+        .persist()
       val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"),
           expr("interval 1 day"))).as("day"))

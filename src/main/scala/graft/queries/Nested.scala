@@ -61,6 +61,17 @@ object Nested {
              max(col("p.k")).as("max_k"))
         .orderBy("event_type")
     }),
+    "events_variant_get" -> ((s, d) =>
+      // VARIANT (Spark 4 semi-structured type): parse_json once into
+      // the binary variant encoding, then typed path access via
+      // variant_get — schema-on-read without a declared struct, but
+      // still columnar/codegen (vs. string re-parsing per path).
+      Tables.events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "int").as("k_val"))
+        .where(col("k_val") % 7 === 0)
+        .orderBy("event_id")),
     "sketch_hll_distinct" -> ((s, d) =>
       // HLL++ distinct-count sketch (rsd 1%) next to the exact count;
       // the oracle-checked claim is |approx−exact| ≤ 5%·exact. At
@@ -156,6 +167,12 @@ object Nested {
         |  count(CASE WHEN k >= 50 THEN 1 END) AS high_k,
         |  min(k) AS min_k, max(k) AS max_k
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_variant_get" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
+        |ORDER BY event_id""".stripMargin,
     "sketch_hll_distinct" ->
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey) AS exact_customers,
