@@ -226,6 +226,21 @@ object Analytics {
         .where(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy("o_orderkey")),
+    "merge_upsert" -> ((s, d) => {
+      // SCD-1 MERGE (operators/Merge): every 10th customer updated
+      // (renamed + credited), plus one brand-new key inserted; update
+      // rows win wholesale on match. One full-outer shuffle.
+      import s.implicits._
+      val base = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val updates = base.where(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(Seq((9999999L, "Customer#new", 0.0))
+          .toDF("c_custkey", "c_name", "c_acctbal"))
+      graft.operators.Merge.upsert(base, updates, "c_custkey")
+        .orderBy("c_custkey")
+    }),
     "sample_stratified" -> ((s, d) => {
       // S12: per-stratum deterministic sampling — each event_type keeps
       // a different fraction (256ths of the md5-hash space), the rate
@@ -461,6 +476,22 @@ object Analytics {
     "sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |ORDER BY 1""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |updates AS (
+        |  SELECT c_custkey, upper(c_name) AS c_name,
+        |         c_acctbal + 100.0 AS c_acctbal
+        |  FROM base WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 9999999, 'Customer#new', 0.0)
+        |SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+        |       ELSE b.c_name END AS c_name,
+        |  CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+        |       ELSE b.c_acctbal END AS c_acctbal
+        |FROM base b FULL OUTER JOIN updates u
+        |  ON b.c_custkey = u.c_custkey
         |ORDER BY 1""".stripMargin,
     "sample_stratified" ->
       """WITH rates(event_type, keep_of_256) AS (
