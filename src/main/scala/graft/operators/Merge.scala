@@ -17,6 +17,46 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** SCD-2 history merge: applies a full snapshot to a validity-
+    * interval history (`keyCol`, `valueCol`, `valid_from`, `valid_to`
+    * with NULL = current) as of `asOf`:
+    *
+    *   - changed value  → current row closed at `asOf` + new current row
+    *   - new key        → new current row opening at `asOf`
+    *   - unchanged      → carried through untouched
+    *   - key absent from the snapshot → carried through (no implicit
+    *     deletes; close them upstream if the snapshot is authoritative)
+    *
+    * One full-outer shuffle of the CURRENT rows against the snapshot;
+    * closed history is a pure pass-through union that never shuffles —
+    * at 100 TB the (large, append-only) closed partition is untouched,
+    * which is the property that makes SCD-2 tractable at scale.
+    * Null-safe change detection (`<=>`), so NULL→value and value→NULL
+    * both version correctly.
+    */
+  def scd2(history: DataFrame, snapshot: DataFrame, keyCol: String,
+           valueCol: String, asOf: java.sql.Date): DataFrame = {
+    val closed = history.where(col("valid_to").isNotNull)
+    val open = history.where(col("valid_to").isNull).as("h")
+    val snap = snapshot.select(col(keyCol), col(valueCol))
+      .withColumn("__snap", lit(1)).as("u")
+    val j = open.join(snap, col(s"h.$keyCol") === col(s"u.$keyCol"),
+      "full_outer")
+    val changed = col("u.__snap").isNotNull &&
+      !(col(s"u.$valueCol") <=> col(s"h.$valueCol"))
+    // existing current rows: closed at asOf when the value changed
+    val carried = j.where(col(s"h.$keyCol").isNotNull)
+      .select(col(s"h.$keyCol").as(keyCol), col(s"h.$valueCol").as(valueCol),
+        col("h.valid_from"),
+        when(changed, lit(asOf)).otherwise(col("h.valid_to")).as("valid_to"))
+    // new versions: changed values and brand-new keys open at asOf
+    val opened = j.where(col("u.__snap").isNotNull &&
+        (col(s"h.$keyCol").isNull || changed))
+      .select(col(s"u.$keyCol").as(keyCol), col(s"u.$valueCol").as(valueCol),
+        lit(asOf).as("valid_from"), lit(null).cast("date").as("valid_to"))
+    closed.unionByName(carried).unionByName(opened)
+  }
+
   /** `base` upserted with `updates`; both must expose `keyCol` and the
     * same payload columns. */
   def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {

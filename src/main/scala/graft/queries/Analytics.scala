@@ -241,6 +241,28 @@ object Analytics {
       graft.operators.Merge.upsert(base, updates, "c_custkey")
         .orderBy("c_custkey")
     }),
+    "merge_scd2" -> ((s, d) => {
+      // SCD-2 history merge (operators/Merge.scd2): market-segment
+      // history vs a snapshot where every 7th customer moved segment
+      // and one new customer appears; changed keys get their current
+      // row closed and a new version opened, closed history never
+      // shuffles.
+      import s.implicits._
+      val asOf = java.sql.Date.valueOf("2024-06-01")
+      val history = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          lit(java.sql.Date.valueOf("2020-01-01")).as("valid_from"),
+          lit(null).cast("date").as("valid_to"))
+      val snapshot = t(s, d, "customer")
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+        .unionByName(Seq((8888888L, "BUILDING"))
+          .toDF("c_custkey", "c_mktsegment"))
+      graft.operators.Merge
+        .scd2(history, snapshot, "c_custkey", "c_mktsegment", asOf)
+        .orderBy("c_custkey", "valid_from")
+    }),
     "sample_stratified" -> ((s, d) => {
       // S12: per-stratum deterministic sampling — each event_type keeps
       // a different fraction (256ths of the md5-hash space), the rate
@@ -477,6 +499,28 @@ object Analytics {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
         |ORDER BY 1""".stripMargin,
+    "merge_scd2" ->
+      """WITH history AS (SELECT c_custkey, c_mktsegment,
+        |                        DATE '2020-01-01' AS valid_from,
+        |                        CAST(NULL AS DATE) AS valid_to
+        |                 FROM customer),
+        |snap AS (SELECT c_custkey,
+        |                CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+        |                     ELSE c_mktsegment END AS c_mktsegment
+        |         FROM customer
+        |         UNION ALL SELECT 8888888, 'BUILDING'),
+        |j AS (SELECT h.c_custkey AS hk, h.c_mktsegment AS hv, h.valid_from,
+        |             u.c_custkey AS uk, u.c_mktsegment AS uv
+        |      FROM history h FULL OUTER JOIN snap u
+        |        ON h.c_custkey = u.c_custkey)
+        |SELECT hk AS c_custkey, hv AS c_mktsegment, valid_from,
+        |       CASE WHEN uk IS NOT NULL AND uv IS DISTINCT FROM hv
+        |            THEN DATE '2024-06-01' END AS valid_to
+        |FROM j WHERE hk IS NOT NULL
+        |UNION ALL
+        |SELECT uk, uv, DATE '2024-06-01', CAST(NULL AS DATE)
+        |FROM j WHERE uk IS NOT NULL AND (hk IS NULL OR uv IS DISTINCT FROM hv)
+        |ORDER BY 1, 3""".stripMargin,
     "merge_upsert" ->
       """WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
         |updates AS (
