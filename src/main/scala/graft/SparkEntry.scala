@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TextDedup.queries ++
       graft.queries.Vectors.queries ++
       graft.queries.Events.queries ++
-      graft.queries.Nested.queries
+      graft.queries.Nested.queries ++
+      graft.queries.ApiSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.TextDedup.oracles ++
       graft.queries.Vectors.oracles ++
       graft.queries.Events.oracles ++
-      graft.queries.Nested.oracles
+      graft.queries.Nested.oracles ++
+      graft.queries.ApiSurface.oracles
 }

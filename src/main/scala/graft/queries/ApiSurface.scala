@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Row for the typed-Dataset query — top-level so the case-class
+  * Encoder derives. */
+final case class CustomerBal(c_custkey: Long, c_mktsegment: String,
+                             c_acctbal: Double)
+
+/** The two remaining API entry points a reference user would reach
+  * for beyond the Column DSL: raw SQL text (`spark.sql` over temp
+  * views) and the typed `Dataset[T]` API (case-class Encoders,
+  * groupByKey/mapGroups).
+  *
+  * Scale note on the typed path: lambdas are opaque to Catalyst — the
+  * typed filter below does NOT push to the parquet scan and mapGroups
+  * breaks whole-stage codegen. That's the documented trade: type
+  * safety at the cost of optimizer visibility. Keep hot 100 TB paths
+  * in the Column DSL; the typed API is for complex per-group logic
+  * where correctness beats scan pruning.
+  */
+object ApiSurface {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "sql_tpch_q6" -> ((s, d) => {
+      // SQL text entry: TPC-H Q6 (forecast revenue change) verbatim
+      // through the parser — same Catalyst plan as the DSL form, same
+      // pushed filters (predicates reach the parquet scan).
+      t(s, d, "lineitem").createOrReplaceTempView("graft_lineitem_q6")
+      s.sql(
+        """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+          |                     AS DECIMAL(14,4))) AS DOUBLE) AS revenue
+          |FROM graft_lineitem_q6
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)
+    }),
+    "typed_dataset_agg" -> ((s, d) => {
+      import s.implicits._
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .as[CustomerBal]
+        .filter(_.c_acctbal > 0.0)
+        .groupByKey(_.c_mktsegment)
+        .mapGroups { (seg, rows) =>
+          var n = 0L
+          var mx = Double.MinValue
+          rows.foreach { r => n += 1; mx = math.max(mx, r.c_acctbal) }
+          (seg, n, mx)
+        }
+        .toDF("c_mktsegment", "n_pos", "max_bal")
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sql_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount
+        |                     AS DECIMAL(14,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "typed_dataset_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_pos, max(c_acctbal) AS max_bal
+        |FROM customer WHERE c_acctbal > 0.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}
