@@ -87,6 +87,20 @@ object TextDedup {
       // corpora); same oracle as dedup_ngram_jaccard.
       Dedup.jaccardPairsFreq(t(s, d, "documents"), "doc_id", "text", 0.5)
         .orderBy("d1", "d2")),
+    "text_bpe_token_count" -> ((s, d) => {
+      // BPE-ish pre-tokenization (GPT-2-style: letter runs, digit
+      // runs, punctuation runs, each absorbing one leading space) next
+      // to the whitespace count — the token-budget estimate a training
+      // pipeline bills by. Pure map-side regexp, ASCII classes only so
+      // Java regex (Spark) and RE2 (DuckDB) agree.
+      val bpe = expr(
+        "regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)")
+      t(s, d, "documents").select(
+          col("doc_id"),
+          size(tokens(col("text"))).as("n_ws_tokens"),
+          size(bpe).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
     "decontaminate" -> ((s, d) => {
       // benchmark decontamination: docs overlapping the "eval set"
       // (here: every 50th doc) by >= 1 shingle, with overlap counts.
@@ -259,6 +273,12 @@ object TextDedup {
          |FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+    "text_bpe_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       s"""WITH $shinglesSql,
          |bench AS (SELECT DISTINCT h FROM sh WHERE doc % 50 = 0),
