@@ -226,6 +226,19 @@ object Analytics {
         .where(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy("o_orderkey")),
+    "argmax_order" -> ((s, d) =>
+      // A16: argmax WITHOUT a window — max(struct(value, key)) rides
+      // the normal partial/final aggregation (one shuffle of one
+      // struct per group, map-side combined), where the row_number
+      // formulation sorts every partition. Struct ordering is
+      // lexicographic, so ties on value resolve to the larger key —
+      // deterministic by construction.
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"), col("m.o_orderkey").as("top_orderkey"),
+          col("m.o_totalprice").as("top_price"))
+        .orderBy("o_custkey")),
     "merge_upsert" -> ((s, d) => {
       // SCD-1 MERGE (operators/Merge): every 10th customer updated
       // (renamed + credited), plus one brand-new key inserted; update
@@ -499,6 +512,13 @@ object Analytics {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
         |ORDER BY 1""".stripMargin,
+    "argmax_order" ->
+      """SELECT o_custkey, o_orderkey AS top_orderkey,
+        |  o_totalprice AS top_price
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |        ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1 ORDER BY 1""".stripMargin,
     "merge_scd2" ->
       """WITH history AS (SELECT c_custkey, c_mktsegment,
         |                        DATE '2020-01-01' AS valid_from,
