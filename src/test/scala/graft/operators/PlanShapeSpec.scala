@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape invariants for the scale claims the operators document —
+  * the properties that decide 100 TB behavior, pinned so a refactor
+  * that silently reintroduces a shuffle or drops a broadcast fails CI,
+  * not the cluster. Assertions read the pre-execution formatted plan
+  * (AQE's post-run toString elides finished query stages).
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sf("sf0.001"))
+    df.queryExecution.explainString(FormattedMode)
+  }
+
+  test("bloom_semi_join: bloom filter prunes BEFORE the join and the " +
+       "semi join broadcasts the dimension side") {
+    val p = plan("bloom_semi_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast left-semi join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact side must not sort-merge:\n$p")
+    // the UDF probe is a Filter on the fact scan side, upstream of the
+    // join (the long-key cast folds away, so match the bare UDF call)
+    assert(p.contains("UDF(l_orderkey") || p.contains("UDF(cast(l_orderkey"),
+      s"bloom pre-filter missing from the fact scan:\n$p")
+  }
+
+  test("decontaminate: benchmark shingles broadcast; corpus never " +
+       "sort-merges") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$p")
+  }
+
+  test("argmax_order aggregates without any Window/sort-per-partition") {
+    val p = plan("argmax_order")
+    assert(!p.contains("Window"), s"argmax must not use a window:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"expected plain aggregation:\n$p")
+  }
+
+  test("pack_chunks: the prefix sum is a range exchange + mapPartitions " +
+       "passes, never a global single-partition window") {
+    val p = plan("pack_chunks")
+    assert(p.contains("rangepartitioning"),
+      s"expected a range repartition for ordered partitions:\n$p")
+    assert(p.contains("MapPartitions"), s"expected narrow passes:\n$p")
+    assert(!p.contains("Window"),
+      s"global-window prefix sum is the anti-pattern this operator avoids:\n$p")
+  }
+
+  test("sample_stratified: rate table broadcasts; events never " +
+       "sort-merge") {
+    val p = plan("sample_stratified")
+    assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"events must not sort-merge:\n$p")
+  }
+}
