@@ -170,6 +170,17 @@ object Analytics {
         .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
         .orderBy("day")
     }),
+    "rank_dense_rank" -> ((s, d) => {
+      // W12: rank vs dense_rank under heavy ties (50 distinct
+      // quantities over 60k rows) — peer semantics are deterministic
+      // with no arbitrary tiebreak, unlike row_number.
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          rank().over(w).as("rk"), dense_rank().over(w).as("drk"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "ntile_quartiles" -> ((s, d) => {
       // W8: ntile bucketing under a total order (price quartile within
       // each return flag).
@@ -451,6 +462,13 @@ object Analytics {
         |                                    INTERVAL 1 DAY))::DATE AS day) d
         |LEFT JOIN daily a USING (day)
         |ORDER BY 1""".stripMargin,
+    "rank_dense_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag,
+        |  CAST(rank() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity) AS INT) AS rk,
+        |  CAST(dense_rank() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity) AS INT) AS drk
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "ntile_quartiles" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
         |  CAST(ntile(4) OVER (PARTITION BY l_returnflag
