@@ -81,7 +81,8 @@ object HeavyHitters {
     val mg = udaf(new MisraGries(slack * k), ExpressionEncoder[Seq[String]]())
     val row = toks
       .agg(mg(col("toks")).as("sketch"),
-           sum(size(col("toks"))).cast("long").as("n"))
+           // coalesce: an empty corpus sums to NULL, not 0
+           coalesce(sum(size(col("toks"))), lit(0L)).cast("long").as("n"))
       .head()
     val candidates = row.getMap[String, Long](0).keys.toSeq
     val n = row.getLong(1)

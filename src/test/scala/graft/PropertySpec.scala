@@ -127,8 +127,22 @@ class PropertySpec extends SparkSpec {
             "parent", "child", driverSideEdgeLimit = 0L)
           .as[(String, String)].collect().toSet
         assert(gotDist === naive, s"edges=$edges (distributed)")
+        val gotDbl = Hierarchy.closureDoubling(edges.toDF("parent", "child"),
+            "parent", "child")
+          .as[(String, String)].collect().toSet
+        assert(gotDbl === naive, s"edges=$edges (doubling)")
       }
     }
+  }
+
+  test("Hierarchy.closureDoubling covers a depth-40 chain in few " +
+       "iterations (log2 depth, not depth)") {
+    val chain = (0 until 40).map(i => (s"n$i", s"n${i + 1}"))
+    val got = Hierarchy.closureDoubling(chain.toDF("parent", "child"),
+        "parent", "child", maxIters = 8) // 2^8 = 256 >> 40; depth-walk would need 40
+      .as[(String, String)].collect().toSet
+    // closure of a chain: all (i, j) with i < j — 41*40/2 pairs
+    assert(got.size === 41 * 40 / 2)
   }
 
   test("Hierarchy.closure throws (not silent truncation) when maxDepth " +

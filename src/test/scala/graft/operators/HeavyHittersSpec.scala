@@ -35,6 +35,11 @@ class HeavyHittersSpec extends SparkSpec {
     assert(sketch.size <= 50)
   }
 
+  test("frequentTokens on an empty corpus returns no rows") {
+    val docs = Seq.empty[(String, Long)].toDF("text", "doc_id")
+    assert(HeavyHitters.frequentTokens(docs, "text", k = 10).count() === 0L)
+  }
+
   test("frequentTokens returns the exact over-threshold set") {
     val docs = Seq(
       ("a a a a b b c d", 1L),
