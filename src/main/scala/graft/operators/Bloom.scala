@@ -28,6 +28,14 @@ object Bloom {
                bigKey: String, smallKey: String,
                expectedItems: Long = 1L << 20,
                fpp: Double = 0.01): DataFrame = {
+    // the filter is BUILT from the small column's values and PROBED
+    // with mightContainLong — both sides must be integral or the probe
+    // hashes different bytes than the build and silently drops matches
+    val integral = Set("ByteType", "ShortType", "IntegerType", "LongType")
+    def keyType(df: DataFrame, c: String) = df.schema(c).dataType.toString
+    require(integral(keyType(small, smallKey)) && integral(keyType(big, bigKey)),
+      s"Bloom.semiJoin needs integral keys; got $bigKey:${keyType(big, bigKey)}" +
+        s" vs $smallKey:${keyType(small, smallKey)}")
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val mightContain = udf((k: java.lang.Long) =>

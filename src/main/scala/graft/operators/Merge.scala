@@ -58,7 +58,10 @@ object Merge {
   }
 
   /** `base` upserted with `updates`; both must expose `keyCol` and the
-    * same payload columns. */
+    * same payload columns. `updates` must be unique per key (duplicate
+    * update keys would fan out the full outer join — dedupe upstream
+    * with a deterministic winner, e.g. max(struct(version, payload))).
+    */
   def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame = {
     val payload = base.columns.filterNot(_ == keyCol)
     require(updates.columns.toSet == base.columns.toSet,

@@ -31,6 +31,10 @@ object Packing {
   /** Adds `offset` = exclusive global prefix sum of `valueCol` under
     * ORDER BY `idCol` (both cast to long). Output columns: (`idCol`,
     * `valueCol`, `offset`).
+    *
+    * `idCol` must be UNIQUE: range partitioning keeps duplicate ids in
+    * one partition, but their relative order (and therefore which of
+    * them gets which offset) would be nondeterministic.
     */
   def withRunningOffset(df: DataFrame, idCol: String, valueCol: String,
                         numPartitions: Int = 0): DataFrame = {
