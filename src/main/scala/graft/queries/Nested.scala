@@ -128,6 +128,26 @@ object Nested {
              graft.functions.Fns.moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
     }),
+    "media_frame_sample" -> ((s, d) => {
+      // multimodal plumbing under the oracle gate: documents' UTF-8
+      // bytes stand in for media payloads (ASCII corpus ⇒ byte offsets
+      // == char offsets, so DuckDB can mirror the slices with
+      // substring+md5). Exercises the real generator-shaped
+      // Multimodal.sampleFrames flatMap — 0..n frames out per asset,
+      // streaming, no partition materialization.
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          graft.multimodal.Multimodal.MediaRow(
+            id, "text", text.getBytes("UTF-8"), 0, 0) }
+      graft.multimodal.Multimodal
+        .sampleFrames(media, frameSize = 64, stride = 2)
+        .toDF()
+        .select(col("asset_id").as("doc_id"), col("frame_no"),
+          col("offset"), md5(col("frame_bytes")).as("frame_md5"))
+        .orderBy("doc_id", "frame_no")
+    }),
     "pack_chunks" -> ((s, d) =>
       // concat-and-chunk sequence packing (operators/Packing): global
       // exclusive prefix sum computed with a range shuffle + two narrow
@@ -201,6 +221,13 @@ object Nested {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "media_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_no,
+        |  CAST(i * 64 AS BIGINT) AS offset,
+        |  md5(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS frame_md5
+        |FROM documents,
+        |  UNNEST(range(0, greatest(length(text) // 64, 0), 2)) AS u(i)
+        |ORDER BY 1, 2""".stripMargin,
     "pack_chunks" ->
       """WITH d AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
