@@ -18,7 +18,7 @@ object Bench {
     "ann_ivf_kmeans", "grouping_rollup", "window_running_sum",
     "events_tumbling_window", "events_sessionize", "events_asof_join",
     "corpus_curate", "heavy_hitters_words", "bloom_semi_join",
-    "window_range_frame")
+    "window_range_frame", "pack_chunks", "decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
