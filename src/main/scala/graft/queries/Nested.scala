@@ -148,6 +148,25 @@ object Nested {
           col("offset"), md5(col("frame_bytes")).as("frame_md5"))
         .orderBy("doc_id", "frame_no")
     }),
+    "media_resize" -> ((s, d) => {
+      // nearest-neighbor resize under the oracle gate: 8×8 "images"
+      // from the first 64 text bytes, downsampled to 4×4 — the REAL
+      // resize loop (not a stub), thumbnails fingerprinted with md5.
+      // The oracle reconstructs the same 16 byte-picks with substring.
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .where(length(col("text")) >= 64)
+        .select(col("doc_id"), substring(col("text"), 1, 64))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          graft.multimodal.Multimodal.MediaRow(
+            id, "img", t.getBytes("UTF-8"), 8, 8) }
+      graft.multimodal.Multimodal.resize(media, 4, 4)
+        .toDF()
+        .select(col("asset_id").as("doc_id"),
+          md5(col("bytes")).as("thumb_md5"))
+        .orderBy("doc_id")
+    }),
     "pack_chunks" -> ((s, d) =>
       // concat-and-chunk sequence packing (operators/Packing): global
       // exclusive prefix sum computed with a range shuffle + two narrow
@@ -228,6 +247,14 @@ object Nested {
         |FROM documents,
         |  UNNEST(range(0, greatest(length(text) // 64, 0), 2)) AS u(i)
         |ORDER BY 1, 2""".stripMargin,
+    "media_resize" -> {
+      // nearest-neighbor picks for 8x8 -> 4x4: src = (y*2)*8 + x*2
+      val picks = for { y <- 0 until 4; x <- 0 until 4 }
+        yield s"substring(text, ${y * 16 + x * 2 + 1}, 1)"
+      s"""SELECT doc_id, md5(concat(${picks.mkString(", ")})) AS thumb_md5
+         |FROM documents WHERE length(text) >= 64
+         |ORDER BY doc_id""".stripMargin
+    },
     "pack_chunks" ->
       """WITH d AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
