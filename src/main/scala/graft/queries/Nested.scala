@@ -128,6 +128,15 @@ object Nested {
              graft.functions.Fns.moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
     }),
+    "posexplode_tokens" -> ((s, d) =>
+      // position-aware explode (posexplode): the ordinal survives the
+      // generator, so order-sensitive downstream logic (n-gram windows,
+      // token positions) needs no join back to a row_number.
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 5)))
+        .select(col("doc_id"), col("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos")),
     "media_frame_sample" -> ((s, d) => {
       // multimodal plumbing under the oracle gate: documents' UTF-8
       // bytes stand in for media payloads (ASCII corpus ⇒ byte offsets
@@ -240,6 +249,12 @@ object Nested {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "posexplode_tokens" ->
+      """WITH d AS (SELECT doc_id, (string_split(text, ' '))[1:5] AS w
+        |           FROM documents)
+        |SELECT doc_id, CAST(unnest(range(len(w))) AS INT) AS pos,
+        |       unnest(w) AS token
+        |FROM d ORDER BY 1, 2""".stripMargin,
     "media_frame_sample" ->
       """SELECT doc_id, CAST(i AS INT) AS frame_no,
         |  CAST(i * 64 AS BIGINT) AS offset,
