@@ -91,14 +91,16 @@ object TextDedup {
       // BPE-ish pre-tokenization (GPT-2-style: letter runs, digit
       // runs, punctuation runs, each absorbing one leading space) next
       // to the whitespace count — the token-budget estimate a training
-      // pipeline bills by. Pure map-side regexp, ASCII classes only so
-      // Java regex (Spark) and RE2 (DuckDB) agree.
-      val bpe = expr(
-        "regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)")
+      // pipeline bills by. Spark side is the native one-byte-scan
+      // graft_token_count (no regex engine, no match-array allocation
+      // — NativeExpressionsSpec pins it equal to the regexp
+      // formulation); the DuckDB oracle keeps the portable RE2 regex.
+      graft.functions.expressions.TokenCount.register(s)
+      val bpe = expr("graft_token_count(text)")
       t(s, d, "documents").select(
           col("doc_id"),
           size(tokens(col("text"))).as("n_ws_tokens"),
-          size(bpe).as("n_bpe_tokens"))
+          bpe.as("n_bpe_tokens"))
         .orderBy("doc_id")
     }),
     "decontaminate" -> ((s, d) => {

@@ -77,4 +77,25 @@ class NativeExpressionsSpec extends SparkSpec {
       }.toMap
     assert(fromExpr === reference)
   }
+
+  test("graft_token_count == size(regexp_extract_all(bpe pattern)) on " +
+       "the corpus and on adversarial strings") {
+    TokenCount.register(spark)
+    val regex = "size(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0))"
+    val mismatch = docs.select(
+        expr("graft_token_count(text)").as("native"),
+        expr(regex).as("composed"))
+      .where(col("native") =!= col("composed")).count()
+    assert(mismatch === 0L)
+
+    val tricky = Seq("", " ", "  ", "a", "ab1c", "a!b", "Ab", "a  b",
+      "über café", "123abc!!x  9", " leading", "trailing ", "!@#",
+      "a1b2c3", "ñ", "mixedCASE42").toDF("text")
+    val bad = tricky.select(col("text"),
+        expr("graft_token_count(text)").as("native"),
+        expr(regex).as("composed"))
+      .where(col("native") =!= col("composed"))
+      .collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
 }
