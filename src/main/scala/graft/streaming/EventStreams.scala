@@ -96,6 +96,27 @@ object EventStreams {
         col("purchase_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Idempotent micro-batch parquet sink: each batch overwrites its own
+    * `batch_id=<id>` directory, so a batch REPLAYED after a failure
+    * (Structured Streaming's at-least-once redelivery on restart)
+    * rewrites the same partition instead of appending duplicates —
+    * end-to-end effectively-once without a transactional table format.
+    * The batch id is the checkpointed epoch, stable across restarts.
+    */
+  def startIdempotentParquetSink(df: DataFrame, path: String,
+                                 checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(writeBatch(path) _)
+      .start()
+
+  /** The per-batch write, exposed so tests can replay a batch id and
+    * assert idempotence directly. */
+  def writeBatch(path: String)(batch: Dataset[org.apache.spark.sql.Row],
+                               id: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionAcc(startMs: Long, lastMs: Long, cnt: Long,
                               sum: Double)

@@ -105,6 +105,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("idempotent parquet sink: replaying a batch id overwrites its " +
+       "partition instead of appending duplicates") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val out = java.nio.file.Files.createTempDirectory("idemp_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("idemp_ckpt").toString
+    val q = startIdempotentParquetSink(df, out, ckpt)
+    try {
+      input.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0))
+      q.processAllAvailable()
+      input.addData((3L, ts(2), 3.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 3)
+      // simulate at-least-once redelivery: replay batch 0 with the
+      // same rows — the partition is overwritten, not appended
+      writeBatch(out)(
+        Seq((1L, ts(0), 1.0), (2L, ts(1), 2.0))
+          .toDF("event_id", "ts", "value"), 0L)
+      assert(spark.read.parquet(out).count() === 3)
+    } finally q.stop()
+  }
+
   test("intervalJoin pairs purchases with same-user clicks within the " +
        "delay bound on two MemoryStreams") {
     implicit val sq = spark.sqlContext
