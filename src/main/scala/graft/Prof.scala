@@ -60,6 +60,19 @@ object Prof {
     val ch = time("hash candidates")(cands(hashPrefixes).count())
     val cf = time("freq candidates")(cands(freqPrefixes).count())
     println(s"[prof] hash-order candidates: $ch, freq-order candidates: $cf")
+
+    // BPE token counting: regex engine vs the native one-pass scan
+    graft.functions.expressions.TokenCount.register(spark)
+    val docs = Tables.t(spark, sfDir, "documents").persist()
+    docs.count()
+    val regexCount =
+      "size(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0))"
+    (1 to 2).foreach { round =>
+      time(s"token count regex  x20 (r$round)")((1 to 20).foreach(_ =>
+        docs.select(sum(expr(regexCount))).head()))
+      time(s"token count native x20 (r$round)")((1 to 20).foreach(_ =>
+        docs.select(sum(expr("graft_token_count(text)"))).head()))
+    }
     spark.stop()
   }
 }
