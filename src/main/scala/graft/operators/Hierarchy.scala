@@ -127,8 +127,9 @@ object Hierarchy {
     if (!converged)
       throw new IllegalStateException(
         s"Hierarchy.closureDoubling did not converge within $maxIters " +
-          "doubling iterations (supports depth up to 2^iters) — the edge " +
-          "list is cyclic or astronomically deep")
+          s"iterations (the last must observe no growth, so depth up to " +
+          s"2^${maxIters - 1} is supported) — the edge list is cyclic or " +
+          "astronomically deep")
     paths
   }
 

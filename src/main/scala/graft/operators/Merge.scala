@@ -27,6 +27,11 @@ object Merge {
     *   - key absent from the snapshot → carried through (no implicit
     *     deletes; close them upstream if the snapshot is authoritative)
     *
+    * `snapshot` must be unique per key (same contract as [[upsert]]):
+    * duplicate snapshot keys would fan out the current row into
+    * overlapping validity intervals. Dedupe upstream with a
+    * deterministic winner, e.g. `max(struct(version, payload))`.
+    *
     * One full-outer shuffle of the CURRENT rows against the snapshot;
     * closed history is a pure pass-through union that never shuffles —
     * at 100 TB the (large, append-only) closed partition is untouched,

@@ -34,7 +34,10 @@ object Packing {
     *
     * `idCol` must be UNIQUE: range partitioning keeps duplicate ids in
     * one partition, but their relative order (and therefore which of
-    * them gets which offset) would be nondeterministic.
+    * them gets which offset) would be nondeterministic. Rows with a
+    * NULL id or value are EXCLUDED (a null id has no position in the
+    * order and a null value no defined contribution — same contract as
+    * Hierarchy.closure's null-key filter).
     */
   def withRunningOffset(df: DataFrame, idCol: String, valueCol: String,
                         numPartitions: Int = 0): DataFrame = {
@@ -42,12 +45,17 @@ object Packing {
     import spark.implicits._
     val parts = if (numPartitions > 0) numPartitions
                 else spark.sessionState.conf.numShufflePartitions
+    // lazy localCheckpoint, not persist(): both passes read the same
+    // materialized blocks AND the ContextCleaner frees them when the
+    // result is dropped — persist() would pin an input-sized cache
+    // entry per call until someone manually unpersists.
     val parted = df
       .select(col(idCol).cast("long"), col(valueCol).cast("long"))
+      .where(col(idCol).isNotNull && col(valueCol).isNotNull)
       .as[(Long, Long)]
       .repartitionByRange(parts, col(idCol))
       .sortWithinPartitions(idCol)
-      .persist()
+      .localCheckpoint(false)
 
     val partTotals = parted.mapPartitions { it =>
       var s = 0L

@@ -155,14 +155,16 @@ object Analytics {
       // generates the day spine from the 2-row bounds aggregate
       // (broadcast), so the fact table is scanned once and nothing
       // driver-side loops over dates.
-      // persisted: both the bounds aggregate (spine side) and the join
-      // probe read `daily`, so the fact table is scanned once, not twice
-      // (the cache is day-count sized, not event sized).
+      // lazy localCheckpoint: both the bounds aggregate (spine side)
+      // and the join probe read `daily`, so the fact table is scanned
+      // once, not twice — and unlike persist(), the day-count-sized
+      // blocks are freed by the ContextCleaner when the query is
+      // dropped instead of accumulating across invocations.
       val daily = Tables.events(s, d)
         .where(col("event_type") === "purchase")
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt"))
-        .persist()
+        .localCheckpoint(false)
       val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"),
           expr("interval 1 day"))).as("day"))

@@ -44,12 +44,15 @@ class PlanShapeSpec extends SparkSpec {
       s"expected plain aggregation:\n$p")
   }
 
-  test("pack_chunks: the prefix sum is a range exchange + mapPartitions " +
-       "passes, never a global single-partition window") {
+  test("pack_chunks: the prefix sum is narrow mapPartitions over the " +
+       "checkpointed range layout, never a global single-partition window") {
     val p = plan("pack_chunks")
-    assert(p.contains("rangepartitioning"),
-      s"expected a range repartition for ordered partitions:\n$p")
+    // the range exchange lives behind the localCheckpoint boundary
+    // (freed by the ContextCleaner); the outer plan must be the narrow
+    // second pass over those materialized blocks
     assert(p.contains("MapPartitions"), s"expected narrow passes:\n$p")
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"expected the checkpointed range layout as the scan source:\n$p")
     assert(!p.contains("Window"),
       s"global-window prefix sum is the anti-pattern this operator avoids:\n$p")
   }
