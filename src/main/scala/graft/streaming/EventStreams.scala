@@ -96,6 +96,16 @@ object EventStreams {
         col("purchase_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-static enrichment: join each micro-batch against a static
+    * dimension frame. The static side is planned per micro-batch like
+    * any batch join — explicitly broadcast here, so the stream is
+    * never shuffled for enrichment and no state is kept (unlike
+    * stream-stream joins, a stream-static join needs no watermark).
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Idempotent micro-batch parquet sink: each batch overwrites its own
     * `batch_id=<id>` directory, so a batch REPLAYED after a failure
     * (Structured Streaming's at-least-once redelivery on restart)

@@ -105,6 +105,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithDim joins a stream against a static broadcast " +
+       "dimension without state or watermark") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val dim = Seq((7L, "gold"), (8L, "silver")).toDF("user_id", "tier")
+    val q = enrichWithDim(df, dim, "user_id").writeStream
+      .format("memory").queryName("enrich_test").outputMode("append").start()
+    try {
+      input.addData((7L, ts(0), 1.0), (9L, ts(1), 2.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, tier FROM enrich_test ORDER BY user_id")
+        .as[(Long, Option[String])].collect().toSeq
+      assert(got === Seq((7L, Some("gold")), (9L, None)))
+    } finally q.stop()
+  }
+
   test("idempotent parquet sink: replaying a batch id overwrites its " +
        "partition instead of appending duplicates") {
     implicit val sq = spark.sqlContext
