@@ -128,6 +128,20 @@ object Nested {
              graft.functions.Fns.moneySum(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_returnflag")
     }),
+    "str_to_map_parse" -> ((s, d) => {
+      // kv-string parsing (str_to_map): round-trips nation attributes
+      // through "k:v,k:v" text and back — the oracle checks the parsed
+      // values against the source columns, so a delimiter or escaping
+      // regression breaks the hash match.
+      val kv = concat(lit("code:"), col("n_nationkey"),
+        lit(",region:"), col("n_regionkey"))
+      t(s, d, "nation")
+        .select(col("n_name"), str_to_map(kv, lit(","), lit(":")).as("m"))
+        .select(col("n_name"),
+          element_at(col("m"), "code").cast("int").as("code"),
+          element_at(col("m"), "region").cast("int").as("region"))
+        .orderBy("n_name")
+    }),
     "posexplode_tokens" -> ((s, d) =>
       // position-aware explode (posexplode): the ordinal survives the
       // generator, so order-sensitive downstream logic (n-gram windows,
@@ -249,6 +263,10 @@ object Nested {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "str_to_map_parse" ->
+      """SELECT n_name, CAST(n_nationkey AS INT) AS code,
+        |  CAST(n_regionkey AS INT) AS region
+        |FROM nation ORDER BY 1""".stripMargin,
     "posexplode_tokens" ->
       """WITH d AS (SELECT doc_id, (string_split(text, ' '))[1:5] AS w
         |           FROM documents)
