@@ -39,6 +39,12 @@ object AsofJoin {
     * the carried payload columns (null when no prior right row
     * exists).
     */
+  /** Backtick-quote a column name so `col` resolves it literally even
+    * when it contains dots (embedded backticks doubled per SQL rules).
+    */
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTime: String, rightTime: String,
                payload: Seq[String]): DataFrame = {
@@ -47,7 +53,7 @@ object AsofJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(Seq(col(keyCol), col("__t"), col("__side")) ++
-        left.columns.map(c => col(c).as(s"__l_$c")) :+
+        left.columns.map(c => col(quoted(c)).as(s"__l_$c")) :+
         lit(null).cast(payloadType).as("__p"): _*)
     val rTagged = right
       .where(col(keyCol).isNotNull && col(rightTime).isNotNull)
@@ -55,7 +61,7 @@ object AsofJoin {
       .withColumn("__side", lit(0))
       .select(Seq(col(keyCol), col("__t"), col("__side")) ++
         left.columns.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
-        struct(payload.map(col): _*).as("__p"): _*)
+        struct(payload.map(c => col(quoted(c))): _*).as("__p"): _*)
     // right rows sort before left rows at equal times => ties match
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("__t"), col("__side"))
@@ -63,7 +69,9 @@ object AsofJoin {
     lTagged.unionByName(rTagged)
       .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(left.columns.map(c => col(s"__l_$c").as(c)) ++
-        payload.map(c => col(s"__c.$c").as(s"asof_$c")): _*)
+      .select(left.columns.map(c => col(quoted(s"__l_$c")).as(c)) ++
+        // getField, not col("__c.name"): a payload name with a dot
+        // would otherwise parse as a nested-field path and misresolve
+        payload.map(c => col("__c").getField(c).as(s"asof_$c")): _*)
   }
 }

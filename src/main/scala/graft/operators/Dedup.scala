@@ -60,7 +60,9 @@ object Dedup {
       .select(col(idCol).as("doc"),
         expr(s"graft_shingle_hashes($textCol, 3)").as("sh"))
       .withColumn("n", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // lazy: first action materializes; blocks
+      // freed by ContextCleaner when the plan is GC'd — persist()
+      // would pin an input-sized cache entry per call (see Packing)
     // sh is sorted by hash — a uniform global order — so the prefix is
     // simply the leading slice; no per-doc reordering pass needed.
     val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
@@ -112,7 +114,9 @@ object Dedup {
       .select(col(idCol).as("doc"),
         expr(s"graft_shingle_hashes($textCol, 3)").as("sh"))
       .withColumn("n", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // lazy: first action materializes; blocks
+      // freed by ContextCleaner when the plan is GC'd — persist()
+      // would pin an input-sized cache entry per call (see Packing)
     val exploded = base.select(col("doc"), col("n"), explode(col("sh")).as("s"))
     // sh is per-doc distinct, so count(*) is document frequency.
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -174,7 +178,9 @@ object Dedup {
         expr(s"graft_shingle_hashes($textCol, 3)").as("sh"))
       .withColumn("n", size(col("sh")))
       .withColumn("sig", expr(s"graft_minhash(sh, $k)"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // lazy: first action materializes; blocks
+      // freed by ContextCleaner when the plan is GC'd — persist()
+      // would pin an input-sized cache entry per call (see Packing)
     val bandStructs = (0 until bands).map { b =>
       val comps = (0 until rpb).map(r => element_at(col("sig"), b * rpb + r + 1))
       struct(lit(b).as("band"), md5(concat_ws("|", comps: _*)).as("key"))
@@ -209,7 +215,9 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val fp = simhashFingerprints(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false) // lazy: first action materializes; blocks
+      // freed by ContextCleaner when the plan is GC'd — persist()
+      // would pin an input-sized cache entry per call (see Packing)
     val chunkStructs = (0 until 4).map { c =>
       struct(lit(c).as("c"),
         shiftright(col("sim"), 15 * c).bitwiseAND(lit(32767L)).as("k"))

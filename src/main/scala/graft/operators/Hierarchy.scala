@@ -35,6 +35,17 @@ object Hierarchy {
     */
   val DriverSideEdgeLimit: Long = 100_000L
 
+  /** Edge count at or below which the distributed fixpoint broadcasts
+    * the (static) edge list into every iteration's join. Above it the
+    * hint is withheld and the planner falls back to a shuffle join —
+    * an unconditional hint would bypass Spark's size-based broadcast
+    * protection and can OOM the driver/executors on a genuinely large
+    * edge list (the only input that reaches the distributed branch).
+    * ~2M string-pair rows is comfortably under the 8 GB broadcast
+    * ceiling while covering any realistic dimension hierarchy.
+    */
+  val BroadcastEdgeLimit: Long = 2_000_000L
+
   /** Returns the closure as columns (`ancestor`, `descendant`).
     * Reflexive pairs are NOT included for DAGs (matches the reference:
     * a node does not contribute to itself twice).
@@ -48,7 +59,8 @@ object Hierarchy {
     */
   def closure(edges: DataFrame, parentCol: String, childCol: String,
               maxDepth: Int = 32,
-              driverSideEdgeLimit: Long = DriverSideEdgeLimit): DataFrame = {
+              driverSideEdgeLimit: Long = DriverSideEdgeLimit,
+              broadcastEdgeLimit: Long = BroadcastEdgeLimit): DataFrame = {
     val base = edges
       .select(col(parentCol).cast("string").as("ancestor"),
               col(childCol).cast("string").as("descendant"))
@@ -60,16 +72,20 @@ object Hierarchy {
     if (baseCount <= driverSideEdgeLimit)
       return closureInMemory(base, maxDepth)
 
+    // Broadcast the static edge side only while it is provably small —
+    // then no iteration shuffles the growing path set for the join and
+    // the only exchange left is the distinct. Past the bound, let the
+    // planner choose (shuffle join), which scales instead of OOMing.
+    val edgeSide: DataFrame => DataFrame =
+      if (baseCount <= broadcastEdgeLimit) broadcast(_) else identity
+
     var paths = base
     var prevCount = baseCount
     var iter = 0
     var converged = false
     while (!converged && iter < maxDepth) {
-      // edge list is the dimension side (closure() contract) — keep it
-      // broadcast so no iteration ever shuffles the growing path set
-      // for the join; the only exchange left is the distinct.
       val extended = paths.as("p")
-        .join(broadcast(base.as("e")), col("p.descendant") === col("e.ancestor"))
+        .join(edgeSide(base.as("e")), col("p.descendant") === col("e.ancestor"))
         .select(col("p.ancestor").as("ancestor"),
                 col("e.descendant").as("descendant"))
       // lazy checkpoint: the count() below materializes it, so each

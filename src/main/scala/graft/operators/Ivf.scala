@@ -102,10 +102,11 @@ object Ivf {
       .select(col("id").cast("int").as("cell"),
         col("v").as("cv"), col("n2").as("cn2"))
     // cents feeds both the re-assignment and the probe branch of the
-    // plan; persist so the seed-assignment + refinement subtree runs
-    // once (it is C rows — the cost is in computing it, not holding it).
+    // plan; lazy localCheckpoint so the seed-assignment + refinement
+    // subtree runs once (it is C rows), without pinning a cache entry
+    // per call — ContextCleaner frees the blocks when the plan is GC'd.
     val cents = refine(assign(corp, seeds))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val assigned = assign(corp, cents)
     val cands = probe(qs, cents, nprobe)
       .join(assigned, "cell")

@@ -46,11 +46,24 @@ object Layout {
       .parquet(path)
 
   /** True iff the executed plan contains no shuffle exchange — the
-    * property bucketed joins buy.
+    * property bucketed joins buy. Collects actual
+    * `ShuffleExchangeLike` nodes (covers hash, range, and
+    * single-partition exchanges plus AQE shuffle stages) instead of
+    * substring-matching the plan string, which misses
+    * `Exchange rangepartitioning` / `Exchange SinglePartition` and
+    * AQE's re-wrapped shuffle reads.
     */
-  def isExchangeFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("ShuffleExchange") &&
-      !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  def isExchangeFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect {
+        case e: ShuffleExchangeLike => Seq(e)
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case q: QueryStageExec => shuffles(q.plan)
+      }.flatten
+    shuffles(df.queryExecution.executedPlan).isEmpty
+  }
 
   /** The scan-level partition filters of the first file source in the
     * plan (empty string when none) — non-empty proves directory
