@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Vectors.queries ++
       graft.queries.Events.queries ++
       graft.queries.Nested.queries ++
-      graft.queries.ApiSurface.queries
+      graft.queries.ApiSurface.queries ++
+      graft.queries.Subqueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Vectors.oracles ++
       graft.queries.Events.oracles ++
       graft.queries.Nested.oracles ++
-      graft.queries.ApiSurface.oracles
+      graft.queries.ApiSurface.oracles ++
+      graft.queries.Subqueries.oracles
 }

@@ -206,7 +206,52 @@ object Nested {
       // verify pass — no full-vocabulary shuffle at any point.
       graft.operators.HeavyHitters
         .frequentTokens(t(s, d, "documents"), "text", k = 200)
-        .orderBy("word"))
+        .orderBy("word")),
+    "array_exists_forall" -> ((s, d) =>
+      // exists / forall / filter-size over the embedding arrays —
+      // pure row-local predicates (no arithmetic -> no float drift),
+      // codegen'd, zero shuffles before the final order.
+      t(s, d, "embeddings")
+        .select(col("vec_id"),
+          exists(col("embedding"), x => abs(x.cast("double")) > lit(0.3d)).as("has_large"),
+          forall(col("embedding"), x => abs(x.cast("double")) < lit(1.0d)).as("all_unit"),
+          size(filter(col("embedding"), x => x > lit(0.0f))).as("n_pos"))
+        .orderBy("vec_id")),
+    "map_zip_with_merge" -> ((s, d) => {
+      // map_zip_with + transform_keys end-to-end: two per-nation maps
+      // (segment -> count, segment -> decimal balance sum) merged
+      // key-wise into structs, keys lower-cased, exploded back to
+      // rows. Same two-shuffle shape as map_segment_counts — the maps
+      // never leave the executors.
+      val seg = t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+             sum(col("c_acctbal").cast("decimal(14,4)")).as("bal"))
+      seg.groupBy(col("c_nationkey"))
+        .agg(map_from_entries(collect_list(struct(col("c_mktsegment"),
+               col("cnt")))).as("cm"),
+             map_from_entries(collect_list(struct(col("c_mktsegment"),
+               col("bal")))).as("bm"))
+        .select(col("c_nationkey"),
+          explode(transform_keys(
+            map_zip_with(col("cm"), col("bm"),
+              (_, c, b) => struct(c.as("cnt"), b.as("bal"))),
+            (k, _) => lower(k))))
+        .select(col("c_nationkey"), col("key").as("segment"),
+          col("value.cnt").as("cnt"),
+          col("value.bal").cast("double").as("sum_bal"))
+        .orderBy("c_nationkey", "segment")
+    }),
+    "regexp_extract_all_words" -> ((s, d) =>
+      // regexp_extract_all: ALL matches per row as an array (vs.
+      // regexp_clean's first-group extract). Map-side only; the
+      // [a-z]{6,} class is portable across Java regex and RE2.
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0)).as("ws"))
+        .select(col("doc_id"), size(col("ws")).as("n_long"),
+          try_element_at(col("ws"), lit(1)).as("first_long"))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -306,6 +351,25 @@ object Nested {
         |tot AS (SELECT count(*) AS n FROM w)
         |SELECT word, count(*) AS cnt FROM w, tot
         |GROUP BY word, n HAVING count(*) * 200 > n
-        |ORDER BY word""".stripMargin
+        |ORDER BY word""".stripMargin,
+    "array_exists_forall" ->
+      """SELECT vec_id,
+        |  len(list_filter(embedding, x -> abs(x) > 0.3)) > 0 AS has_large,
+        |  len(list_filter(embedding, x -> abs(x) >= 1.0)) = 0 AS all_unit,
+        |  CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "map_zip_with_merge" ->
+      """SELECT c_nationkey, lower(c_mktsegment) AS segment,
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE)
+        |         AS sum_bal
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, segment""".stripMargin,
+    "regexp_extract_all_words" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INT) AS n_long,
+        |  regexp_extract_all(text, '[a-z]{6,}')[1] AS first_long
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
