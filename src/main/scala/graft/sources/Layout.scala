@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout helpers for the two storage decisions that dominate
   * repeated-query cost at 100 TB (SURVEY §4):
@@ -64,6 +65,68 @@ object Layout {
       }.flatten
     shuffles(df.queryExecution.executedPlan).isEmpty
   }
+
+  /** Compact a small-file parquet dataset into ~`targetBytes` output
+    * files. The long-running-pipeline failure mode at 100 TB is not
+    * one big file but MILLIONS of tiny ones (per-trigger streaming
+    * sinks, over-parallel writers): listing dominates planning, every
+    * scan pays per-file open cost, and the NameNode/object store melts.
+    * Sizing from the actual on-disk bytes (not row counts) keeps the
+    * output file size stable regardless of schema width/encoding.
+    *
+    * Round-robin `repartition(n)` — not coalesce — so compaction also
+    * REBALANCES: coalesce(n) merges adjacent partitions and inherits
+    * their skew, while a shuffle write spreads bytes evenly.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long = 128L * 1024 * 1024): Long = {
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath))
+      .getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    n.toLong
+  }
+
+  /** Morton (Z-order) key for two non-negative int columns: the bits
+    * of `a` and `b` interleaved into one long, so sorting by the key
+    * clusters rows that are close in BOTH dimensions. A multi-dim
+    * filter then touches ~sqrt of the files a single-dim sort layout
+    * would — the data-skipping trick behind Delta/Iceberg OPTIMIZE
+    * ZORDER, expressed here as five codegen'd shift/mask stages per
+    * column (the classic bit-spread), no UDF.
+    *
+    * Caller contract: values must fit in 31 bits (rank/bucket the
+    * column first if it doesn't — z-ordering raw long IDs wastes the
+    * high bits anyway).
+    */
+  def mortonKey(a: Column, b: Column): Column = {
+    def spread(c: Column): Column = {
+      // spread the low 32 bits of c to the even bit positions
+      var x = c.cast("long").bitwiseAND(lit(0xffffffffL))
+      x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000ffff0000ffffL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00ff00ff00ff00ffL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0f0f0f0f0f0f0f0fL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+      x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Write `df` Z-order-clustered on two int columns: range-partition
+    * by the morton key (evenly sized files via range boundaries from a
+    * sample), sort within partitions so parquet row-group min/max
+    * stats are tight on BOTH columns.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+                    colB: String, numFiles: Int): Unit =
+    df.withColumn("__z", mortonKey(col(colA), col(colB)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** The scan-level partition filters of the first file source in the
     * plan (empty string when none) — non-empty proves directory

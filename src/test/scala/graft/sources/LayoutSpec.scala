@@ -56,4 +56,62 @@ class LayoutSpec extends SparkSpec {
     assert(scans.head.metrics("numPartitions").value === 1,
       s"expected 1 pruned partition, got ${scans.head.metrics("numPartitions").value}")
   }
+
+  test("compact merges a many-small-file dataset into the byte-targeted file count") {
+    val in = java.nio.file.Files.createTempDirectory("compact_in").toString
+    val out = java.nio.file.Files.createTempDirectory("compact_out").toString
+    // 64 tiny files
+    (0 until 10000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+      .repartition(64).write.mode("overwrite").parquet(in)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) === 64)
+    val inBytes = new java.io.File(in).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target ~quarter of the data per file => ~4 output files
+    val n = Layout.compact(spark, in, out, targetBytes = inBytes / 4)
+    assert(parquetFiles(out) === n.toInt && n <= 6,
+      s"expected ~4-6 compacted files, got ${parquetFiles(out)} (n=$n)")
+    assert(spark.read.parquet(out).count() === 10000)
+    // content preserved exactly
+    assert(spark.read.parquet(out).except(spark.read.parquet(in)).count() === 0)
+    assert(spark.read.parquet(in).except(spark.read.parquet(out)).count() === 0)
+  }
+
+  test("mortonKey interleaves bits; z-order layout touches far fewer files on a cross-dim filter") {
+    // reference morton implementation to pin the bit interleave
+    def morton(a: Long, b: Long): Long = {
+      var r = 0L
+      for (i <- 0 until 31)
+        r |= ((a >> i) & 1L) << (2 * i) | ((b >> i) & 1L) << (2 * i + 1)
+      r
+    }
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (1023L, 511L),
+      ((1L << 31) - 1, 12345L))
+    val got = pairs.toDF("a", "b")
+      .select(Layout.mortonKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === pairs.map { case (a, b) => morton(a, b) },
+      "mortonKey must match the bitwise reference")
+
+    // 1024x1024-ish grid written (a) sorted by x only, (b) z-ordered.
+    // A filter on y alone must hit ~all files in (a), few in (b).
+    val grid = spark.range(0, 64 * 1024).select(
+      (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val linDir = java.nio.file.Files.createTempDirectory("lin").toString
+    val zDir = java.nio.file.Files.createTempDirectory("zord").toString
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+    Layout.writeZOrdered(grid, zDir, "x", "y", numFiles = 16)
+    def filesHit(p: String): Long =
+      spark.read.parquet(p).where(col("y") >= 10 && col("y") < 20)
+        .select(input_file_name()).distinct().count()
+    val (lin, z) = (filesHit(linDir), filesHit(zDir))
+    assert(lin >= 14, s"x-sorted layout should hit ~all 16 files, hit $lin")
+    assert(z <= lin / 2,
+      s"z-ordered layout should hit far fewer files: z=$z lin=$lin")
+    // layout changes nothing about content
+    assert(spark.read.parquet(zDir).except(grid).count() === 0 &&
+      grid.except(spark.read.parquet(zDir)).count() === 0)
+  }
 }
