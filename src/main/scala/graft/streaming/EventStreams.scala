@@ -96,6 +96,62 @@ object EventStreams {
         col("purchase_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** LEFT OUTER stream-stream interval join: like [[intervalJoin]] but
+    * clicks with NO purchase within `maxDelay` are still emitted (null
+    * purchase columns) — the "abandoned funnel" query. Outer results
+    * cannot be produced eagerly: a click is only provably unmatched
+    * once the watermark passes `click_ts + maxDelay`, so null rows
+    * appear with watermark latency. Same two-sided time bound keeps
+    * state bounded to the horizon.
+    */
+  def intervalJoinLeftOuter(clicks: DataFrame, purchases: DataFrame,
+                            maxDelay: String = "5 minutes",
+                            horizon: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", horizon)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", horizon)
+    c.join(p, expr(
+        s"""c_user_id = p_user_id AND
+           |purchase_ts >= click_ts AND
+           |purchase_ts <= click_ts + interval $maxDelay""".stripMargin),
+        "left_outer")
+      .select(col("c_user_id").as("user_id"), col("click_id"),
+        col("purchase_id"), col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Streaming heavy hitters with BOUNDED state: Misra–Gries sketches
+    * in `flatMapGroupsWithState`, one sketch per hash shard. State is
+    * O(shards × capacity) regardless of vocabulary size — the naive
+    * streaming `groupBy(word).count()` keeps one state row per
+    * DISTINCT word forever, which at 100 TB/day of text is unbounded.
+    *
+    * Each trigger emits every shard's current candidate set (Update
+    * mode) as (word, mincount). MG guarantee per shard: any word whose
+    * true count in that shard exceeds shardN/(capacity+1) is present.
+    * Sharding by word hash preserves the guarantee (each word lives in
+    * exactly one shard) while spreading sketch work across executors.
+    */
+  def streamingHeavyHitters(words: Dataset[String], capacity: Int = 100,
+                            shards: Int = 16): Dataset[(String, Long)] = {
+    import words.sparkSession.implicits._
+    val mg = new graft.operators.MisraGries(capacity)
+    words
+      .groupByKey(w => math.floorMod(if (w == null) 0 else w.hashCode, shards))
+      .flatMapGroupsWithState[Map[String, Long], (String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[String], state: GroupState[Map[String, Long]]) =>
+          val updated = mg.reduce(state.getOption.getOrElse(mg.zero),
+            rows.filter(_ != null).toSeq)
+          state.update(updated)
+          updated.iterator
+      }
+  }
+
   /** Stream-static enrichment: join each micro-batch against a static
     * dimension frame. The static side is planned per micro-batch like
     * any batch join — explicitly broadcast here, so the stream is

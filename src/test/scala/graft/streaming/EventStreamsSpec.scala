@@ -169,6 +169,60 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinLeftOuter emits unmatched clicks with null purchase " +
+       "once the watermark passes the delay bound") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "event_id")
+    val q = intervalJoinLeftOuter(cdf, pdf).writeStream
+      .format("memory").queryName("loj_test").outputMode("append").start()
+    try {
+      // user 1 clicks and purchases in-bound; user 2 clicks, never buys
+      clicks.addData((1L, ts(0), 100L), (2L, ts(0), 101L))
+      purchases.addData((1L, ts(3), 200L))
+      q.processAllAvailable()
+      // advance both watermarks far past click_ts + 5m + 1h horizon so
+      // the unmatched click is provably final and the null row emits
+      clicks.addData((9L, ts(600), 900L))
+      purchases.addData((9L, ts(600), 901L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT click_id, purchase_id FROM loj_test WHERE user_id <= 2 " +
+        "ORDER BY click_id")
+        .as[(Long, Option[Long])].collect().toSeq
+      assert(got === Seq((100L, Some(200L)), (101L, None)))
+    } finally q.stop()
+  }
+
+  test("streamingHeavyHitters keeps bounded MG state per shard and its " +
+       "emissions cover every frequent word across triggers") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = EventStreams.streamingHeavyHitters(input.toDS(), capacity = 4,
+        shards = 2)
+      .toDF("word", "mincount")
+      .writeStream.format("memory").queryName("shh_test")
+      .outputMode("update").start()
+    try {
+      // skewed stream: "hot" dominates both batches among noise words
+      input.addData(Seq.fill(30)("hot") ++ (1 to 10).map(i => s"w$i"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(25)("hot") ++ Seq.fill(20)("warm") ++
+        (11 to 18).map(i => s"w$i"): _*)
+      q.processAllAvailable()
+      // the LAST emission per word reflects the final sketch state;
+      // both heavy words must have survived with mincount <= true count
+      val last = spark.sql(
+        "SELECT word, max(mincount) FROM shh_test GROUP BY word")
+        .as[(String, Long)].collect().toMap
+      assert(last.contains("hot") && last("hot") <= 55 && last("hot") > 30,
+        s"hot undercount bound violated: ${last.get("hot")}")
+      assert(last.contains("warm"), "warm must survive the sketch")
+    } finally q.stop()
+  }
+
   test("sessionizeStateful (flatMapGroupsWithState) closes a session " +
        "when the in-batch gap exceeds 30 minutes") {
     implicit val sq = spark.sqlContext
