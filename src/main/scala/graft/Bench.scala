@@ -18,7 +18,8 @@ object Bench {
     "ann_ivf_kmeans", "grouping_rollup", "window_running_sum",
     "events_tumbling_window", "events_sessionize", "events_asof_join",
     "corpus_curate", "heavy_hitters_words", "bloom_semi_join",
-    "window_range_frame", "pack_chunks", "decontaminate")
+    "window_range_frame", "pack_chunks", "decontaminate",
+    "sql_exists_correlated", "sql_in_subquery")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
