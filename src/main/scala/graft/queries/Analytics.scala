@@ -377,7 +377,49 @@ object Analytics {
         .select(col("p_partkey"),
           regexp_replace(col("p_name"), "[aeiou]", "").as("deverbed"),
           regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"))
-        .orderBy("p_partkey"))
+        .orderBy("p_partkey")),
+    "regr_fit" -> ((s, d) => {
+      // per-group OLS fit (slope/intercept/r²) from EXACT decimal power
+      // sums — same rationale as stats_moments: Spark's regr_slope /
+      // regr_intercept merge float partials in partition order, so
+      // their low bits depend on cluster layout; the decimal-sum form
+      // is bit-stable at any parallelism AND one shuffle for all three
+      // statistics.
+      val x = money(col("l_quantity"))
+      val y = money(col("l_extendedprice"))
+      val m = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          dbl(sum(x)).as("sx"), dbl(sum(x * x)).as("sxx"),
+          dbl(sum(y)).as("sy"), dbl(sum(y * y)).as("syy"),
+          dbl(sum(x * y)).as("sxy"))
+      val cxy = col("n") * col("sxy") - col("sx") * col("sy")
+      val cxx = col("n") * col("sxx") - col("sx") * col("sx")
+      val cyy = col("n") * col("syy") - col("sy") * col("sy")
+      val slope = cxy / cxx
+      m.select(col("l_returnflag"), slope.as("slope"),
+          ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+          (cxy * cxy / (cxx * cyy)).as("r2"))
+        .orderBy("l_returnflag")
+    }),
+    "cross_join_pairs" -> ((s, d) =>
+      // explicit Cartesian product (crossJoin API): every region ×
+      // order-priority pair with the region's nation count — the
+      // tiny-dims case where a cross join is legitimate. Both sides
+      // are dimension-sized; Spark plans a broadcast nested-loop.
+      t(s, d, "region").select(col("r_name"))
+        .crossJoin(t(s, d, "orders").select(col("o_orderpriority")).distinct())
+        .orderBy("r_name", "o_orderpriority")),
+    "bitwise_agg" -> ((s, d) =>
+      // bitwise aggregate surface (bit_and/bit_or/bit_xor): associative
+      // + commutative, so they ride partial aggregation like sum —
+      // exact at any parallelism.
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(bit_and(col("o_orderkey")).as("key_and"),
+             bit_or(col("o_orderkey")).as("key_or"),
+             bit_xor(col("o_orderkey")).as("key_xor"))
+        .orderBy("o_orderpriority"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -601,6 +643,33 @@ object Analytics {
       """SELECT p_partkey,
         |  regexp_replace(p_name, '[aeiou]', '', 'g') AS deverbed,
         |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
-        |FROM part ORDER BY 1""".stripMargin
+        |FROM part ORDER BY 1""".stripMargin,
+    "regr_fit" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |    AS intercept,
+        |  ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        |FROM m ORDER BY 1""".stripMargin,
+    "cross_join_pairs" ->
+      """SELECT r_name, o_orderpriority
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
+        |ORDER BY r_name, o_orderpriority""".stripMargin,
+    "bitwise_agg" ->
+      """SELECT o_orderpriority,
+        |  bit_and(o_orderkey) AS key_and,
+        |  bit_or(o_orderkey) AS key_or,
+        |  bit_xor(o_orderkey) AS key_xor
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

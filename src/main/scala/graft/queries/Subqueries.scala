@@ -101,6 +101,26 @@ object Subqueries {
           |      (SELECT c_custkey FROM sq4_customer WHERE c_acctbal < 0)
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)
+    }),
+    "sql_lateral_topn" -> ((s, d) => {
+      // correlated LATERAL subquery with ORDER BY + LIMIT: per-region
+      // top-2 customers by balance through their nations. Catalyst
+      // de-correlates the limit into a partitioned row_number — the
+      // per-group-top-k plan — instead of re-running the inner query
+      // per outer row.
+      views(s, d, "sq5")
+      t(s, d, "nation").createOrReplaceTempView("sq5_nation")
+      t(s, d, "region").createOrReplaceTempView("sq5_region")
+      s.sql(
+        """SELECT r.r_name, t.c_name, t.c_acctbal
+          |FROM sq5_region r,
+          |LATERAL (SELECT c.c_name, c.c_acctbal
+          |         FROM sq5_customer c JOIN sq5_nation n
+          |           ON c.c_nationkey = n.n_nationkey
+          |         WHERE n.n_regionkey = r.r_regionkey
+          |         ORDER BY c.c_acctbal DESC, c.c_name
+          |         LIMIT 2) t
+          |ORDER BY r.r_name, t.c_acctbal DESC, t.c_name""".stripMargin)
     })
   )
 
@@ -141,6 +161,16 @@ object Subqueries {
         |WHERE o_custkey NOT IN
         |      (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+    "sql_lateral_topn" ->
+      """SELECT r.r_name, t.c_name, t.c_acctbal
+        |FROM region r,
+        |LATERAL (SELECT c.c_name, c.c_acctbal
+        |         FROM customer c JOIN nation n
+        |           ON c.c_nationkey = n.n_nationkey
+        |         WHERE n.n_regionkey = r.r_regionkey
+        |         ORDER BY c.c_acctbal DESC, c.c_name
+        |         LIMIT 2) t
+        |ORDER BY r.r_name, t.c_acctbal DESC, t.c_name""".stripMargin
   )
 }

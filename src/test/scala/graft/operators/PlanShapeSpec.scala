@@ -63,4 +63,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"rate table must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"events must not sort-merge:\n$p")
   }
+
+  test("correlated EXISTS de-correlates to a semi join (no per-row " +
+       "re-execution)") {
+    val p = plan("sql_exists_correlated")
+    assert(p.contains("LeftSemi"), s"expected a left-semi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"EXISTS must not plan a nested loop:\n$p")
+  }
+
+  test("NOT IN plans a null-aware anti join, not a cartesian check") {
+    val p = plan("sql_not_in_subquery")
+    assert(p.contains("LeftAnti"), s"expected an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"must not be cartesian:\n$p")
+  }
+
+  test("LATERAL ... ORDER BY/LIMIT de-correlates into a partitioned " +
+       "window top-k, not per-outer-row re-execution") {
+    val p = plan("sql_lateral_topn")
+    assert(p.contains("Window"), s"expected row_number top-k rewrite:\n$p")
+    assert(!p.contains("CartesianProduct"), s"must not be cartesian:\n$p")
+  }
 }
