@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list —
+  * the clustering step that turns near-duplicate PAIRS (MinHash/LSH,
+  * SimHash, exact-Jaccard output) into duplicate GROUPS, so a corpus
+  * curation pipeline can keep one canonical document per cluster
+  * (reference behavior: the dedup stages of SURVEY §2.11; the pair
+  * producers are `Dedup.minhashLshPairs` / `Dedup.jaccardPairs`).
+  *
+  * Algorithm: hash-min label propagation. Every node starts labeled
+  * with its own id; each iteration every node takes the min of its
+  * label and its neighbors' labels. Converges in O(component diameter)
+  * iterations — near-dup clusters are dense and shallow (stars/cliques
+  * around a template), so 3-5 iterations cover real corpora; maxIters
+  * bounds adversarial chains.
+  *
+  * Scale shape per iteration: one shuffle join (labels ⋈ edges, both
+  * partitioned by node) + one grouped min + a count action for the
+  * convergence check. The edge list is never collected; state is one
+  * (node, label) row per node. `localCheckpoint` truncates lineage so
+  * the plan stays constant-size across iterations (swap for durable
+  * `checkpoint` on a fault-tolerant cluster run).
+  */
+object Components {
+
+  /** Returns (`node`, `component`) — component = min node id reachable.
+    * Nodes are the endpoints of `edges`; isolated nodes (no edges) are
+    * the caller's trivial singletons and are not emitted.
+    */
+  def connected(edges: DataFrame, aCol: String, bCol: String,
+                maxIters: Int = 32): DataFrame = {
+    val e0 = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    // symmetrize once; every propagation step reads this static frame
+    val und = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint()
+
+    // init: own id vs min direct neighbor
+    var labels = und.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("minb"))
+      .select(col("node"), least(col("node"), col("minb")).as("label"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      // neighbor labels: for each edge (a,b), a can adopt label(b)
+      val viaNeighbors = und.join(labels, und("b") === labels("node"))
+        .groupBy(und("a").as("node"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(viaNeighbors, "node")
+        .select(col("node"), least(col("label"), col("nlabel")).as("label"))
+        .localCheckpoint(false)
+      // converged when no label strictly decreased this round
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .where(col("n.label") < col("o.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Components.connected did not converge within maxIters=$maxIters " +
+          "iterations — a component's diameter exceeds the bound; raise " +
+          "maxIters")
+    labels.select(col("node"), col("label").as("component"))
+  }
+}

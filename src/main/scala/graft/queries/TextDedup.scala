@@ -87,6 +87,19 @@ object TextDedup {
       // corpora); same oracle as dedup_ngram_jaccard.
       Dedup.jaccardPairsFreq(t(s, d, "documents"), "doc_id", "text", 0.5)
         .orderBy("d1", "d2")),
+    "dedup_cluster_cc" -> ((s, d) => {
+      // pairs -> duplicate GROUPS: connected components over the exact
+      // Jaccard>=0.5 pair graph (operators/Components hash-min label
+      // propagation), with each doc's cluster id = min doc id in its
+      // component — the "keep one canonical doc per duplicate set"
+      // step of corpus curation. Oracle walks the same graph with a
+      // recursive CTE.
+      val pairs = Dedup.jaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", 0.5)
+      graft.operators.Components.connected(pairs, "d1", "d2")
+        .select(col("node").as("doc"), col("component").as("cluster"))
+        .orderBy("doc")
+    }),
     "text_bpe_token_count" -> ((s, d) => {
       // BPE-ish pre-tokenization (GPT-2-style: letter runs, digit
       // runs, punctuation runs, each absorbing one leading space) next
@@ -275,6 +288,23 @@ object TextDedup {
          |FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
          |WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+    "dedup_cluster_cc" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2
+         |  FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
+         |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+         |SELECT node AS doc, min(r) AS cluster
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_bpe_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,

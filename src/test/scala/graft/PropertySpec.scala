@@ -159,4 +159,37 @@ class PropertySpec extends SparkSpec {
         maxDepth = 3, driverSideEdgeLimit = 0L).count()
     }
   }
+
+  test("Components.connected equals naive union-find on random graphs") {
+    val rng = new Random(11)
+    (1 to 5).foreach { _ =>
+      val nodes = 2 + rng.nextInt(14)
+      val edges = (for {
+        a <- 0 until nodes
+        b <- (a + 1) until nodes
+        if rng.nextDouble() < 0.18
+      } yield (a.toLong, b.toLong)).distinct
+      if (edges.nonEmpty) {
+        // naive union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonical id = min node of the component
+        val naive = touched.groupBy(find).flatMap { case (_, ns) =>
+          val m = ns.min; ns.map(_ -> m)
+        }.toMap
+        val got = graft.operators.Components
+          .connected(edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        assert(got === naive, s"edges=$edges")
+      }
+    }
+  }
 }
