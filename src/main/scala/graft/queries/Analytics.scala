@@ -419,6 +419,30 @@ object Analytics {
         .agg(bit_and(col("o_orderkey")).as("key_and"),
              bit_or(col("o_orderkey")).as("key_or"),
              bit_xor(col("o_orderkey")).as("key_xor"))
+        .orderBy("o_orderpriority")),
+    "sample_group_topk" -> ((s, d) => {
+      // deterministic per-group k-sample: rank rows inside each group
+      // by md5 of the key (a seedless, engine-portable "random" order)
+      // and keep the first 3 — the reservoir-sample shape with
+      // cross-run/cross-engine reproducibility. One shuffle on the
+      // group key; no RNG seed coordination across executors.
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+      t(s, d, "customer")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("rn"))
+        .orderBy("c_mktsegment", "rn")
+    }),
+    "pivot_dynamic" -> ((s, d) =>
+      // pivot with DISCOVERED values: .pivot(col) with no value list
+      // runs a driver-side distinct first (one extra tiny job) — fine
+      // for low-cardinality status codes, the documented anti-pattern
+      // for high-cardinality columns (pass explicit values there).
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus")
+        .agg(count(lit(1)))
         .orderBy("o_orderpriority"))
   )
 
@@ -670,6 +694,20 @@ object Analytics {
         |  bit_and(o_orderkey) AS key_and,
         |  bit_or(o_orderkey) AS key_or,
         |  bit_xor(o_orderkey) AS key_xor
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sample_group_topk" ->
+      """SELECT c_mktsegment, c_custkey, rn FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey)
+        |      AS INT) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "pivot_dynamic" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -251,7 +251,22 @@ object Nested {
           regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0)).as("ws"))
         .select(col("doc_id"), size(col("ws")).as("n_long"),
           try_element_at(col("ws"), lit(1)).as("first_long"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "sketch_approx_topk" -> ((s, d) =>
+      // approx_top_k (Spark 4 DataSketches frequent-items): constant
+      // space per group, merges map-side — the scalable top-k when the
+      // naive groupBy-all-then-sort would shuffle the full vocabulary.
+      // maxItemsTracked (65536) far exceeds this corpus's vocabulary,
+      // so every tracked count is EXACT and the oracle can demand the
+      // exact top-5 (the testdata's top-5 counts are distinct with a
+      // gap to 6th at every sf, so the set is unambiguous).
+      t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .agg(expr("approx_top_k(word, 5, 65536)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("word"),
+          col("e.count").cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("word")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -370,6 +385,13 @@ object Nested {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS INT) AS n_long,
         |  regexp_extract_all(text, '[a-z]{6,}')[1] AS first_long
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sketch_approx_topk" ->
+      """SELECT word, cnt FROM (
+        |  SELECT word, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY word ORDER BY cnt DESC, word LIMIT 5)
+        |ORDER BY cnt DESC, word""".stripMargin
   )
 }
