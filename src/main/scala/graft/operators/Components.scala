@@ -72,4 +72,75 @@ object Components {
           "maxIters")
     labels.select(col("node"), col("label").as("component"))
   }
+
+  /** Connected components by ALTERNATING large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): each round rewires every node's neighbors to the
+    * minimum of its closed neighborhood, halving star depth — O(log n)
+    * rounds regardless of component DIAMETER. Prefer this over
+    * [[connected]] for long-chain graphs (linked lists, road networks,
+    * citation chains) where diameter ≈ n would mean n propagation
+    * rounds; for shallow near-dup clusters the simpler propagation
+    * wins on constant factors.
+    *
+    * Per round: two grouped-min + join steps (the two star ops) and a
+    * convergence check; all frames stay distributed.
+    */
+  def connectedAlternating(edges: DataFrame, aCol: String, bCol: String,
+                           maxRounds: Int = 24): DataFrame = {
+    val e0 = edges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+
+    // large-star(u): every neighbor v > u re-points to
+    // m = min(Γ(u) ∪ {u}). Operates on the symmetric edge view.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy(col("a").as("u")).agg(min(col("b")).as("mb"))
+        .select(col("u"), least(col("u"), col("mb")).as("m"))
+      sym.where(col("b") > col("a"))
+        .join(mins, col("a") === col("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+    }
+
+    // small-star(u): neighbors v < u (plus u itself) re-point to
+    // m = min of that set. Operates on the to-smaller directed view.
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .distinct()
+      val mins = dir.groupBy(col("a").as("u")).agg(min(col("b")).as("m"))
+      val moved = dir.join(mins, col("a") === col("u"))
+        .where(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+      val self = dir.join(mins, col("a") === col("u"))
+        .select(col("a"), col("m").as("b"))
+      moved.union(self).where(col("a") =!= col("b")).distinct()
+    }
+
+    var e = e0.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      // star-contraction fixpoint: the canonical edge set is stable
+      converged = next.count() == e.count() &&
+        next.except(e).isEmpty
+      e = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Components.connectedAlternating did not converge within " +
+          s"$maxRounds rounds")
+    // at the fixpoint every edge is (node, componentMin); the minimum
+    // itself appears only on the right — add its self-labeling row
+    e.select(col("a").as("node"), col("b").as("component"))
+      .union(e.select(col("b"), col("b")).distinct())
+      .distinct()
+  }
 }
