@@ -443,7 +443,59 @@ object Analytics {
         .groupBy(col("o_orderpriority"))
         .pivot("o_orderstatus")
         .agg(count(lit(1)))
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+    "percentile_disc_grouped" -> ((s, d) => {
+      // DISCRETE percentiles (the value AT position ceil(p*n), never
+      // interpolated — complements percentile_grouped's continuous
+      // form): computed positionally with one window rank, so the
+      // result is an actual data value and tie order can't change it.
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+      val ranked = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+        .withColumn("rn", row_number().over(w))
+      val n = ranked.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+      ranked.join(n, "l_returnflag")
+        .where(col("rn") === ceil(col("n") * 0.25) ||
+               col("rn") === ceil(col("n") * 0.5) ||
+               col("rn") === ceil(col("n") * 0.9))
+        .groupBy(col("l_returnflag"), col("n"))
+        .agg(min(when(col("rn") === ceil(col("n") * 0.25),
+               col("l_quantity"))).as("p25"),
+             min(when(col("rn") === ceil(col("n") * 0.5),
+               col("l_quantity"))).as("p50"),
+             min(when(col("rn") === ceil(col("n") * 0.9),
+               col("l_quantity"))).as("p90"))
+        .select(col("l_returnflag"), col("p25"), col("p50"), col("p90"))
+        .orderBy("l_returnflag")
+    }),
+    "null_funcs" -> ((s, d) =>
+      // null-handling scalar surface: coalesce / nullif / nvl2-shaped
+      // conditionals over the synthesized comment columns.
+      t(s, d, "customer")
+        .select(col("c_custkey"),
+          coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")),
+            lit("OTHER")).as("seg_or_other"),
+          when(col("c_acctbal") < 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal_pos"),
+          (col("c_acctbal") < 0).as("was_negative"))
+        .orderBy("c_custkey")),
+    "fuzzy_levenshtein_pairs" -> ((s, d) =>
+      // edit-distance fuzzy matching (the record-linkage primitive):
+      // each part against its successor key — a banded self-join (J4
+      // shape) carrying levenshtein + a normalized similarity. Exact
+      // integer DP, identical across engines.
+      t(s, d, "part").as("x")
+        .join(t(s, d, "part").as("y"),
+          col("y.p_partkey") === col("x.p_partkey") + 1)
+        .select(col("x.p_partkey").as("p1"),
+          levenshtein(col("x.p_name"), col("y.p_name")).as("dist"),
+          (lit(1.0) - levenshtein(col("x.p_name"), col("y.p_name"))
+            .cast("double") /
+            greatest(length(col("x.p_name")), length(col("y.p_name"))))
+            .as("sim"))
+        .orderBy("p1"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -708,6 +760,35 @@ object Analytics {
         |  count(*) FILTER (o_orderstatus = 'F') AS "F",
         |  count(*) FILTER (o_orderstatus = 'O') AS "O",
         |  count(*) FILTER (o_orderstatus = 'P') AS "P"
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "percentile_disc_grouped" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_quantity) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  min(CASE WHEN rn = ceil(n * 0.25) THEN l_quantity END) AS p25,
+        |  min(CASE WHEN rn = ceil(n * 0.5)  THEN l_quantity END) AS p50,
+        |  min(CASE WHEN rn = ceil(n * 0.9)  THEN l_quantity END) AS p90
+        |FROM ranked
+        |WHERE rn = ceil(n * 0.25) OR rn = ceil(n * 0.5)
+        |   OR rn = ceil(n * 0.9)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "null_funcs" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER')
+        |    AS seg_or_other,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos,
+        |  c_acctbal < 0 AS was_negative
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fuzzy_levenshtein_pairs" ->
+      """SELECT x.p_partkey AS p1,
+        |  CAST(levenshtein(x.p_name, y.p_name) AS INT) AS dist,
+        |  1.0 - CAST(levenshtein(x.p_name, y.p_name) AS DOUBLE)
+        |    / greatest(length(x.p_name), length(y.p_name)) AS sim
+        |FROM part x JOIN part y ON y.p_partkey = x.p_partkey + 1
+        |ORDER BY p1""".stripMargin
   )
 }

@@ -267,6 +267,24 @@ object Nested {
         .select(col("e.item").as("word"),
           col("e.count").cast("long").as("cnt"))
         .orderBy(col("cnt").desc, col("word")))
+    ,
+    "array_set_ops" -> ((s, d) => {
+      // array set algebra (array_intersect/union/except + array_sort):
+      // row-local vocabulary overlap between each doc and its
+      // successor — the token-level containment signal next to the
+      // shingle-level Jaccard operators. Sorted before output so the
+      // (unspecified) set-op element order can't leak into the hash.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("w"))
+      docs.as("x")
+        .join(docs.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+        .select(col("x.doc_id").as("doc_id"),
+          size(array_intersect(col("x.w"), col("y.w"))).as("n_shared"),
+          size(array_union(col("x.w"), col("y.w"))).as("n_union"),
+          try_element_at(array_sort(array_except(col("x.w"), col("y.w"))),
+            lit(1)).as("first_only_in_x"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -392,6 +410,16 @@ object Nested {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
         |        FROM documents)
         |  GROUP BY word ORDER BY cnt DESC, word LIMIT 5)
-        |ORDER BY cnt DESC, word""".stripMargin
+        |ORDER BY cnt DESC, word""".stripMargin,
+    "array_set_ops" ->
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w
+        |           FROM documents)
+        |SELECT x.doc_id AS doc_id,
+        |  CAST(len(list_intersect(x.w, y.w)) AS INT) AS n_shared,
+        |  CAST(len(list_distinct(list_concat(x.w, y.w))) AS INT) AS n_union,
+        |  list_sort(list_filter(x.w, t -> NOT list_contains(y.w, t)))[1]
+        |    AS first_only_in_x
+        |FROM w x JOIN w y ON y.doc_id = x.doc_id + 1
+        |ORDER BY doc_id""".stripMargin
   )
 }
