@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface for the event analytics (the batch
   * twins live in graft.queries.Events and are oracle-checked; these
@@ -182,6 +182,49 @@ object EventStreams {
   def writeBatch(path: String)(batch: Dataset[org.apache.spark.sql.Row],
                                id: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
+
+  final case class RunningTotal(user_id: Long, n: Long, sum_value: Double)
+
+  /** Per-user running totals on the Spark 4 `transformWithState`
+    * state-v2 API (the successor to flatMapGroupsWithState): typed
+    * `ValueState` from the processor handle, optional TTL, timers —
+    * and state lives in RocksDB, so per-key state spills to local SSD
+    * instead of capping at executor heap (the state-scaling limit of
+    * the v1 API at 100 TB/day key cardinalities).
+    *
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (state-v2 contract).
+    */
+  class RunningTotalProcessor(ttl: java.time.Duration = null)
+      extends StatefulProcessor[Long, Event, RunningTotal] {
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttlConf = if (ttl == null) TTLConfig.NONE else TTLConfig(ttl)
+      state = getHandle.getValueState[(Long, Double)]("running_total",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        ttlConf)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[RunningTotal] = {
+      var (n, sum) = if (state.exists()) state.get() else (0L, 0.0)
+      rows.foreach { e => n += 1; sum += e.value }
+      state.update((n, sum))
+      Iterator.single(RunningTotal(user, n, sum))
+    }
+  }
+
+  /** Update-mode per-user running (count, sum) via the processor. */
+  def runningTotals(events: Dataset[Event],
+                    ttl: java.time.Duration = null): Dataset[RunningTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionAcc(startMs: Long, lastMs: Long, cnt: Long,

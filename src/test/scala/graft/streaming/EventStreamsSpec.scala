@@ -223,6 +223,39 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState (state v2, RocksDB) accumulates per-user " +
+       "running totals across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val q = EventStreams.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("tws_test")
+      .outputMode("update").start()
+    try {
+      input.addData(Event(1L, ts(0), 2.0), Event(1L, ts(1), 3.0),
+        Event(2L, ts(0), 7.0))
+      q.processAllAvailable()
+      input.addData(Event(1L, ts(2), 5.0))
+      q.processAllAvailable()
+      // last update per user reflects the cumulative state
+      val got = spark.sql(
+        "SELECT user_id, max(n), max(sum_value) FROM tws_test GROUP BY 1")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === Set((1L, 3L, 10.0), (2L, 1L, 7.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionizeStateful (flatMapGroupsWithState) closes a session " +
        "when the in-batch gap exceeds 30 minutes") {
     implicit val sq = spark.sqlContext
