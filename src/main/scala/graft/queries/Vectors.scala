@@ -29,6 +29,16 @@ object Vectors {
         .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
         .orderBy("query_id", "rank")
     }),
+    "ann_pq_adc" -> ((s, d) => {
+      // product quantization + ADC scan + exact re-rank
+      // (operators/Pq): rows-only driver check (the learned codebooks
+      // aren't SQL-mirrorable); recall and score-exactness are pinned
+      // against brute force in PqSpec.
+      val corpus = prepped(s, d)
+      graft.operators.Pq.topK(corpus.where(col("id") < 5), corpus, 10)
+        .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
     "ann_lsh_hyperplane" -> ((s, d) => {
       // Scale path: sign-random-projection buckets (md5-derived ±1
       // planes shared verbatim with the oracle SQL).

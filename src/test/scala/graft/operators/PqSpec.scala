@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Similarity.prep(
+    graft.Tables.t(spark, sf("sf0.001"), "embeddings"),
+    "vec_id", "embedding", None).localCheckpoint()
+  private lazy val queries = corpus.where(col("id") < 10)
+
+  test("encode emits one code per subspace, all within the codebook") {
+    val cb = Pq.train(corpus, m = 8, k = 16)
+    assert(cb.count() === 8 * 16)
+    val enc = Pq.encode(corpus, cb, m = 8)
+    assert(enc.count() === corpus.count())
+    val bad = enc.where(size(col("codes")) =!= 8 ||
+      exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad === 0)
+  }
+
+  test("ADC + exact re-rank reaches high recall@10 against brute force " +
+       "and its reported scores are exact") {
+    val k = 10
+    val exact = Similarity.cosineTopK(queries, corpus, k)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    val pq = Pq.topK(queries, corpus, k, m = 8, codes = 16, rerank = 60)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+
+    val exactSets = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val pqSets = pq.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = exactSets.map { case (q, want) =>
+      pqSets.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }.toSeq
+    val recall = recalls.sum / recalls.size
+    assert(recall >= 0.6, s"mean recall@10 $recall below 0.6")
+
+    // every (query, vec) PQ returns carries the EXACT cosine — the
+    // approximation affects which candidates are found, not the scores
+    val exactScores = exact.map(r => (r._1, r._2) -> r._3).toMap
+    // recompute exact cosine for pq hits outside the brute-force top-k
+    val allExact = Similarity.cosineTopK(queries, corpus, 1000)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    pq.foreach { case (q, v, c) =>
+      assert(allExact((q, v)) === c, s"score mismatch for ($q,$v)")
+    }
+  }
+
+  test("PQ top-k is deterministic across runs") {
+    val a = Pq.topK(queries, corpus, 5).select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = Pq.topK(queries, corpus, 5).select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a === b)
+  }
+}
