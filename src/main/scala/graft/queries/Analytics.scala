@@ -481,6 +481,33 @@ object Analytics {
             .otherwise(col("c_acctbal")).as("bal_pos"),
           (col("c_acctbal") < 0).as("was_negative"))
         .orderBy("c_custkey")),
+    "grouping_sets_explicit" -> ((s, d) => {
+      // explicit GROUPING SETS (the general form behind rollup/cube):
+      // per-priority, per-status, and grand totals from ONE scan and
+      // one expanded shuffle — vs three separate aggregation jobs.
+      t(s, d, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE)
+          |         AS sum_price
+          |FROM gs_orders
+          |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+          |ORDER BY o_orderpriority NULLS FIRST,
+          |         o_orderstatus NULLS FIRST""".stripMargin)
+    }),
+    "explode_outer_empty" -> ((s, d) =>
+      // explode_outer NULL semantics: rows whose array is EMPTY (no
+      // digit runs exist in this corpus) survive with a NULL element —
+      // plain explode would silently drop every such parent row.
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode_outer(expr("regexp_extract_all(text, '[0-9]+', 0)"))
+            .as("digit_run"))
+        .groupBy(lit(1).as("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("digit_run")).as("n_non_null"),
+             countDistinct(col("doc_id")).as("n_docs"))
+        .select(col("n_rows"), col("n_non_null"), col("n_docs"))),
     "fuzzy_levenshtein_pairs" -> ((s, d) =>
       // edit-distance fuzzy matching (the record-linkage primitive):
       // each part against its successor key — a banded self-join (J4
@@ -783,6 +810,24 @@ object Analytics {
         |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos,
         |  c_acctbal < 0 AS was_negative
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "grouping_sets_explicit" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE)
+        |         AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |ORDER BY o_orderpriority NULLS FIRST,
+        |         o_orderstatus NULLS FIRST""".stripMargin,
+    "explode_outer_empty" ->
+      """WITH e AS (
+        |  SELECT d.doc_id, u.digit_run
+        |  FROM documents d LEFT JOIN
+        |    (SELECT doc_id, unnest(regexp_extract_all(text, '[0-9]+'))
+        |       AS digit_run
+        |     FROM documents) u USING (doc_id))
+        |SELECT count(*) AS n_rows, count(digit_run) AS n_non_null,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM e""".stripMargin,
     "fuzzy_levenshtein_pairs" ->
       """SELECT x.p_partkey AS p1,
         |  CAST(levenshtein(x.p_name, y.p_name) AS INT) AS dist,

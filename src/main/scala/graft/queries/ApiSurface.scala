@@ -40,6 +40,16 @@ object ApiSurface {
           |  AND l_discount BETWEEN 0.05 AND 0.07
           |  AND l_quantity < 24""".stripMargin)
     }),
+    "sql_group_by_all" -> ((s, d) => {
+      // GROUP BY ALL (modern SQL ergonomics, Spark 3.4+/DuckDB): the
+      // grouping keys are inferred as every non-aggregate select item.
+      t(s, d, "orders").createOrReplaceTempView("gba_orders")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+          |FROM gba_orders
+          |GROUP BY ALL
+          |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)
+    }),
     "typed_dataset_agg" -> ((s, d) => {
       import s.implicits._
       t(s, d, "customer")
@@ -67,6 +77,11 @@ object ApiSurface {
         |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "sql_group_by_all" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        |FROM orders
+        |GROUP BY ALL
+        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin,
     "typed_dataset_agg" ->
       """SELECT c_mktsegment, count(*) AS n_pos, max(c_acctbal) AS max_bal
         |FROM customer WHERE c_acctbal > 0.0

@@ -223,6 +223,33 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog in rate-limited " +
+       "micro-batches and then stops on its own") {
+    // the production catch-up pattern: process everything currently in
+    // the source (respecting maxFilesPerTrigger back-pressure), then
+    // terminate — batch economics with streaming exactly-once.
+    val dir = sf("sf0.001")
+    val staged = java.nio.file.Files.createTempDirectory("avnow")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.tumblingCounts(stream).writeStream
+      .format("memory").queryName("avnow_test").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      // terminates WITHOUT stop(): AvailableNow ends after the drain
+      assert(q.awaitTermination(120000), "query did not self-terminate")
+      val got = spark.sql("SELECT sum(cnt) FROM avnow_test").as[Long].head()
+      assert(got === graft.Tables.events(spark, dir).count())
+    } finally if (q.isActive) q.stop()
+  }
+
   test("transformWithState (state v2, RocksDB) accumulates per-user " +
        "running totals across micro-batches") {
     implicit val sq = spark.sqlContext
