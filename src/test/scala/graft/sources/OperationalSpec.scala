@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Operational concerns a long-lived 100 TB pipeline hits that never
+  * show up in query-correctness tests: schema evolution across
+  * historical partitions, and inline data-quality gates that don't
+  * cost an extra scan.
+  */
+class OperationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeSchema reads unify evolving parquet batches; old rows " +
+       "null-fill the added column") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    // batch 1: original schema
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    // batch 2: a column was added upstream
+    Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "name", "score"))
+    assert(merged.count() === 4)
+    // old-batch rows surface the new column as NULL, not an error
+    assert(merged.where(col("score").isNull).select("id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+    // WITHOUT mergeSchema the footer of one file wins — documents why
+    // the option exists (schema depends on which file is sampled)
+    val plain = spark.read.parquet(dir)
+    assert(plain.columns.length <= 3)
+  }
+
+  test("Observation collects data-quality metrics from the SAME pass " +
+       "that produced the output (no second scan)") {
+    val obs = Observation("qa")
+    val df = graft.Tables.t(spark, sf("sf0.001"), "orders")
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        count(when(col("o_totalprice") <= 0, lit(1))).as("bad_price"),
+        count(when(col("o_custkey").isNull, lit(1))).as("null_cust"))
+      .where(col("o_orderpriority") === "1-URGENT")
+    val kept = df.count()
+    val m = obs.get
+    // metrics describe the FULL scanned input, pre-filter — the QA
+    // gate a pipeline asserts before publishing its output
+    assert(m("rows").asInstanceOf[Long] > kept)
+    assert(m("bad_price").asInstanceOf[Long] === 0L)
+    assert(m("null_cust").asInstanceOf[Long] === 0L)
+  }
+}
