@@ -23,7 +23,7 @@ import graft.Tables.t
   *     single time with the comparison fully pushable.
   *
   * Decimal casts on every aggregate keep the comparisons exact and
-  * engine-portable (see ORACLES.md rules).
+  * engine-portable (README "Correctness strategy" rules).
   */
 object Subqueries {
   type Q = (SparkSession, String) => DataFrame
