@@ -19,7 +19,9 @@ object Bench {
     "events_tumbling_window", "events_sessionize", "events_asof_join",
     "corpus_curate", "heavy_hitters_words", "bloom_semi_join",
     "window_range_frame", "pack_chunks", "decontaminate",
-    "sql_exists_correlated", "sql_in_subquery", "dedup_cluster_cc")
+    "sql_exists_correlated", "sql_in_subquery", "dedup_cluster_cc",
+    "events_funnel", "events_interval_overlap", "cohort_retention_weeks",
+    "pagerank_fixed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -24,7 +24,9 @@ object SparkEntry {
       graft.queries.Events.queries ++
       graft.queries.Nested.queries ++
       graft.queries.ApiSurface.queries ++
-      graft.queries.Subqueries.queries
+      graft.queries.Subqueries.queries ++
+      graft.queries.Behavioral.queries ++
+      graft.queries.Robustness.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +39,7 @@ object SparkEntry {
       graft.queries.Events.oracles ++
       graft.queries.Nested.oracles ++
       graft.queries.ApiSurface.oracles ++
-      graft.queries.Subqueries.oracles
+      graft.queries.Subqueries.oracles ++
+      graft.queries.Behavioral.oracles ++
+      graft.queries.Robustness.oracles
 }

@@ -27,6 +27,8 @@ object Multimodal {
                                  features: Array[Float])
   final case class Frame(asset_id: Long, frame_no: Int, offset: Long,
                          frame_bytes: Array[Byte])
+  final case class SignalWindow(asset_id: Long, win_no: Int, start: Long,
+                                sum_sq: Long)
 
   /** ??? real codec goes here ??? — deterministic stand-in: hashes
     * 64-byte strides of the payload into a fixed-dim float vector.
@@ -71,6 +73,37 @@ object Multimodal {
         Frame(r.asset_id, f, f.toLong * frameSize,
           java.util.Arrays.copyOfRange(r.bytes, f * frameSize,
             (f + 1) * frameSize))
+      }
+    }
+  }
+
+  /** Audio-style signal windowing: overlapping `winSize`-sample
+    * windows every `hop` samples (50% overlap at hop = winSize/2 —
+    * the standard STFT framing), with per-window energy as the exact
+    * integer sum of squared unsigned samples. Only full windows emit.
+    * Like [[resize]] this is NOT a stub for raw PCM-8 buffers; for
+    * encoded audio swap the byte read for a decoder. Generator-shaped
+    * flatMap — streaming, no partition materialization, and the
+    * window loop is row-local so the operator is embarrassingly
+    * parallel at 100 TB.
+    */
+  def windowSignal(media: Dataset[MediaRow], winSize: Int,
+                   hop: Int): Dataset[SignalWindow] = {
+    require(winSize > 0 && hop > 0, s"winSize=$winSize hop=$hop")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = if (r.bytes == null) 0 else r.bytes.length
+      val nWin = if (len < winSize) 0 else (len - winSize) / hop + 1
+      (0 until nWin).iterator.map { w =>
+        val off = w * hop
+        var s = 0L
+        var j = 0
+        while (j < winSize) {
+          val v = (r.bytes(off + j) & 0xff).toLong
+          s += v * v
+          j += 1
+        }
+        SignalWindow(r.asset_id, w, off.toLong, s)
       }
     }
   }

@@ -522,7 +522,23 @@ object Analytics {
             .cast("double") /
             greatest(length(col("x.p_name")), length(col("y.p_name"))))
             .as("sim"))
-        .orderBy("p1"))
+        .orderBy("p1")),
+    "pagerank_fixed" -> ((s, d) => {
+      // G3: PageRank over the customer→supplier purchase graph
+      // (operators/PageRank): 3 power iterations, dangling supplier
+      // mass redistributed. Node ids are disambiguated 2c / 2s+1
+      // (customers and suppliers share the integer key space). Ranks
+      // are shuffle-order doubles → rows-only driver check; the
+      // recurrence itself is pinned by PageRankSpec against a
+      // driver-side reference.
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+                (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.operators.PageRank.run(edges, iters = 3)
+        .orderBy("node")
+    })
   )
 
   val oracles: Map[String, String] = Map(

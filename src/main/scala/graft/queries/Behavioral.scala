@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Behavioral / product analytics over the event stream: ordered
+  * funnels, state transitions, cohort retention, time-weighted
+  * averages — the query shapes a reference user runs daily on event
+  * data (the reference's validation notebooks do the same
+  * first-event anchoring and period bucketing on revisions, e.g.
+  * 04-quarterly-update.Rmd's vintage comparisons).
+  *
+  * Scale notes (why these hold at 100 TB):
+  *   - every query here is ONE hash shuffle on `user_id` (or one on
+  *     the grouping key); consecutive window specs share the same
+  *     partitioning, so Catalyst plans a single exchange with stacked
+  *     Window operators — no per-stage re-shuffle;
+  *   - funnels use conditional window minima, not self-joins: a
+  *     3-stage funnel over 100 TB is 3 Window ops on one exchange,
+  *     not 3 joins;
+  *   - retention counts distinct (user, week) pairs AFTER collapsing
+  *     events map-side — the heavy stream never reaches the distinct;
+  *   - time-weighted sums accumulate in exact decimal (value ×
+  *     duration), so results are order-insensitive and match the
+  *     oracle bit-for-bit; the single double division happens last.
+  */
+object Behavioral {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def byUser = Window.partitionBy(col("user_id"))
+  private def userOrder =
+    Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  val queries: Map[String, Q] = Map(
+    "events_funnel" -> ((s, d) => {
+      // Ordered 3-stage funnel signup → click → purchase: each stage's
+      // anchor is the earliest qualifying event AFTER the previous
+      // stage's anchor. Conditional minima over the same user
+      // partition — one shuffle, three stacked Window ops, no
+      // self-joins (each stage of a join-based funnel would re-shuffle
+      // the full stream).
+      val ev = Tables.events(s, d)
+      val staged = ev
+        .withColumn("t1",
+          min(when(col("event_type") === "signup", col("ts"))).over(byUser))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"),
+            col("ts"))).over(byUser))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+            col("ts"))).over(byUser))
+      staged
+        .groupBy(col("user_id"))
+        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+             max(col("t3")).as("t3"))
+        .agg(count(lit(1)).as("n_users"),
+             count(col("t1")).as("n_signup"),
+             count(col("t2")).as("n_click_after_signup"),
+             count(col("t3")).as("n_purchase_after_click"))
+    }),
+    "events_transition_counts" -> ((s, d) => {
+      // Markov transition census: (previous event type → event type)
+      // counts plus the exact total dwell time between them. lag()
+      // over the user timeline — one shuffle on user_id, then a tiny
+      // 25-row aggregate.
+      val ev = Tables.events(s, d)
+      ev.withColumn("prev_type", lag(col("event_type"), 1).over(userOrder))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) -
+            unix_micros(lag(col("ts"), 1).over(userOrder)))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("gap_us")).as("sum_gap_us"))
+        .orderBy("prev_type", "next_type")
+    }),
+    "events_time_weighted_avg" -> ((s, d) => {
+      // Time-weighted average value per user: each event's value is
+      // held until the next event (lead); the last event carries no
+      // weight. The weighted sum accumulates as EXACT integer
+      // cents × µs (order-insensitive, and BIGINT→DOUBLE is a single
+      // correctly-rounded conversion in every engine — a DECIMAL(38,2)
+      // here would take two roundings on the DuckDB side); the two
+      // double divisions happen once, at the end, in a fixed order.
+      val ev = Tables.events(s, d)
+      ev.withColumn("dur_us",
+          unix_micros(lead(col("ts"), 1).over(userOrder)) -
+            unix_micros(col("ts")))
+        .where(col("dur_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(col("dur_us")).as("total_dur_us"),
+             sum(round(col("value") * 100).cast("long") * col("dur_us"))
+               .as("wsum_cents"))
+        .select(col("user_id"), col("total_dur_us"),
+                (dbl(col("wsum_cents")) / dbl(col("total_dur_us")) /
+                  lit(100.0)).as("time_weighted_value"))
+        .orderBy("user_id")
+    }),
+    "cohort_retention_weeks" -> ((s, d) => {
+      // Cohort retention: users grouped by first-event week; for each
+      // cohort, how many distinct users were active k weeks later.
+      // The (user, week) grid collapses map-side before the distinct —
+      // the raw stream never reaches the count-distinct shuffle.
+      val ev = Tables.events(s, d)
+      ev.withColumn("cohort_week",
+          date_trunc("week", min(col("ts")).over(byUser)).cast("date"))
+        .withColumn("week", date_trunc("week", col("ts")).cast("date"))
+        .select(col("user_id"), col("cohort_week"), col("week"))
+        .distinct()
+        .withColumn("week_index",
+          (datediff(col("week"), col("cohort_week")) / lit(7)).cast("int"))
+        .groupBy(col("cohort_week"), col("week_index"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_index")
+    }),
+    "events_session_window_fn" -> ((s, d) =>
+      // Spark's NATIVE session_window() (vs the manual gaps-and-islands
+      // of events_sessionize): merges events whose [ts, ts+gap) spans
+      // overlap; session end = last event + gap. Same single shuffle
+      // on user_id; this is the form that also runs under Structured
+      // Streaming with watermark-evicted state.
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+                col("session_window.start").as("session_start"),
+                col("session_window.end").as("session_end"),
+                col("cnt"), col("sum_value"))
+        .orderBy("user_id", "session_start")),
+    "window_rolling_median" -> ((s, d) => {
+      // Rolling exact median over a trailing 5-row frame. Restricted
+      // to full frames (rn >= 5) so the median is a pure element pick
+      // of the sorted window — no interpolation arithmetic to drift
+      // across engines. percentile() rides the window frame; no
+      // self-join, one shuffle.
+      val ev = Tables.events(s, d)
+      ev.withColumn("rn", row_number().over(userOrder))
+        .withColumn("med5",
+          percentile(col("value"), lit(0.5))
+            .over(userOrder.rowsBetween(-4, 0)))
+        .where(col("rn") >= 5)
+        .select(col("user_id"), col("event_id"), col("value"), col("med5"))
+        .orderBy("user_id", "event_id")
+    })
+  )
+
+  private val evSql =
+    """ev AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |              event_type, value, props FROM events)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      s"""WITH $evSql,
+         |x AS (SELECT user_id, ts, event_type,
+         |        min(CASE WHEN event_type = 'signup' THEN ts END)
+         |          OVER (PARTITION BY user_id) AS t1
+         |      FROM ev),
+         |y AS (SELECT *,
+         |        min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+         |          OVER (PARTITION BY user_id) AS t2
+         |      FROM x),
+         |z AS (SELECT *,
+         |        min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+         |          OVER (PARTITION BY user_id) AS t3
+         |      FROM y),
+         |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+         |      FROM z GROUP BY 1)
+         |SELECT count(*) AS n_users, count(t1) AS n_signup,
+         |       count(t2) AS n_click_after_signup,
+         |       count(t3) AS n_purchase_after_click
+         |FROM u""".stripMargin,
+    "events_transition_counts" ->
+      s"""WITH $evSql,
+         |x AS (SELECT event_type,
+         |        lag(event_type) OVER
+         |          (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         |        epoch_us(ts) - epoch_us(lag(ts) OVER
+         |          (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+         |      FROM ev)
+         |SELECT prev_type, event_type AS next_type, count(*) AS cnt,
+         |       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+         |FROM x WHERE prev_type IS NOT NULL
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_time_weighted_avg" ->
+      s"""WITH $evSql,
+         |x AS (SELECT user_id, value,
+         |        epoch_us(lead(ts) OVER
+         |          (PARTITION BY user_id ORDER BY ts, event_id))
+         |          - epoch_us(ts) AS dur_us
+         |      FROM ev),
+         |g AS (SELECT user_id,
+         |        CAST(sum(dur_us) AS BIGINT) AS total_dur_us,
+         |        CAST(sum(CAST(round(value * 100) AS BIGINT) * dur_us)
+         |          AS BIGINT) AS wsum_cents
+         |      FROM x WHERE dur_us IS NOT NULL GROUP BY 1)
+         |SELECT user_id, total_dur_us,
+         |       CAST(wsum_cents AS DOUBLE) / CAST(total_dur_us AS DOUBLE)
+         |         / 100.0 AS time_weighted_value
+         |FROM g ORDER BY 1""".stripMargin,
+    "cohort_retention_weeks" ->
+      s"""WITH $evSql,
+         |x AS (SELECT user_id,
+         |        CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+         |          AS DATE) AS cohort_week,
+         |        CAST(date_trunc('week', ts) AS DATE) AS week
+         |      FROM ev),
+         |g AS (SELECT DISTINCT user_id, cohort_week, week FROM x)
+         |SELECT cohort_week,
+         |       CAST(date_diff('day', cohort_week, week) // 7 AS INT)
+         |         AS week_index,
+         |       count(*) AS n_users
+         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_session_window_fn" ->
+      s"""WITH $evSql,
+         |x AS (SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+         |        (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+         |      THEN 1 ELSE 0 END AS ns
+         |      FROM ev),
+         |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM x)
+         |SELECT user_id, min(ts) AS session_start,
+         |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |       count(*) AS cnt,
+         |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+    "window_rolling_median" ->
+      s"""WITH $evSql,
+         |x AS (SELECT user_id, event_id, value,
+         |        row_number() OVER
+         |          (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         |        quantile_cont(value, 0.5) OVER
+         |          (PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+         |      FROM ev)
+         |SELECT user_id, event_id, value, med5
+         |FROM x WHERE rn >= 5 ORDER BY 1, 2""".stripMargin
+  )
+}

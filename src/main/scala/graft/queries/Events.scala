@@ -105,7 +105,27 @@ object Events {
         .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
         .select(col("window.start").as("window_start"), col("event_type"),
                 col("cnt"), col("sum_value"))
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+    "events_interval_overlap" -> ((s, d) => {
+      // J14: interval overlap join (operators/IntervalJoin) — user
+      // co-activity: pairs of users whose weekly active spans
+      // [first event, last event] overlapped in time. Bucketized to
+      // day-sized bands + canonical-bucket dedup — an equi-join whose
+      // cost follows match density, not the O(n²) theta join the
+      // oracle runs.
+      val iv = Tables.events(s, d)
+        .where(col("user_id") < 40)
+        .groupBy(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(min(unix_micros(col("ts"))).as("start_us"),
+             max(unix_micros(col("ts"))).as("end_us"))
+      graft.operators.IntervalJoin
+        .overlapJoin(iv, iv, "start_us", "end_us", 86400L * 1000000L)
+        .where(col("l_user_id") < col("r_user_id"))
+        .select(col("l_user_id"), col("l_week"),
+                col("r_user_id"), col("r_week"))
+        .orderBy("l_user_id", "l_week", "r_user_id", "r_week")
+    })
   )
 
   private val evSql =
@@ -174,6 +194,17 @@ object Events {
          |      event_type, value FROM ev)
          |SELECT window_start, event_type, count(*) AS cnt,
          |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_interval_overlap" ->
+      s"""WITH $evSql,
+         |iv AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+         |         CAST(min(epoch_us(ts)) AS BIGINT) AS start_us,
+         |         CAST(max(epoch_us(ts)) AS BIGINT) AS end_us
+         |       FROM ev WHERE user_id < 40 GROUP BY 1, 2)
+         |SELECT a.user_id AS l_user_id, a.week AS l_week,
+         |       b.user_id AS r_user_id, b.week AS r_week
+         |FROM iv a JOIN iv b ON a.user_id < b.user_id
+         |  AND a.start_us <= b.end_us AND b.start_us <= a.end_us
+         |ORDER BY 1, 2, 3, 4""".stripMargin
   )
 }

@@ -190,6 +190,25 @@ object Nested {
           md5(col("bytes")).as("thumb_md5"))
         .orderBy("doc_id")
     }),
+    "media_audio_windows" -> ((s, d) => {
+      // M3 audio windowing under the oracle gate: documents' UTF-8
+      // bytes stand in for PCM-8 samples; 32-sample windows every 16
+      // (50% overlap, STFT framing), per-window energy as the exact
+      // integer sum of squares — the REAL Multimodal.windowSignal
+      // loop. The oracle mirrors the framing with ascii(substring)
+      // sums (ASCII corpus ⇒ byte == code point).
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          graft.multimodal.Multimodal.MediaRow(
+            id, "audio", text.getBytes("UTF-8"), 0, 0) }
+      graft.multimodal.Multimodal.windowSignal(media, winSize = 32, hop = 16)
+        .toDF()
+        .select(col("asset_id").as("doc_id"), col("win_no"),
+          col("start"), col("sum_sq"))
+        .orderBy("doc_id", "win_no")
+    }),
     "pack_chunks" -> ((s, d) =>
       // concat-and-chunk sequence packing (operators/Packing): global
       // exclusive prefix sum computed with a range shuffle + two narrow
@@ -366,6 +385,18 @@ object Nested {
          |FROM documents WHERE length(text) >= 64
          |ORDER BY doc_id""".stripMargin
     },
+    "media_audio_windows" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(i AS INT) AS win_no,
+        |         CAST(i * 16 AS BIGINT) AS start,
+        |         ascii(substring(text, CAST(i * 16 + j + 1 AS INT), 1)) AS a
+        |  FROM documents,
+        |    UNNEST(range(CASE WHEN length(text) >= 32
+        |                 THEN (length(text) - 32) // 16 + 1
+        |                 ELSE 0 END)) AS u(i),
+        |    UNNEST(range(32)) AS v(j))
+        |SELECT doc_id, win_no, start, CAST(sum(a * a) AS BIGINT) AS sum_sq
+        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
     "pack_chunks" ->
       """WITH d AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS toks

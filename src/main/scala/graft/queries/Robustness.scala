@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.Fns._
+
+/** Error-safe scalars, explicit null ordering, pagination, and
+  * fixed-width bucketing — the "unglamorous" relational surface that
+  * real migrations trip over (the reference leans on R's silent
+  * NA-propagating arithmetic, e.g. gpd_etl_pipeline.R's growth-rate
+  * divisions; `try_divide`/`try_cast` are the engine-side analog with
+  * explicit NULL-on-error semantics).
+  *
+  * Scale notes:
+  *   - try_* functions are codegen'd row-local expressions — no UDF,
+  *     no fallback out of whole-stage codegen;
+  *   - the histogram buckets map-side into a handful of groups (the
+  *     classic 100 TB profile query: one scan, 20-row result);
+  *   - ORDER BY ... LIMIT/OFFSET plans a TakeOrderedAndProject-style
+  *     top-(offset+limit) — executors keep (offset+limit)-row heaps,
+  *     only those rows reach the driver, never the full sort;
+  *   - the NULLS FIRST/LAST ranks use a single global Window only
+  *     because the result is the per-row rank itself (1.5k dim rows);
+  *     at scale the same orderings appear as sort keys, which range-
+  *     partition instead.
+  */
+object Robustness {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "try_arith" -> ((s, d) =>
+      // NULL-on-error arithmetic: division by a data-dependent zero
+      // and an unparseable cast, both yielding NULL instead of a
+      // runtime error — per-row robust, fully codegen'd.
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          try_divide(col("l_extendedprice"), col("l_quantity") - lit(25.0))
+            .as("ratio_to_qty25"),
+          expr("try_cast(l_returnflag AS INT)").as("flag_int"),
+          expr("try_cast(l_linenumber AS STRING)").as("line_str"))
+        .orderBy("l_orderkey", "l_linenumber")),
+    "sort_nulls_ordering" -> ((s, d) => {
+      // Explicit NULLS FIRST / NULLS LAST: engines disagree on default
+      // null placement, so portable sorts must pin it. Both ranks ride
+      // one ordering each; the rank column makes placement observable
+      // to the oracle hash.
+      val c = t(s, d, "customer")
+        .withColumn("val",
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      val nf = Window.orderBy(col("val").asc_nulls_first, col("c_custkey"))
+      val nl = Window.orderBy(col("val").desc_nulls_last, col("c_custkey").desc)
+      c.select(col("c_custkey"), col("val"),
+               row_number().over(nf).as("rn_nulls_first"),
+               row_number().over(nl).as("rn_nulls_last"))
+        .orderBy("c_custkey")
+    }),
+    "limit_offset_page" -> ((s, d) =>
+      // Pagination: ORDER BY ... OFFSET 40 LIMIT 20 (rows 41-60 of the
+      // price leaderboard). Total tiebreak on o_orderkey keeps the
+      // page deterministic; executors only ever hold offset+limit rows.
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(40).limit(20)),
+    "histogram_fixed_width" -> ((s, d) =>
+      // Fixed-width histogram of order totals: 20 × 30k buckets with a
+      // clamped overflow bucket. bucket = least(floor(p/30000), 19) is
+      // a pure map-side expression — one scan, one 20-row shuffle.
+      t(s, d, "orders")
+        .select(least(floor(col("o_totalprice") / lit(30000.0)), lit(19.0))
+                  .cast("int").as("bucket"),
+                col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+             dbl(min(col("o_totalprice"))).as("min_price"),
+             dbl(max(col("o_totalprice"))).as("max_price"),
+             moneySum(col("o_totalprice")).as("sum_price"))
+        .orderBy("bucket"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice / nullif(l_quantity - 25.0, 0.0) AS ratio_to_qty25,
+        |  TRY_CAST(l_returnflag AS INT) AS flag_int,
+        |  CAST(l_linenumber AS VARCHAR) AS line_str
+        |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "sort_nulls_ordering" ->
+      """WITH c AS (SELECT c_custkey,
+        |    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS val
+        |  FROM customer)
+        |SELECT c_custkey, val,
+        |  CAST(row_number() OVER (ORDER BY val ASC NULLS FIRST, c_custkey)
+        |    AS INT) AS rn_nulls_first,
+        |  CAST(row_number() OVER (ORDER BY val DESC NULLS LAST,
+        |    c_custkey DESC) AS INT) AS rn_nulls_last
+        |FROM c ORDER BY 1""".stripMargin,
+    "limit_offset_page" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 20 OFFSET 40""".stripMargin,
+    "histogram_fixed_width" ->
+      """SELECT CAST(least(floor(o_totalprice / 30000.0), 19.0) AS INT)
+        |    AS bucket,
+        |  count(*) AS cnt,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

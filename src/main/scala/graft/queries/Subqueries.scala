@@ -102,6 +102,27 @@ object Subqueries {
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)
     }),
+    "sql_recursive_cte" -> ((s, d) => {
+      // WITH RECURSIVE through spark.sql (Spark 4 UnionLoop): a
+      // 30-level recursive date spine left-joined to daily click
+      // counts — the recursive analog of gap_fill_days. The spine is
+      // driver-tiny (one row per iteration); the event side aggregates
+      // map-side before the broadcast-able join, so recursion depth,
+      // not data volume, bounds the loop.
+      graft.Tables.events(s, d).createOrReplaceTempView("sq6_events")
+      s.sql(
+        """WITH RECURSIVE spine AS (
+          |  SELECT DATE '2024-01-01' AS d
+          |  UNION ALL
+          |  SELECT date_add(d, 1) FROM spine WHERE d < DATE '2024-01-30'
+          |),
+          |clicks AS (SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
+          |           FROM sq6_events WHERE event_type = 'click'
+          |           GROUP BY CAST(ts AS DATE))
+          |SELECT s.d, coalesce(c.cnt, 0) AS cnt
+          |FROM spine s LEFT JOIN clicks c ON s.d = c.d
+          |ORDER BY s.d""".stripMargin)
+    }),
     "sql_lateral_topn" -> ((s, d) => {
       // correlated LATERAL subquery with ORDER BY + LIMIT: per-region
       // top-2 customers by balance through their nations. Catalyst
@@ -162,6 +183,19 @@ object Subqueries {
         |      (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE spine AS (
+        |  SELECT DATE '2024-01-01' AS d
+        |  UNION ALL
+        |  SELECT d + 1 FROM spine WHERE d < DATE '2024-01-30'
+        |),
+        |ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |clicks AS (SELECT CAST(ts AS DATE) AS d, count(*) AS cnt
+        |           FROM ev WHERE event_type = 'click'
+        |           GROUP BY CAST(ts AS DATE))
+        |SELECT s.d, coalesce(c.cnt, 0) AS cnt
+        |FROM spine s LEFT JOIN clicks c ON s.d = c.d
+        |ORDER BY s.d""".stripMargin,
     "sql_lateral_topn" ->
       """SELECT r.r_name, t.c_name, t.c_acctbal
         |FROM region r,
