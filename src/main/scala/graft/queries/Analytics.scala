@@ -523,6 +523,33 @@ object Analytics {
             greatest(length(col("x.p_name")), length(col("y.p_name"))))
             .as("sim"))
         .orderBy("p1")),
+    "anomaly_zscore_exact" -> ((s, d) => {
+      // A22: outlier census (|x − mean| > 2σ per group) with ZERO
+      // floating-point error: multiply the inequality through by n² —
+      //   (n·x − S1)² > 4·(n·S2 − S1²)
+      // — and evaluate in exact integer/decimal arithmetic over power
+      // sums of cents. No sqrt, no division, no order-dependent double
+      // accumulation; one window shuffle for the power sums, then a
+      // 3-row aggregate.
+      import org.apache.spark.sql.types.DecimalType
+      def d38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val w = Window.partitionBy(col("l_returnflag"))
+      t(s, d, "lineitem")
+        .withColumn("x", round(col("l_extendedprice") * 100).cast("long"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("x")).over(w))
+        .withColumn("s2", sum(d38(col("x") * col("x"))).over(w))
+        .withColumn("lhs_root",
+          d38(col("n")) * d38(col("x")) - d38(col("s1")))
+        .withColumn("flag",
+          col("lhs_root") * col("lhs_root") >
+            d38(lit(4)) * (d38(col("n")) * col("s2") -
+              d38(col("s1")) * d38(col("s1"))))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(when(col("flag"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("l_returnflag")
+    }),
     "pagerank_fixed" -> ((s, d) => {
       // G3: PageRank over the customer→supplier purchase graph
       // (operators/PageRank): 3 power iterations, dangling supplier
@@ -850,6 +877,19 @@ object Analytics {
         |  1.0 - CAST(levenshtein(x.p_name, y.p_name) AS DOUBLE)
         |    / greatest(length(x.p_name), length(y.p_name)) AS sim
         |FROM part x JOIN part y ON y.p_partkey = x.p_partkey + 1
-        |ORDER BY p1""".stripMargin
+        |ORDER BY p1""".stripMargin,
+    "anomaly_zscore_exact" ->
+      """WITH c AS (SELECT l_returnflag,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS x
+        |           FROM lineitem),
+        |g AS (SELECT l_returnflag, count(*) AS n,
+        |        sum(x) AS s1, sum(x * x) AS s2
+        |      FROM c GROUP BY 1)
+        |SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN (g.n * c.x - g.s1) * (g.n * c.x - g.s1)
+        |                   > 4 * (g.n * g.s2 - g.s1 * g.s1)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM c JOIN g USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -130,6 +130,23 @@ object Behavioral {
                 col("session_window.end").as("session_end"),
                 col("cnt"), col("sum_value"))
         .orderBy("user_id", "session_start")),
+    "window_ignore_nulls" -> ((s, d) => {
+      // Last-observation-carried-forward (LOCF): error events carry no
+      // reading, so the last non-null value fills forward —
+      // last(..., ignoreNulls) over a running frame, the sensor-data
+      // densification primitive. One shuffle on user_id; no self-join
+      // back to the last valid row.
+      val ev = Tables.events(s, d)
+      ev.withColumn("v",
+          when(col("event_type") === "error", lit(null))
+            .otherwise(col("value")))
+        .withColumn("v_locf",
+          last(col("v"), ignoreNulls = true)
+            .over(userOrder.rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("v"), col("v_locf"))
+        .orderBy("user_id", "event_id")
+    }),
     "window_rolling_median" -> ((s, d) => {
       // Rolling exact median over a trailing 5-row frame. Restricted
       // to full frames (rn >= 5) so the median is a pure element pick
@@ -227,6 +244,17 @@ object Behavioral {
          |       count(*) AS cnt,
          |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+    "window_ignore_nulls" ->
+      s"""WITH $evSql,
+         |x AS (SELECT user_id, event_id, ts,
+         |        CASE WHEN event_type = 'error' THEN NULL
+         |             ELSE value END AS v
+         |      FROM ev)
+         |SELECT user_id, event_id, v,
+         |  last_value(v IGNORE NULLS) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id
+         |     ROWS UNBOUNDED PRECEDING) AS v_locf
+         |FROM x ORDER BY 1, 2""".stripMargin,
     "window_rolling_median" ->
       s"""WITH $evSql,
          |x AS (SELECT user_id, event_id, value,

@@ -65,6 +65,21 @@ object Robustness {
         .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .offset(40).limit(20)),
+    "scalar_string_funcs2" -> ((s, d) =>
+      // second string-surface sweep: field splitting, character
+      // mapping, affix slicing — all codegen'd row-local expressions
+      // (no UDF), evaluated in one projection over the scan.
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          expr("split_part(p_name, ' ', 2)").as("noun"),
+          expr("split_part(p_brand, '#', 2)").as("brand_num"),
+          translate(col("p_type"), "AEO", "aeo").as("type_tr"),
+          reverse(col("p_name")).as("name_rev"),
+          expr("repeat(p_brand, 2)").as("brand2"),
+          expr("position(' ' IN p_name)").cast("int").as("space_pos"),
+          expr("left(p_name, 3)").as("l3"),
+          expr("right(p_name, 3)").as("r3"))
+        .orderBy("p_partkey")),
     "histogram_fixed_width" -> ((s, d) =>
       // Fixed-width histogram of order totals: 20 × 30k buckets with a
       // clamped overflow bucket. bucket = least(floor(p/30000), 19) is
@@ -103,6 +118,17 @@ object Robustness {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 20 OFFSET 40""".stripMargin,
+    "scalar_string_funcs2" ->
+      """SELECT p_partkey,
+        |  split_part(p_name, ' ', 2) AS noun,
+        |  split_part(p_brand, '#', 2) AS brand_num,
+        |  translate(p_type, 'AEO', 'aeo') AS type_tr,
+        |  reverse(p_name) AS name_rev,
+        |  repeat(p_brand, 2) AS brand2,
+        |  CAST(position(' ' IN p_name) AS INT) AS space_pos,
+        |  left(p_name, 3) AS l3,
+        |  right(p_name, 3) AS r3
+        |FROM part ORDER BY 1""".stripMargin,
     "histogram_fixed_width" ->
       """SELECT CAST(least(floor(o_totalprice / 30000.0), 19.0) AS INT)
         |    AS bucket,

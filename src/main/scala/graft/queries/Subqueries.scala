@@ -102,6 +102,22 @@ object Subqueries {
           |GROUP BY o_orderpriority
           |ORDER BY o_orderpriority""".stripMargin)
     }),
+    "sql_correlated_scalar_min" -> ((s, d) => {
+      // TPC-H Q2 shape: rows matching a correlated per-group minimum.
+      // Catalyst de-correlates the scalar subquery into a grouped min
+      // + equi-join on the correlation key — the inner query runs
+      // once as an aggregate, not per outer row. Equality on the min
+      // is an exact stored-value pick (no arithmetic), so doubles
+      // compare portably.
+      views(s, d, "sq7")
+      s.sql(
+        """SELECT c.c_nationkey, c.c_name, c.c_acctbal
+          |FROM sq7_customer c
+          |WHERE c.c_acctbal = (SELECT min(c2.c_acctbal)
+          |                     FROM sq7_customer c2
+          |                     WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c.c_nationkey, c.c_name""".stripMargin)
+    }),
     "sql_recursive_cte" -> ((s, d) => {
       // WITH RECURSIVE through spark.sql (Spark 4 UnionLoop): a
       // 30-level recursive date spine left-joined to daily click
@@ -183,6 +199,13 @@ object Subqueries {
         |      (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "sql_correlated_scalar_min" ->
+      """SELECT c.c_nationkey, c.c_name, c.c_acctbal
+        |FROM customer c
+        |WHERE c.c_acctbal = (SELECT min(c2.c_acctbal)
+        |                     FROM customer c2
+        |                     WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c.c_nationkey, c.c_name""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE spine AS (
         |  SELECT DATE '2024-01-01' AS d

@@ -183,6 +183,46 @@ object EventStreams {
                                id: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$path/batch_id=$id")
 
+  /** Streaming → serving table: per-user totals maintained by an
+    * update-mode streaming aggregation, MERGEd into a parquet table
+    * every micro-batch (foreachBatch + operators/Merge.upsert — the
+    * streaming→lakehouse upsert pattern). Update mode emits only the
+    * keys whose totals changed this trigger, so the merge input is
+    * delta-sized no matter how large the key space grows. The
+    * full-table rewrite is plain-parquet's price; a table format with
+    * row-level commits (Iceberg/Delta) swaps into [[upsertBatch]] as
+    * its MERGE INTO with the streaming side unchanged.
+    */
+  def startUpsertTotalsSink(events: DataFrame, tablePath: String,
+                            checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(upsertBatch(tablePath) _)
+      .start()
+
+  /** One micro-batch of the serving-table merge, exposed for direct
+    * replay in tests. Materializes both the delta and the merge
+    * result BEFORE overwriting (parquet can't atomically read-modify-
+    * write the directory it is replacing).
+    */
+  def upsertBatch(tablePath: String)(
+      batch: Dataset[org.apache.spark.sql.Row], id: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = batch.localCheckpoint(true)
+    val merged =
+      if (new java.io.File(tablePath).exists())
+        graft.operators.Merge
+          .upsert(spark.read.parquet(tablePath), delta, "user_id")
+          .localCheckpoint(true)
+      else delta
+    merged.write.mode("overwrite").parquet(tablePath)
+  }
+
   final case class RunningTotal(user_id: Long, n: Long, sum_value: Double)
 
   /** Per-user running totals on the Spark 4 `transformWithState`

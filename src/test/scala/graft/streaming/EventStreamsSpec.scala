@@ -146,6 +146,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("startUpsertTotalsSink maintains a parquet serving table of " +
+       "per-user totals across micro-batches (update-mode MERGE)") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val table = java.nio.file.Files.createTempDirectory("upsert_tbl")
+      .resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
+    val q = startUpsertTotalsSink(df, table, ckpt)
+    try {
+      input.addData((7L, ts(0), 1.0), (7L, ts(1), 2.0), (8L, ts(2), 5.0))
+      q.processAllAvailable()
+      val first = spark.read.parquet(table)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(first === Set((7L, 2L, 3.0), (8L, 1L, 5.0)))
+      // second trigger updates user 7, leaves 8 untouched, inserts 9
+      input.addData((7L, ts(3), 4.0), (9L, ts(4), 0.5))
+      q.processAllAvailable()
+      val second = spark.read.parquet(table)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(second === Set((7L, 3L, 7.0), (8L, 1L, 5.0), (9L, 1L, 0.5)))
+    } finally q.stop()
+  }
+
   test("intervalJoin pairs purchases with same-user clicks within the " +
        "delay bound on two MemoryStreams") {
     implicit val sq = spark.sqlContext
