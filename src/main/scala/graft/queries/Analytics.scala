@@ -172,6 +172,24 @@ object Analytics {
         .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
         .orderBy("day")
     }),
+    "gap_fill_months" -> ((s, d) => {
+      // month-grain densification: same spine pattern as gap_fill_days
+      // but stepping by calendar months (28–31-day steps — interval
+      // arithmetic, not a fixed divisor). Zero rows for silent months.
+      val monthly = t(s, d, "orders")
+        .where(col("o_orderstatus") === "F")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
+          .as("month"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(false)
+      val spine = monthly
+        .agg(min(col("month")).as("lo"), max(col("month")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 month"))).as("month"))
+      spine.join(monthly, Seq("month"), "left")
+        .select(col("month"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+        .orderBy("month")
+    }),
     "rank_dense_rank" -> ((s, d) => {
       // W12: rank vs dense_rank under heavy ties (50 distinct
       // quantities over 60k rows) — peer semantics are deterministic
@@ -651,6 +669,19 @@ object Analytics {
         |                                    (SELECT max(day) FROM daily),
         |                                    INTERVAL 1 DAY))::DATE AS day) d
         |LEFT JOIN daily a USING (day)
+        |ORDER BY 1""".stripMargin,
+    "gap_fill_months" ->
+      """WITH monthly AS (SELECT CAST(date_trunc('month', o_orderdate)
+        |                          AS DATE) AS month,
+        |                        count(*) AS cnt
+        |                 FROM orders WHERE o_orderstatus = 'F'
+        |                 GROUP BY 1)
+        |SELECT m.month, coalesce(a.cnt, 0) AS cnt
+        |FROM (SELECT unnest(generate_series(
+        |        (SELECT min(month) FROM monthly),
+        |        (SELECT max(month) FROM monthly),
+        |        INTERVAL 1 MONTH))::DATE AS month) m
+        |LEFT JOIN monthly a USING (month)
         |ORDER BY 1""".stripMargin,
     "rank_dense_rank" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,

@@ -40,6 +40,33 @@ object ApiSurface {
           |  AND l_discount BETWEEN 0.05 AND 0.07
           |  AND l_quantity < 24""".stripMargin)
     }),
+    "sql_tpch_q10" -> ((s, d) => {
+      // TPC-H Q10 (returned-item reporting): 4-way join + decimal
+      // revenue aggregate + top-20. The date window prunes orders at
+      // the scan; customer/nation broadcast; the double sort key is
+      // safe because both engines derive it from the SAME exact
+      // decimal sum, and c_custkey breaks ties totally.
+      t(s, d, "customer").createOrReplaceTempView("q10_customer")
+      t(s, d, "orders").createOrReplaceTempView("q10_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("q10_lineitem")
+      t(s, d, "nation").createOrReplaceTempView("q10_nation")
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          |           * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+          |    AS DOUBLE) AS revenue,
+          |  n_name
+          |FROM q10_customer, q10_orders, q10_lineitem, q10_nation
+          |WHERE c_custkey = o_custkey
+          |  AND l_orderkey = o_orderkey
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          |  AND l_returnflag = 'R'
+          |  AND c_nationkey = n_nationkey
+          |GROUP BY c_custkey, c_name, n_name
+          |ORDER BY revenue DESC, c_custkey
+          |LIMIT 20""".stripMargin)
+    }),
     "sql_group_by_all" -> ((s, d) => {
       // GROUP BY ALL (modern SQL ergonomics, Spark 3.4+/DuckDB): the
       // grouping keys are inferred as every non-aggregate select item.
@@ -69,6 +96,22 @@ object ApiSurface {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+        |    AS DOUBLE) AS revenue,
+        |  n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |  AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
     "sql_tpch_q6" ->
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount
         |                     AS DECIMAL(14,4))) AS DOUBLE) AS revenue

@@ -84,4 +84,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Window"), s"expected row_number top-k rewrite:\n$p")
     assert(!p.contains("CartesianProduct"), s"must not be cartesian:\n$p")
   }
+
+  test("events_funnel: three stacked Window stages share ONE user_id " +
+       "exchange — a funnel is not three self-joins") {
+    val p = plan("events_funnel")
+    assert("(?m)^.*Window".r.findAllIn(p).size >= 3,
+      s"expected 3 stacked Window operators:\n$p")
+    // FormattedMode separates node names from Arguments: count the
+    // partitioning expressions, which only Exchange nodes print
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected exactly one user_id exchange, got $exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"funnel must not be join-based:\n$p")
+  }
+
+  test("correlated scalar subquery (per-group min) de-correlates to " +
+       "aggregate + join — the inner query runs once") {
+    val p = plan("sql_correlated_scalar_min")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"),
+      s"expected the grouped-min aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"must not re-execute per outer row:\n$p")
+  }
+
+  test("events_interval_overlap: bucketized equi-join, never a " +
+       "cartesian/nested-loop theta join") {
+    val p = plan("events_interval_overlap")
+    assert(p.contains("Generate"), s"expected the bucket-cover explode:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must stay an equi-join:\n$p")
+  }
 }
