@@ -568,6 +568,25 @@ object Analytics {
              sum(when(col("flag"), 1L).otherwise(0L)).as("n_outliers"))
         .orderBy("l_returnflag")
     }),
+    "graph_bfs_hops" -> ((s, d) => {
+      // G4: multi-source BFS (operators/Bfs) over the UNDIRECTED
+      // purchase graph — hop distance from nation-0 suppliers to every
+      // node within 3 hops. Distances are exact integers, so unlike
+      // PageRank this graph operator is fully oracle-checked (DuckDB
+      // recursive CTE). Node ids: customer 2c, supplier 2s+1.
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val fwd = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+                (col("l_suppkey") * 2 + 1).as("dst"))
+      val edges = fwd.union(fwd.select(col("dst").as("src"),
+                                       col("src").as("dst")))
+      val sources = t(s, d, "supplier")
+        .where(col("s_nationkey") === 0)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      graft.operators.Bfs.distances(edges, sources, maxHops = 3)
+        .orderBy("node")
+    }),
     "pagerank_fixed" -> ((s, d) => {
       // G3: PageRank over the customer→supplier purchase graph
       // (operators/PageRank): 3 power iterations, dangling supplier
@@ -909,6 +928,19 @@ object Analytics {
         |    / greatest(length(x.p_name), length(y.p_name)) AS sim
         |FROM part x JOIN part y ON y.p_partkey = x.p_partkey + 1
         |ORDER BY p1""".stripMargin,
+    "graph_bfs_hops" ->
+      """WITH RECURSIVE raw AS (
+        |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT DISTINCT src, dst FROM raw
+        |      UNION SELECT DISTINCT dst, src FROM raw),
+        |p(node, dist) AS (
+        |  SELECT s_suppkey * 2 + 1, 0 FROM supplier WHERE s_nationkey = 0
+        |  UNION
+        |  SELECT e.dst, p.dist + 1
+        |  FROM p JOIN e ON e.src = p.node WHERE p.dist < 3)
+        |SELECT node, CAST(min(dist) AS INT) AS dist
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "anomaly_zscore_exact" ->
       """WITH c AS (SELECT l_returnflag,
         |             CAST(round(l_extendedprice * 100) AS BIGINT) AS x
