@@ -172,7 +172,32 @@ object TextDedup {
         .curate(t(s, d, "documents"), "doc_id", "text")
         .select(col("doc_id"), col("lang_guess"), col("canonical_id"),
                 col("drop_reason"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "mixture_rebalance" -> ((s, d) => {
+      // data-mixture rebalancing: downsample every language to the
+      // minority language's count. Keep rates are computed FROM the
+      // corpus (one tiny aggregate + cross join), broadcast, and
+      // applied as a deterministic md5-space filter — corpus scanned
+      // once, map-side, no shuffle of kept rows; retargeting the
+      // mixture changes the rate frame, not the job graph. Threshold
+      // compare is one double division + one multiply in fixed order,
+      // IEEE-identical across engines.
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val rates = counts
+        .crossJoin(counts.agg(min(col("n")).as("mn")))
+        .withColumn("thr",
+          col("mn").cast("double") / col("n").cast("double") *
+            lit(1048576.0))
+      val h20 = conv(substring(md5(col("doc_id").cast("string")), 1, 5),
+        16, 10).cast("long")
+      docs.join(broadcast(rates), Seq("lang"))
+        .where(h20 < col("thr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept_cnt"),
+             sum(col("n_chars")).as("kept_chars"))
+        .orderBy("lang")
+    })
   )
 
   /** Hashed shingle sets: same 60-bit md5 hashing as the native
@@ -403,6 +428,18 @@ object TextDedup {
          |  COALESCE(g2.dr2, CASE WHEN n.doc_id IS NOT NULL
          |                        THEN 'near_duplicate' END) AS drop_reason
          |FROM g2 LEFT JOIN neardup n USING (doc_id)
-         |ORDER BY g2.doc_id""".stripMargin
+         |ORDER BY g2.doc_id""".stripMargin,
+    "mixture_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS mn FROM c),
+        |r AS (SELECT lang,
+        |        CAST(mn AS DOUBLE) / CAST(n AS DOUBLE) * 1048576.0 AS thr
+        |      FROM c, m)
+        |SELECT d.lang, count(*) AS kept_cnt,
+        |  CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5))
+        |           AS BIGINT) < thr
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
