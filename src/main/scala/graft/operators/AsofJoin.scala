@@ -69,7 +69,7 @@ object AsofJoin {
     lTagged.unionByName(rTagged)
       .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
-      .select(left.columns.map(c => col(quoted(s"__l_$c")).as(c)) ++
+      .select(left.columns.toIndexedSeq.map(c => col(quoted(s"__l_$c")).as(c)) ++
         // getField, not col("__c.name"): a payload name with a dot
         // would otherwise parse as a nested-field path and misresolve
         payload.map(c => col("__c").getField(c).as(s"asof_$c")): _*)

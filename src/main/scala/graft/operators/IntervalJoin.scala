@@ -36,7 +36,7 @@ object IntervalJoin {
       df.select(
         expr(s"explode(sequence($startCol div ${bucketSize}L, " +
              s"$endCol div ${bucketSize}L))").as(s"__b$pfx") +:
-          df.columns.map(c => col(c).as(s"$pfx$c")): _*)
+          df.columns.map(c => col(c).as(s"$pfx$c")).toIndexedSeq: _*)
     val l = buckets(left, "l_")
     val r = buckets(right, "r_")
     l.join(r, col("__bl_") === col("__br_") &&

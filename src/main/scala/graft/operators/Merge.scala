@@ -82,6 +82,6 @@ object Merge {
       .select(
         coalesce(col(s"u.$keyCol"), col(s"b.$keyCol")).as(keyCol) +:
           payload.map(c => when(col("u.__upd").isNotNull, col(s"u.$c"))
-            .otherwise(col(s"b.$c")).as(c)): _*)
+            .otherwise(col(s"b.$c")).as(c)).toIndexedSeq: _*)
   }
 }

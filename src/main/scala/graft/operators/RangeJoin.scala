@@ -29,10 +29,10 @@ object RangeJoin {
     val rBand = expr(s"unix_micros($rightTime) div ${toleranceMicros}L")
     val l = left.select(
       col(keyCol).as("__k") +: explode(array(lBand - 1, lBand, lBand + 1)).as("__b") +:
-        left.columns.map(c => col(c).as(s"l_$c")): _*)
+        left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
     val r = right.select(
       col(keyCol).as("__k2") +: rBand.as("__b2") +:
-        right.columns.map(c => col(c).as(s"r_$c")): _*)
+        right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
     l.join(r, col("__k") === col("__k2") && col("__b") === col("__b2"))
       .where(abs(unix_micros(col(s"l_$leftTime")) -
                  unix_micros(col(s"r_$rightTime"))) <= toleranceMicros)

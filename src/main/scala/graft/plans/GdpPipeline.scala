@@ -118,7 +118,7 @@ object GdpPipeline {
     val rest = df.columns.filterNot(_ == "Economy_Code").map(col)
     df.join(broadcast(labels), col("Economy_Code") === col("Code"), "left")
       .withColumnRenamed("Label", "Economy_Label")
-      .select(col("Economy_Code") +: col("Economy_Label") +: rest: _*)
+      .select(col("Economy_Code") +: col("Economy_Label") +: rest.toIndexedSeq: _*)
   }
 
   private val childCols = Seq("Child_Code", "Child_Label", "Child_ValidFrom",
@@ -159,7 +159,7 @@ object GdpPipeline {
       df = replaced
         .where(col("Child_IsTarget") === "True" || col("__matched") ||
                col("Parent_Label") === "Other territories")
-        .select(edges.columns.map(col): _*)
+        .select(edges.columns.map(col).toIndexedSeq: _*)
         .localCheckpoint(false)
       iters += 1
     }
