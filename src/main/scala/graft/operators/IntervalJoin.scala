@@ -30,22 +30,26 @@ object IntervalJoin {
   def overlapJoin(left: DataFrame, right: DataFrame, startCol: String,
                   endCol: String, bucketSize: Long): DataFrame = {
     require(bucketSize > 0, s"bucketSize must be positive: $bucketSize")
+    // backtick-quote interpolated identifiers: a column name with a
+    // dot/space would otherwise misparse inside expr()
+    def q(name: String): String = "`" + name.replace("`", "``") + "`"
     // `div` (integer floor division on longs): `/` promotes to double
     // and can misplace boundary rows at 2024-epoch-µs magnitudes.
     def buckets(df: DataFrame, pfx: String): DataFrame =
       df.select(
-        expr(s"explode(sequence($startCol div ${bucketSize}L, " +
-             s"$endCol div ${bucketSize}L))").as(s"__b$pfx") +:
-          df.columns.map(c => col(c).as(s"$pfx$c")).toIndexedSeq: _*)
+        expr(s"explode(sequence(${q(startCol)} div ${bucketSize}L, " +
+             s"${q(endCol)} div ${bucketSize}L))").as(s"__b$pfx") +:
+          df.columns.map(c => col(q(c)).as(s"$pfx$c")).toIndexedSeq: _*)
     val l = buckets(left, "l_")
     val r = buckets(right, "r_")
     l.join(r, col("__bl_") === col("__br_") &&
-        col(s"l_$startCol") <= col(s"r_$endCol") &&
-        col(s"r_$startCol") <= col(s"l_$endCol") &&
+        col(q(s"l_$startCol")) <= col(q(s"r_$endCol")) &&
+        col(q(s"r_$startCol")) <= col(q(s"l_$endCol")) &&
         // canonical bucket: the one holding the overlap's left edge
         // (same floor `div` as the covers, so negatives stay exact)
         col("__bl_") ===
-          expr(s"greatest(l_$startCol, r_$startCol) div ${bucketSize}L"))
+          expr(s"greatest(${q(s"l_$startCol")}, ${q(s"r_$startCol")}) " +
+               s"div ${bucketSize}L"))
       .drop("__bl_", "__br_")
   }
 }

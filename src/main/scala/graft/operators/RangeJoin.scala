@@ -23,19 +23,22 @@ object RangeJoin {
   def bandJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTime: String, rightTime: String,
                toleranceMicros: Long): DataFrame = {
+    // backtick-quote interpolated identifiers: a column name with a
+    // dot/space would otherwise misparse inside expr()
+    def q(name: String): String = "`" + name.replace("`", "``") + "`"
     // `div` (integer division): Long `/` promotes to double, whose
     // rounding can misplace boundary rows by one band.
-    val lBand = expr(s"unix_micros($leftTime) div ${toleranceMicros}L")
-    val rBand = expr(s"unix_micros($rightTime) div ${toleranceMicros}L")
+    val lBand = expr(s"unix_micros(${q(leftTime)}) div ${toleranceMicros}L")
+    val rBand = expr(s"unix_micros(${q(rightTime)}) div ${toleranceMicros}L")
     val l = left.select(
-      col(keyCol).as("__k") +: explode(array(lBand - 1, lBand, lBand + 1)).as("__b") +:
-        left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
+      col(q(keyCol)).as("__k") +: explode(array(lBand - 1, lBand, lBand + 1)).as("__b") +:
+        left.columns.map(c => col(q(c)).as(s"l_$c")).toIndexedSeq: _*)
     val r = right.select(
-      col(keyCol).as("__k2") +: rBand.as("__b2") +:
-        right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
+      col(q(keyCol)).as("__k2") +: rBand.as("__b2") +:
+        right.columns.map(c => col(q(c)).as(s"r_$c")).toIndexedSeq: _*)
     l.join(r, col("__k") === col("__k2") && col("__b") === col("__b2"))
-      .where(abs(unix_micros(col(s"l_$leftTime")) -
-                 unix_micros(col(s"r_$rightTime"))) <= toleranceMicros)
+      .where(abs(unix_micros(col(q(s"l_$leftTime"))) -
+                 unix_micros(col(q(s"r_$rightTime")))) <= toleranceMicros)
       .drop("__k", "__b", "__k2", "__b2")
   }
 }

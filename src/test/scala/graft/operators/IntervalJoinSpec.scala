@@ -44,6 +44,16 @@ class IntervalJoinSpec extends SparkSpec {
     }
   }
 
+  test("column names with dots survive the expr-interpolated covers") {
+    val l = Seq((1L, 0L, 100L)).toDF("the.id", "t.start", "t.end")
+    val r = Seq((2L, 50L, 150L)).toDF("the.id", "t.start", "t.end")
+    val got = IntervalJoin.overlapJoin(l, r, "t.start", "t.end",
+        bucketSize = 64)
+      .select(col("`l_the.id`"), col("`r_the.id`"))
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
   test("exact boundary touch counts as overlap; disjoint does not") {
     val l = Seq((1L, 0L, 100L)).toDF("id", "s", "e")
     val r = Seq((2L, 100L, 200L), (3L, 101L, 300L)).toDF("id", "s", "e")
