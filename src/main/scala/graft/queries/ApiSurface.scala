@@ -67,6 +67,46 @@ object ApiSurface {
           |ORDER BY revenue DESC, c_custkey
           |LIMIT 20""".stripMargin)
     }),
+    "sql_tpch_q14" -> ((s, d) => {
+      // TPC-H Q14 (promotion effect): conditional share of revenue in
+      // one month. Both sums accumulate in exact decimal on one scan;
+      // the percentage is computed from the SAME exact operands in
+      // both engines (two casts, one divide, one multiply — fixed
+      // order), so the double compares bit-for-bit.
+      t(s, d, "lineitem").createOrReplaceTempView("q14_lineitem")
+      t(s, d, "part").createOrReplaceTempView("q14_part")
+      s.sql(
+        """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+          |    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+          |         * CAST(1.0 - l_discount AS DECIMAL(4,2))
+          |    ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+          |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          |             * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+          |         AS DOUBLE) AS promo_revenue_pct
+          |FROM q14_lineitem JOIN q14_part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
+    }),
+    "sql_disjunctive_pushdown" -> ((s, d) => {
+      // TPC-H Q19 shape: an OR of conjunct groups. Catalyst pushes the
+      // common p_partkey join AND extracts the disjunction's shared
+      // predicates toward the scans; the whole filter stays codegen'd
+      // — no per-branch passes over the data.
+      t(s, d, "lineitem").createOrReplaceTempView("q19_lineitem")
+      t(s, d, "part").createOrReplaceTempView("q19_part")
+      s.sql(
+        """SELECT count(*) AS n_lines,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+          |           * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+          |       AS DOUBLE) AS revenue
+          |FROM q19_lineitem JOIN q19_part ON p_partkey = l_partkey
+          |WHERE (p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity >= 10)
+          |   OR (p_type = 'STANDARD' AND p_size BETWEEN 10 AND 30
+          |       AND l_quantity < 10)
+          |   OR (p_type = 'SMALL' AND p_size >= 40
+          |       AND l_discount > 0.05)""".stripMargin)
+    }),
     "sql_group_by_all" -> ((s, d) => {
       // GROUP BY ALL (modern SQL ergonomics, Spark 3.4+/DuckDB): the
       // grouping keys are inferred as every non-aggregate select item.
@@ -96,6 +136,29 @@ object ApiSurface {
   )
 
   val oracles: Map[String, String] = Map(
+    "sql_tpch_q14" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |         * CAST(1.0 - l_discount AS DECIMAL(4,2))
+        |    ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+        |         AS DOUBLE) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "sql_disjunctive_pushdown" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+        |       AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_type = 'ECONOMY' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 10)
+        |   OR (p_type = 'STANDARD' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity < 10)
+        |   OR (p_type = 'SMALL' AND p_size >= 40
+        |       AND l_discount > 0.05)""".stripMargin,
     "sql_tpch_q10" ->
       """SELECT c_custkey, c_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
