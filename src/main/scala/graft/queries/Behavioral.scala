@@ -130,6 +130,21 @@ object Behavioral {
                 col("session_window.end").as("session_end"),
                 col("cnt"), col("sum_value"))
         .orderBy("user_id", "session_start")),
+    "agg_multi_distinct" -> ((s, d) =>
+      // A23: several COUNT(DISTINCT) over different columns in ONE
+      // aggregate — Catalyst plans an Expand (one replica of each row
+      // per distinct clause) + two-stage aggregation, not one job per
+      // distinct. The daily-KPI shape: volume, reach, active days,
+      // and an exact-operand conversion ratio in a single pass.
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             countDistinct(col("user_id")).as("n_users"),
+             countDistinct(to_date(col("ts"))).as("n_days"),
+             moneySum(col("value")).as("sum_value"))
+        .withColumn("events_per_user",
+          dbl(col("n_events")) / dbl(col("n_users")))
+        .orderBy("event_type")),
     "window_ignore_nulls" -> ((s, d) => {
       // Last-observation-carried-forward (LOCF): error events carry no
       // reading, so the last non-null value fills forward —
@@ -244,6 +259,15 @@ object Behavioral {
          |       count(*) AS cnt,
          |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          |FROM s GROUP BY user_id, sid ORDER BY 1, 2""".stripMargin,
+    "agg_multi_distinct" ->
+      s"""WITH $evSql
+         |SELECT event_type, count(*) AS n_events,
+         |  count(DISTINCT user_id) AS n_users,
+         |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+         |  CAST(count(*) AS DOUBLE) / CAST(count(DISTINCT user_id) AS DOUBLE)
+         |    AS events_per_user
+         |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_ignore_nulls" ->
       s"""WITH $evSql,
          |x AS (SELECT user_id, event_id, ts,
