@@ -33,8 +33,8 @@ object IntervalJoin {
     // backtick-quote interpolated identifiers: a column name with a
     // dot/space would otherwise misparse inside expr()
     def q(name: String): String = "`" + name.replace("`", "``") + "`"
-    // `div` (integer floor division on longs): `/` promotes to double
-    // and can misplace boundary rows at 2024-epoch-µs magnitudes.
+    // `div` (integral division on longs): `/` promotes to double and
+    // can misplace boundary rows at 2024-epoch-µs magnitudes.
     def buckets(df: DataFrame, pfx: String): DataFrame =
       df.select(
         expr(s"explode(sequence(${q(startCol)} div ${bucketSize}L, " +
@@ -45,8 +45,11 @@ object IntervalJoin {
     l.join(r, col("__bl_") === col("__br_") &&
         col(q(s"l_$startCol")) <= col(q(s"r_$endCol")) &&
         col(q(s"r_$startCol")) <= col(q(s"l_$endCol")) &&
-        // canonical bucket: the one holding the overlap's left edge
-        // (same floor `div` as the covers, so negatives stay exact)
+        // canonical bucket: the one holding the overlap's left edge.
+        // `div` truncates toward zero (not floor) — that only widens
+        // the bucket spanning zero; correctness needs the SAME mapping
+        // here as in the covers, which the negative-coordinate
+        // property test pins.
         col("__bl_") ===
           expr(s"greatest(${q(s"l_$startCol")}, ${q(s"r_$startCol")}) " +
                s"div ${bucketSize}L"))

@@ -9,7 +9,8 @@ import graft.SparkSpec
 /** The bucketized overlap join must emit EXACTLY the naive theta
   * join's pairs — no duplicates from multi-bucket co-occurrence, no
   * losses at bucket boundaries, and exact behavior on negative
-  * coordinates (where floor-div vs truncate-div diverge).
+  * coordinates (where truncate-div widens the zero-spanning bucket —
+  * harmless only because covers and canonical share the mapping).
   */
 class IntervalJoinSpec extends SparkSpec {
   import spark.implicits._
