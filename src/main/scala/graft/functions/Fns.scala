@@ -34,6 +34,14 @@ object Fns {
   def rate(c: Column): Column = c.cast(Rate)
   def dbl(c: Column): Column = c.cast(DoubleType)
 
+  /** Backtick-quote an identifier for interpolation into `expr()` /
+    * `col()` strings: a column name containing a dot, space, or
+    * backtick would otherwise misparse as a nested-field path or
+    * break the expression. Shared by every operator that builds SQL
+    * fragments from caller-supplied column names.
+    */
+  def quoted(name: String): String = "`" + name.replace("`", "``") + "`"
+
   /** Order-insensitive exact sum of a 2-decimal double column,
     * returned as double. At 100 TB the aggregation tree's merge order
     * is arbitrary; decimal accumulation keeps the result stable.

@@ -39,11 +39,7 @@ object AsofJoin {
     * the carried payload columns (null when no prior right row
     * exists).
     */
-  /** Backtick-quote a column name so `col` resolves it literally even
-    * when it contains dots (embedded backticks doubled per SQL rules).
-    */
-  private def quoted(name: String): String =
-    "`" + name.replace("`", "``") + "`"
+  private def quoted(name: String): String = graft.functions.Fns.quoted(name)
 
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTime: String, rightTime: String,

@@ -30,9 +30,9 @@ object IntervalJoin {
   def overlapJoin(left: DataFrame, right: DataFrame, startCol: String,
                   endCol: String, bucketSize: Long): DataFrame = {
     require(bucketSize > 0, s"bucketSize must be positive: $bucketSize")
-    // backtick-quote interpolated identifiers: a column name with a
-    // dot/space would otherwise misparse inside expr()
-    def q(name: String): String = "`" + name.replace("`", "``") + "`"
+    // backtick-quote interpolated identifiers (shared Fns.quoted): a
+    // dotted/spaced column name would otherwise misparse inside expr()
+    def q(name: String): String = graft.functions.Fns.quoted(name)
     // `div` (integral division on longs): `/` promotes to double and
     // can misplace boundary rows at 2024-epoch-µs magnitudes.
     def buckets(df: DataFrame, pfx: String): DataFrame =

@@ -23,9 +23,9 @@ object RangeJoin {
   def bandJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTime: String, rightTime: String,
                toleranceMicros: Long): DataFrame = {
-    // backtick-quote interpolated identifiers: a column name with a
-    // dot/space would otherwise misparse inside expr()
-    def q(name: String): String = "`" + name.replace("`", "``") + "`"
+    // backtick-quote interpolated identifiers (shared Fns.quoted): a
+    // dotted/spaced column name would otherwise misparse inside expr()
+    def q(name: String): String = graft.functions.Fns.quoted(name)
     // `div` (integer division): Long `/` promotes to double, whose
     // rounding can misplace boundary rows by one band.
     val lBand = expr(s"unix_micros(${q(leftTime)}) div ${toleranceMicros}L")

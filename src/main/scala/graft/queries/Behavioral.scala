@@ -24,9 +24,11 @@ import graft.functions.Fns._
   *     not 3 joins;
   *   - retention counts distinct (user, week) pairs AFTER collapsing
   *     events map-side — the heavy stream never reaches the distinct;
-  *   - time-weighted sums accumulate in exact decimal (value ×
-  *     duration), so results are order-insensitive and match the
-  *     oracle bit-for-bit; the single double division happens last.
+  *   - time-weighted sums accumulate as exact integer cents × µs
+  *     (BIGINT→DOUBLE is one correctly-rounded conversion everywhere;
+  *     a wide DECIMAL would cost DuckDB a second rounding), so results
+  *     are order-insensitive and match the oracle bit-for-bit; the
+  *     double divisions happen once, last, in a fixed order.
   */
 object Behavioral {
   type Q = (SparkSession, String) => DataFrame
@@ -118,10 +120,12 @@ object Behavioral {
     }),
     "events_session_window_fn" -> ((s, d) =>
       // Spark's NATIVE session_window() (vs the manual gaps-and-islands
-      // of events_sessionize): merges events whose [ts, ts+gap) spans
-      // overlap; session end = last event + gap. Same single shuffle
-      // on user_id; this is the form that also runs under Structured
-      // Streaming with watermark-evicted state.
+      // of events_sessionize): events merge while the gap to the
+      // previous event is <= gap (an EXACT-boundary gap still merges —
+      // verified against Spark 4.1.2; the oracle's new-session test is
+      // therefore strictly >); session end = last event + gap. Same
+      // single shuffle on user_id; this form also runs under
+      // Structured Streaming with watermark-evicted state.
       Tables.events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("cnt"), moneySum(col("value")).as("sum_value"))
@@ -248,7 +252,7 @@ object Behavioral {
     "events_session_window_fn" ->
       s"""WITH $evSql,
          |x AS (SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
-         |        (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+         |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
          |      THEN 1 ELSE 0 END AS ns
          |      FROM ev),
          |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id

@@ -214,8 +214,14 @@ object EventStreams {
       batch: Dataset[org.apache.spark.sql.Row], id: Long): Unit = {
     val spark = batch.sparkSession
     val delta = batch.localCheckpoint(true)
+    // Hadoop FileSystem, not java.io.File: the serving table lives on
+    // whatever filesystem the URI names (hdfs://, s3a://, local) — a
+    // local-only existence probe would silently report "missing" on a
+    // cluster store and overwrite the accumulated state with one delta
+    val p = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (new java.io.File(tablePath).exists())
+      if (fs.exists(p))
         graft.operators.Merge
           .upsert(spark.read.parquet(tablePath), delta, "user_id")
           .localCheckpoint(true)

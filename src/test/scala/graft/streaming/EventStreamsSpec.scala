@@ -42,6 +42,19 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window merges a gap of EXACTLY the session timeout " +
+       "(boundary pins the batch oracle's strict > condition)") {
+    import org.apache.spark.sql.functions.{col, count, session_window}
+    // events exactly 30:00 apart: one merged session, end = last + gap
+    val df = Seq((ts(0), 7L), (ts(30), 7L)).toDF("ts", "user_id")
+    val got = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(col("*")).as("cnt"))
+      .select(col("cnt"), col("session_window.end").cast("long").as("end_s"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, ts(30).getTime / 1000 + 1800)), s"got $got")
+  }
+
   test("tumblingCounts over a real file stream (readStream.parquet) " +
        "matches the batch answer") {
     val dir = sf("sf0.001")
