@@ -72,4 +72,61 @@ object PageRank {
     }
     ranks
   }
+
+  /** Fixed-point PageRank: ranks are scaled integers (`rank_fp` ≈
+    * rank × `scale`) and every per-iteration step — the out-degree
+    * split, the damping factor, the dangling redistribution — is exact
+    * integer arithmetic (`div` truncation, matching SQL `//` on
+    * non-negative operands). Integer sums are associative and
+    * commutative, so the result is independent of shuffle order and
+    * hash-comparable against a DuckDB mirror of the same recurrence,
+    * unlike [[run]]'s doubles. Identical join/agg shape and scale
+    * properties: the edge+degree probe side is checkpointed once, the
+    * dangling mass folds in as a 1-row broadcast aggregate, no driver
+    * action inside the loop.
+    *
+    * Overflow headroom: total rank stays ≤ `scale` (1e12 default), so
+    * `dampNum × (inMass + dangling)` ≤ ~2e14 — far inside Long.
+    */
+  def runFixed(edges: DataFrame, iters: Int,
+               scale: Long = 1000000000000L,
+               dampNum: Long = 85, dampDen: Long = 100,
+               src: String = "src", dst: String = "dst"): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(dampNum >= 0 && dampNum <= dampDen && scale > 0)
+    val e = edges.select(col(src).cast("long").as("src"),
+                         col(dst).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank_fp", lit(0L))
+    val init = scale / n
+    val teleport = ((dampDen - dampNum) * init) / dampDen
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val edgesDeg = e.join(outDeg, "src").localCheckpoint(false)
+    val danglingNodes = nodes
+      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"),
+            "left_anti")
+      .localCheckpoint(false)
+    var ranks = nodes.withColumn("rank_fp", lit(init))
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+                expr("rank_fp div __deg").as("__c"))
+      val inMass = contribs.groupBy("node").agg(sum(col("__c")).as("__m"))
+      val dangling = ranks
+        .join(danglingNodes, Seq("node"), "left_semi")
+        .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("__dm"))
+      ranks = nodes.join(inMass, Seq("node"), "left")
+        .crossJoin(dangling) // single row → broadcast
+        .select(col("node"),
+          expr(s"${teleport}L + ($dampNum * (coalesce(__m, 0L) " +
+               s"+ __dm div ${n}L)) div $dampDen").as("rank_fp"))
+        .localCheckpoint(false) // cut the iteration's lineage growth
+    }
+    ranks
+  }
 }

@@ -46,14 +46,21 @@ object Pq {
         col("sub").as("c"))
     val assigned = assignSubs(subs, seeds)
     // quantized mean per (m, code, pos) — exact integer sums, floor+0.5
-    assigned
+    val refined = assigned
       .select(col("m"), col("code"), posexplode(col("sub")).as(Seq("pos", "q")))
       .groupBy(col("m"), col("code"), col("pos"))
       .agg((sum(col("q")).cast("double") / count(lit(1))).as("mean"))
       .withColumn("cq", floor(col("mean") + 0.5d).cast("long"))
       .groupBy(col("m"), col("code"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
-        x => x.getField("cq")).as("c"))
+        x => x.getField("cq")).as("rc"))
+    // empty-cluster guard: a code that attracts no rows after the Lloyd
+    // step keeps its seed centroid, so the codebook is ALWAYS a dense
+    // M×K grid — the positional [m*K + code] ADC LUT layout in topK
+    // depends on that density, and the SQL oracle mirrors this rule.
+    seeds.join(refined, Seq("m", "code"), "left")
+      .select(col("m"), col("code"),
+        coalesce(col("rc"), col("c")).as("c"))
   }
 
   /** Nearest codebook entry per (row, subspace) by exact integer L2;

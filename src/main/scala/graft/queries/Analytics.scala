@@ -588,19 +588,20 @@ object Analytics {
         .orderBy("node")
     }),
     "pagerank_fixed" -> ((s, d) => {
-      // G3: PageRank over the customer→supplier purchase graph
-      // (operators/PageRank): 3 power iterations, dangling supplier
-      // mass redistributed. Node ids are disambiguated 2c / 2s+1
-      // (customers and suppliers share the integer key space). Ranks
-      // are shuffle-order doubles → rows-only driver check; the
-      // recurrence itself is pinned by PageRankSpec against a
-      // driver-side reference.
+      // G3: fixed-point PageRank over the customer→supplier purchase
+      // graph (operators/PageRank.runFixed): 3 power iterations,
+      // dangling supplier mass redistributed, ranks as scaled integers
+      // (×1e12) so every step is order-independent integer arithmetic
+      // — hash-matched against a DuckDB mirror of the same recurrence.
+      // Node ids are disambiguated 2c / 2s+1 (customers and suppliers
+      // share the integer key space). The double-precision variant
+      // stays pinned by PageRankSpec against a driver-side reference.
       val l = t(s, d, "lineitem")
       val o = t(s, d, "orders")
       val edges = l.join(o, col("l_orderkey") === col("o_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
                 (col("l_suppkey") * 2 + 1).as("dst"))
-      graft.operators.PageRank.run(edges, iters = 3)
+      graft.operators.PageRank.runFixed(edges, iters = 3)
         .orderBy("node")
     })
   )
@@ -953,6 +954,41 @@ object Analytics {
         |                   > 4 * (g.n * g.s2 - g.s1 * g.s1)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM c JOIN g USING (l_returnflag)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pagerank_fixed" -> {
+      // Mirrors PageRank.runFixed bit-for-bit: scale 1e12, damping
+      // 85/100, 3 unrolled power iterations, dangling mass folded in.
+      // DuckDB `//` (floor division) equals Spark `div` (truncation)
+      // because every operand here is non-negative; integer sums are
+      // order-independent, so the hashes match.
+      val iters = 3
+      val steps = (1 to iters).map { i =>
+        val prev = s"r${i - 1}"
+        s"""m$i AS (SELECT e.dst AS node,
+           |    CAST(sum(r.r // d.deg) AS BIGINT) AS m
+           |  FROM raw e JOIN deg d USING (src)
+           |  JOIN $prev r ON r.node = e.src GROUP BY 1),
+           |d$i AS (SELECT CAST(COALESCE(sum(r.r), 0) AS BIGINT) AS dm
+           |  FROM $prev r
+           |  WHERE r.node NOT IN (SELECT src FROM deg)),
+           |r$i AS (SELECT nd.node,
+           |    (15 * (1000000000000 // nn.n)) // 100
+           |    + (85 * (COALESCE(m$i.m, 0) + d$i.dm // nn.n)) // 100 AS r
+           |  FROM nodes nd CROSS JOIN nn CROSS JOIN d$i
+           |  LEFT JOIN m$i ON m$i.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT CAST(o_custkey * 2 AS BIGINT) AS src,
+         |         CAST(l_suppkey * 2 + 1 AS BIGINT) AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT DISTINCT node FROM (
+         |  SELECT src AS node FROM raw UNION ALL SELECT dst FROM raw)),
+         |deg AS (SELECT src, count(*) AS deg FROM raw GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (SELECT node, (SELECT 1000000000000 // n FROM nn) AS r
+         |       FROM nodes),
+         |$steps
+         |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+    }
   )
 }

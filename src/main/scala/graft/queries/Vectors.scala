@@ -31,9 +31,12 @@ object Vectors {
     }),
     "ann_pq_adc" -> ((s, d) => {
       // product quantization + ADC scan + exact re-rank
-      // (operators/Pq): rows-only driver check (the learned codebooks
-      // aren't SQL-mirrorable); recall and score-exactness are pinned
-      // against brute force in PqSpec.
+      // (operators/Pq): every step — deterministic seeds, one Lloyd
+      // refinement over exact integer sums, integer-L2 encode, ADC
+      // lookups, exact re-rank — is integer arithmetic plus single
+      // IEEE divisions, so the full pipeline is hash-matched against
+      // a DuckDB mirror; recall and score-exactness are additionally
+      // pinned against brute force in PqSpec.
       val corpus = prepped(s, d)
       graft.operators.Pq.topK(corpus.where(col("id") < 5), corpus, 10)
         .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
@@ -183,6 +186,66 @@ object Vectors {
          |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |             ORDER BY cos DESC, vec_id) AS INT) AS rank FROM scored)
          |SELECT query_id, vec_id, rank, cos FROM ranked
-         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_pq_adc" -> {
+      // Mirrors graft.operators.Pq.topK(m=8, codes=16, rerank=50, k=10)
+      // step for step: subvector split → seed codebook (vec_id < 16) →
+      // integer-L2 assign (tie: lowest code) → quantized-mean Lloyd
+      // step with empty-cluster fallback to the seed → encode → per-
+      // query partial-dot LUT → ADC shortlist (top-50 by ADC cosine,
+      // vec_id tiebreak) → exact re-rank. All integer arithmetic plus
+      // single IEEE double divisions — both engines agree bitwise.
+      val l2 = (a: String, b: String) =>
+        s"""list_sum(list_transform(range(1, 9),
+           |        k -> ($a[k] - $b[k]) * ($a[k] - $b[k])))""".stripMargin
+      s"""WITH $prepSql,
+         |subs AS (SELECT vec_id AS id, CAST(t.m AS INT) AS m,
+         |           list_slice(v, t.m * 8 + 1, t.m * 8 + 8) AS sub
+         |         FROM n, UNNEST(range(0, 8)) AS t(m)),
+         |seeds AS (SELECT m, CAST(id AS INT) AS code, sub AS c
+         |          FROM subs WHERE id < 16),
+         |a0 AS (SELECT id, m, sub, code FROM (
+         |         SELECT s.id, s.m, s.sub, sd.code,
+         |           row_number() OVER (PARTITION BY s.id, s.m
+         |             ORDER BY ${l2("s.sub", "sd.c")}, sd.code) AS rn
+         |         FROM subs s JOIN seeds sd USING (m)) WHERE rn = 1),
+         |rf AS (SELECT m, code, list(cq ORDER BY pos) AS c FROM (
+         |         SELECT m, code, t.k AS pos,
+         |           CAST(floor(CAST(sum(sub[t.k]) AS DOUBLE) / count(*)
+         |                      + 0.5) AS BIGINT) AS cq
+         |         FROM a0, UNNEST(range(1, 9)) AS t(k)
+         |         GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |cb AS (SELECT s.m, s.code, COALESCE(r.c, s.c) AS c
+         |       FROM seeds s LEFT JOIN rf r ON r.m = s.m AND r.code = s.code),
+         |enc AS (SELECT id, m, code FROM (
+         |          SELECT s.id, s.m, cb.code,
+         |            row_number() OVER (PARTITION BY s.id, s.m
+         |              ORDER BY ${l2("s.sub", "cb.c")}, cb.code) AS rn
+         |          FROM subs s JOIN cb USING (m)) WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS query_id, q.n2 AS qn2, cb.m, cb.code,
+         |          CAST(list_sum(list_transform(range(1, 9),
+         |            k -> q.v[cb.m * 8 + k] * cb.c[k])) AS BIGINT) AS pd
+         |        FROM n q CROSS JOIN cb WHERE q.vec_id < 5),
+         |adc AS (SELECT l.query_id, e2.id AS vec_id, c.n2,
+         |          CAST(sum(l.pd) AS BIGINT) AS adot, any_value(l.qn2) AS qn2
+         |        FROM enc e2 JOIN lut l ON l.m = e2.m AND l.code = e2.code
+         |        JOIN n c ON c.vec_id = e2.id
+         |        WHERE e2.id <> l.query_id GROUP BY 1, 2, 3),
+         |short AS (SELECT query_id, vec_id FROM (
+         |            SELECT query_id, vec_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY CAST(adot AS DOUBLE)
+         |                           / sqrt(CAST(qn2 * n2 AS DOUBLE)) DESC,
+         |                         vec_id) AS rn
+         |            FROM adc) WHERE rn <= 50),
+         |scored AS (SELECT s.query_id, s.vec_id,
+         |             ${cosFor("q.v", "c.v", "q.n2", "c.n2")} AS cos
+         |           FROM short s JOIN n q ON q.vec_id = s.query_id
+         |                        JOIN n c ON c.vec_id = s.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id) AS INT) AS rank FROM scored)
+         |SELECT query_id, vec_id, rank, cos FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    }
   )
 }

@@ -47,6 +47,45 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(ranks.map(_._2).sum - 1.0) < 1e-9)
   }
 
+  test("fixed-point variant tracks the double variant and conserves " +
+       "total mass up to integer-division rounding") {
+    val rng = new Random(48)
+    val nodes = 25
+    val edges = (for {
+      a <- 0 until nodes
+      b <- 0 until nodes
+      if a != b && rng.nextDouble() < 0.12
+    } yield (a.toLong, b.toLong)).distinct
+    val scale = 1000000000000L
+    val fp = PageRank.runFixed(edges.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    val dbl = PageRank.run(edges.toDF("src", "dst"), iters = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(fp.keySet === dbl.keySet)
+    // every div truncation loses < 1 unit; a handful of divisions per
+    // node per iteration bounds the drift far below this slack
+    fp.foreach { case (v, r) =>
+      assert(math.abs(r.toDouble / scale - dbl(v)) < 1e-6,
+        s"node=$v fixed=${r.toDouble / scale} double=${dbl(v)}")
+    }
+    val total = fp.values.sum.toDouble / scale
+    assert(total > 0.999 && total <= 1.0 + 1e-9, s"total=$total")
+  }
+
+  test("fixed-point variant is bit-identical across runs") {
+    val rng = new Random(49)
+    val edges = (for {
+      a <- 0L until 30L
+      b <- 0L until 30L
+      if a != b && rng.nextDouble() < 0.1
+    } yield (a, b)).distinct
+    val a = PageRank.runFixed(edges.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toSet
+    val b = PageRank.runFixed(edges.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("agrees with the driver-side reference on random graphs") {
     val rng = new Random(47)
     (1 to 3).foreach { round =>
