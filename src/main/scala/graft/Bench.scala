@@ -49,14 +49,19 @@ object Bench {
       System.err.println(
         s"WARN Bench: headline queries missing from SparkEntry.queries: ${missing.mkString(", ")}")
 
-    // Three timed executions per query, report the min: steady-state
-    // throughput, not first-run codegen/JIT compilation (and the min
-    // shields the reported number from background-load spikes). A
-    // query that throws reports the sentinel -1 (never a plausible
+    // One discarded warmup (first-run codegen/JIT/FS-cache effects),
+    // then `runs` timed executions per query. "queries" stays the
+    // per-query MIN (steady-state throughput, shielded from
+    // background-load spikes); "stats" adds mean/stddev/max so a
+    // min-to-min drift between rounds can be adjudicated against the
+    // harness's own dispersion instead of guessed at — round-4 showed
+    // ±40% per-query drift on byte-identical code with min-of-3 alone.
+    // A query that throws reports the sentinel -1 (never a plausible
     // timing) and is listed in "errors".
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
-      val runs = (1 to 3).map { _ =>
+      def timed(): (Boolean, Double) = {
         // Operators persist shared intermediates; each invocation
         // builds fresh frames, so drop the previous run's cache
         // entries or they accumulate and thrash the heap.
@@ -67,15 +72,28 @@ object Bench {
                    System.err.println(s"WARN Bench: $name failed: $t"); false }
         (ok, (System.nanoTime() - t0) / 1e9)
       }
-      val good = runs.collect { case (true, t) => t }
-      name -> (if (good.nonEmpty) good.min else -1.0)
+      timed() // warmup, discarded
+      val good = (1 to nRuns).map(_ => timed()).collect { case (true, t) => t }
+      name -> good
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    def fmt(d: Double) = f"$d%.6f"
+    val qs = results.map { case (k, ts) =>
+      "\"" + k + "\":" + (if (ts.nonEmpty) fmt(ts.min) else "-1.0")
+    }.mkString("{", ",", "}")
+    val stats = results.map { case (k, ts) =>
+      if (ts.isEmpty) "\"" + k + "\":null"
+      else {
+        val mean = ts.sum / ts.size
+        val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
+        "\"" + k + "\":{\"min\":" + fmt(ts.min) + ",\"mean\":" + fmt(mean) +
+          ",\"stddev\":" + fmt(sd) + ",\"max\":" + fmt(ts.max) +
+          ",\"runs\":" + ts.size + "}"
+      }
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
     val errs = failed.mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"warmup":1,"runs":$nRuns,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
