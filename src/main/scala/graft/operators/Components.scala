@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   * bounds adversarial chains.
   *
   * Scale shape per iteration: one shuffle join (labels ⋈ edges, both
-  * partitioned by node) + one grouped min + a count action for the
-  * convergence check. The edge list is never collected; state is one
-  * (node, label) row per node. `localCheckpoint` truncates lineage so
-  * the plan stays constant-size across iterations (swap for durable
-  * `checkpoint` on a fault-tolerant cluster run).
+  * partitioned by node) + one grouped min, materialized by a SINGLE
+  * blocking action that doubles as the convergence check — labels are
+  * monotone non-increasing, so the exact decimal sum of all labels
+  * strictly decreases until the fixpoint; comparing successive sums
+  * needs no second join or count job. The edge list is never
+  * collected; state is one (node, label) row per node.
+  * `localCheckpoint` truncates lineage so the plan stays constant-size
+  * across iterations (swap for durable `checkpoint` on a
+  * fault-tolerant cluster run).
   */
 object Components {
 
@@ -40,11 +44,22 @@ object Components {
       .distinct()
       .localCheckpoint()
 
+    // exact order-independent fingerprint of a labeling: decimal(38,0)
+    // sum never overflows (node ids ≤ 2^63, so even 10^15 rows stay
+    // ~10^34 < 10^38) and, because labels only ever DECREASE, the sum
+    // strictly decreases iff any label changed — one aggregate job
+    // replaces the old join + count convergence probe, and the same
+    // action materializes the iteration's lazy checkpoint.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+
     // init: own id vs min direct neighbor
     var labels = und.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("minb"))
       .select(col("node"), least(col("node"), col("minb")).as("label"))
       .localCheckpoint()
+    var prevSum = labelSum(labels)
 
     var iter = 0
     var converged = false
@@ -56,13 +71,10 @@ object Components {
       val next = labels.join(viaNeighbors, "node")
         .select(col("node"), least(col("label"), col("nlabel")).as("label"))
         .localCheckpoint(false)
-      // converged when no label strictly decreased this round
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .where(col("n.label") < col("o.label"))
-        .count()
+      val s = labelSum(next) // one job: checkpoint + convergence probe
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     if (!converged)
@@ -120,16 +132,34 @@ object Components {
       moved.union(self).where(col("a") =!= col("b")).distinct()
     }
 
+    // Order-independent fingerprint of the canonical edge set: row
+    // count + exact decimal sum of per-edge 64-bit hashes, both from
+    // ONE aggregate job (which also materializes the round's lazy
+    // checkpoint) — replacing the old count + count + except.isEmpty
+    // triple (3 blocking jobs, one a full anti-join shuffle). Equal
+    // fingerprints on different sets need a colliding 64-bit hash SUM
+    // at matching cardinality — vanishing odds, and one extra
+    // harmless round would re-derive the same fixpoint anyway.
+    def fingerprint(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
     var e = e0.select(greatest(col("a"), col("b")).as("a"),
         least(col("a"), col("b")).as("b"))
       .distinct().localCheckpoint()
+    var prev = fingerprint(e)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       // star-contraction fixpoint: the canonical edge set is stable
-      converged = next.count() == e.count() &&
-        next.except(e).isEmpty
+      val fp = fingerprint(next)
+      converged = fp._1 == prev._1 && fp._2.compareTo(prev._2) == 0
+      prev = fp
       e = next
       round += 1
     }

@@ -64,6 +64,65 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size === 121 && got.values.forall(_ == 0L))
   }
 
+  test("convergence probes are folded into the iteration action: " +
+       "bounded blocking actions per round") {
+    // QueryExecutionListener fires once per blocking Dataset action —
+    // the driver-side serialization points that matter on a busy
+    // cluster (AQE splits one action into many scheduler jobs, so raw
+    // job counts can't pin this).
+    val names = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = names.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = names.add(s"FAIL:$funcName")
+    }
+    def actionsDuring(body: => Unit): Seq[String] = {
+      names.clear()
+      spark.listenerManager.register(listener)
+      try {
+        body
+        // the listener bus is async; poll until the tally stabilizes
+        var last = -1
+        while (names.size != last) { last = names.size; Thread.sleep(250) }
+        scala.jdk.CollectionConverters.ListHasAsScala(names).asScala.toSeq
+      } finally spark.listenerManager.unregister(listener)
+    }
+
+    // lazy localCheckpoint emits a (job-free) event at declaration
+    // time; the serialization points are the PROBE actions that gate
+    // the next round
+    def probes(evs: Seq[String]): Seq[String] =
+      evs.filterNot(_ == "localCheckpoint")
+
+    // chain of 8: hash-min propagation needs 7 label-travel rounds +
+    // 1 no-change round; per round exactly ONE blocking probe (the
+    // label-sum head, which also materializes the lazy checkpoint),
+    // plus the initial sum. A reintroduced separate per-round probe
+    // (the old join+count) doubles the per-round tally and busts the
+    // bound.
+    val chain8 = (0L until 8L).map(i => (i, i + 1)).toDF("a", "b")
+    val aProp = probes(actionsDuring {
+      Components.connected(chain8, "a", "b")
+    })
+    assert(aProp.size <= 1 + 8,
+      s"connected ran ${aProp.size} probe actions for 8 rounds: $aProp")
+
+    // alternating star contraction on a 32-chain: O(log n) rounds,
+    // ONE fingerprint action per round (count+checksum in a single
+    // agg) plus the initial fingerprint; the old count+count+except
+    // probe tripled the per-round tally.
+    val chain32 = (0L until 32L).map(i => (i, i + 1)).toDF("a", "b")
+    val aAlt = probes(actionsDuring {
+      Components.connectedAlternating(chain32, "a", "b", maxRounds = 12)
+    })
+    assert(aAlt.size <= 1 + 12,
+      s"connectedAlternating ran ${aAlt.size} probe actions: $aAlt")
+  }
+
   test("a long chain converges (diameter-bound iterations) and a " +
        "too-small maxIters throws instead of returning wrong labels") {
     // min label travels one hop per iteration: 25 < default maxIters
