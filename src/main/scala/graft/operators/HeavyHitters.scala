@@ -73,10 +73,20 @@ class MisraGries(capacity: Int)
   */
 object HeavyHitters {
 
+  /** Candidate sets at or under this size filter pass 2 via an in-set
+    * predicate (a codegen'd hash-set probe — cheapest possible at the
+    * k≈30 sketch sizes the catalog queries use). Larger sets switch to
+    * a broadcast LEFT SEMI join: a multi-thousand-entry in-list bloats
+    * the generated code and planning time, while a broadcast hash
+    * probe costs the same per row no matter how many candidates.
+    */
+  val InPredicateLimit: Int = 1024
+
   /** Tokens with exact count × k > total token count, over
     * `split(textCol, sep)`. Returns (`word`, `cnt`). */
   def frequentTokens(docs: DataFrame, textCol: String, k: Int,
-                     sep: String = " ", slack: Int = 4): DataFrame = {
+                     sep: String = " ", slack: Int = 4,
+                     inPredicateLimit: Int = InPredicateLimit): DataFrame = {
     val toks = docs.select(split(col(textCol), sep).as("toks"))
     val mg = udaf(new MisraGries(slack * k), ExpressionEncoder[Seq[String]]())
     val row = toks
@@ -86,9 +96,18 @@ object HeavyHitters {
       .head()
     val candidates = row.getMap[String, Long](0).keys.toSeq
     val n = row.getLong(1)
-    docs.select(explode(split(col(textCol), sep)).as("word"))
-      .where(col("word").isInCollection(candidates))
-      .groupBy(col("word"))
+    val words = docs.select(explode(split(col(textCol), sep)).as("word"))
+    val kept =
+      if (candidates.size <= inPredicateLimit)
+        words.where(col("word").isInCollection(candidates))
+      else {
+        import docs.sparkSession.implicits._
+        // candidate set is sketch-sized (slack·k rows) — always an
+        // explicit broadcast, never a shuffle of the token stream
+        words.join(broadcast(candidates.toDF("word")), Seq("word"),
+          "left_semi")
+      }
+    kept.groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * k > n)
   }

@@ -40,6 +40,27 @@ class HeavyHittersSpec extends SparkSpec {
     assert(HeavyHitters.frequentTokens(docs, "text", k = 10).count() === 0L)
   }
 
+  test("frequentTokens at k=5000 (broadcast semi-join candidate path) " +
+       "matches the exact groupBy answer") {
+    // 6k distinct background tokens + 3 genuinely heavy tokens; at
+    // slack*k = 20000 the sketch keeps nearly everything, so the
+    // candidate set blows far past InPredicateLimit and pass 2 must
+    // take the broadcast semi-join path.
+    val docs = ((1 to 6000).map(i => s"bg_$i bg_${i % 997} hot_a") ++
+      (1 to 2000).map(_ => "hot_b hot_c hot_a"))
+      .zipWithIndex.map { case (t, i) => (t, i.toLong) }
+      .toDF("text", "doc_id")
+    val got = HeavyHitters.frequentTokens(docs, "text", k = 5000)
+      .as[(String, Long)].collect().toMap
+    val exact = docs.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect()
+    val n = exact.map(_._2).sum
+    val want = exact.collect { case (w, c) if c * 5000 > n => (w, c) }.toMap
+    assert(got === want, "broadcast-path answer diverged from exact")
+    assert(got.contains("hot_a") && got.contains("hot_b"))
+  }
+
   test("frequentTokens returns the exact over-threshold set") {
     val docs = Seq(
       ("a a a a b b c d", 1L),
