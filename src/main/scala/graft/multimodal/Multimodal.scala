@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata (the 100 TB training-data layout — one
   * row per asset, media bytes inline or as object-store pointers).
   *
-  * The Spark-side machinery (schema, partition-sized batching,
-  * iterator signatures, deterministic outputs) is real and tested; the
-  * codec itself is STUBBED (no image/audio libraries in this
-  * container): `decodeStub` derives a deterministic fake feature
-  * vector from the bytes. Swap `decodeStub` for a real decoder (JNI /
-  * ONNX runtime) without touching any plumbing.
+  * Feature extraction decodes REAL formats where a zero-dep JVM can
+  * ([[Codecs]]: RIFF/WAVE PCM audio, binary PNM images — sniffed by
+  * magic bytes, never by the `kind` column), falling back to a
+  * deterministic stride-hash signature for formats that need native
+  * codecs (JPEG/MP3/H.264). Swap/extend the dispatcher in
+  * [[decodeFeatures]] for a JNI/ONNX decoder without touching any
+  * plumbing.
   *
   * Scala's `mapPartitions` is the JVM analog of PySpark's
   * `mapInPandas`: one iterator per partition, so per-partition codec
@@ -30,11 +31,13 @@ object Multimodal {
   final case class SignalWindow(asset_id: Long, win_no: Int, start: Long,
                                 sum_sq: Long)
 
-  /** ??? real codec goes here ??? — deterministic stand-in: hashes
-    * 64-byte strides of the payload into a fixed-dim float vector.
-    * Deterministic in the bytes, so tests and retries are stable.
+  /** Fallback signature for formats without a JVM decoder: byte
+    * strides folded into a fixed-dim float vector. Deterministic in
+    * the bytes, so tests and retries are stable — but it is a
+    * SIGNATURE, not perception; decodable formats take the real
+    * codec paths above it in [[decodeFeatures]].
     */
-  private[multimodal] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+  private[multimodal] def strideSignature(bytes: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (bytes != null) {
       var i = 0
@@ -47,6 +50,16 @@ object Multimodal {
     out
   }
 
+  /** Codec dispatch by content sniffing: real WAV/PNM decode
+    * ([[Codecs]]) with perceptual features (RMS + zero-crossing rate
+    * for audio, luma thumbnail for images); stride-hash signature for
+    * everything else.
+    */
+  private[multimodal] def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+    Codecs.decodeWav(bytes).map(Codecs.audioFeatures(_, dim))
+      .orElse(Codecs.decodePnm(bytes).map(Codecs.imageFeatures(_, dim)))
+      .getOrElse(strideSignature(bytes, dim))
+
   /** Feature extraction over media bytes: one codec init per
     * partition, streaming rows through. Output is a fixed-dim
     * `Array[Float]` column ready for the graft.operators.Similarity
@@ -56,7 +69,7 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition codec setup would happen here (once, not per row)
-      rows.map(r => MediaFeatures(r.asset_id, r.kind, decodeStub(r.bytes, dim)))
+      rows.map(r => MediaFeatures(r.asset_id, r.kind, decodeFeatures(r.bytes, dim)))
     }
   }
 
