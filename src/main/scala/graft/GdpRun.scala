@@ -10,20 +10,30 @@ import graft.plans.{GdpPipeline => P, GdpSchemas => S}
   * outputs (`gdp_update.csv`-shaped, USIS upload, comparison + plot
   * series). Demonstrates the switch path for a reference user:
   *
-  *   runMain graft.GdpRun /root/reference /tmp/gdp_out [refDate]
+  *   runMain graft.GdpRun /root/reference /tmp/gdp_out [refDate] [lastYear]
   *
   * The live extracts (UNSD/Taiwan/USIS HTTP) are the only stages not
   * exercised here — their transforms are in GdpExtract and are fed
   * staged frames in production.
   */
 object GdpRun {
+
+  /** The release year of the captured reference inputs — the default
+    * for the `lastYear` endpoint when none is passed. The reference
+    * hard-codes its `last_year` in the script body (SURVEY §7.5); here
+    * it is a CLI/env seam (`args(3)` or SPARK_GRAFT_LAST_YEAR) so next
+    * year's release is a flag, not a code edit.
+    */
+  val DefaultLastYear: Int = 2024
+
   def main(args: Array[String]): Unit = {
     val refDir = args.headOption.getOrElse("/root/reference")
     val outDir = if (args.length > 1) args(1) else "/tmp/gdp_out"
     val refDateStr = args.lift(2).getOrElse(
       java.time.LocalDate.now.format(java.time.format.DateTimeFormatter
         .ofPattern("d-MMM-yy", java.util.Locale.US)))
-    val lastYear = 2024
+    val lastYear = args.lift(3).orElse(sys.env.get("SPARK_GRAFT_LAST_YEAR"))
+      .map(_.toInt).getOrElse(DefaultLastYear)
 
     val spark = SparkSession.builder()
       .master(s"local[${math.min(32, Runtime.getRuntime.availableProcessors())}]")

@@ -86,6 +86,40 @@ class GdpPipelineSpec extends SparkSpec {
     assert(world === Seq(Row("0000", "World", 2000, "V", 30.0)))
   }
 
+  test("lastYear is a config seam, not a constant: estimation and the " +
+       "internal-estimate marking follow a non-2024 endpoint") {
+    // synthesized release with endpoint 2030: constant-price 2029
+    // facts get grown into 2030, deflated into current prices, and
+    // the 2030 rows (and only those) carry the internal DataSource
+    val facts = Seq(
+      ("004", 2029, "GDP_at_constant_prices_2015", 100.0),
+      ("004", 2028, "GDP_at_constant_prices_2015", 90.0)
+    ).toDF("Economy_Code", "Year", "Variable", "Value")
+    val growth = Seq(("004", 10.0)).toDF("UNCTcc", "Growth")
+    val deflators = Seq(("004", 2030, 120.0))
+      .toDF("Country_Code", "Year", "Deflator_USD")
+
+    val est = P.estimateLastYear(facts, growth, deflators, lastYear = 2030)
+    val y2030 = est.filter($"Year" === 2030)
+      .select("Variable", "Value").as[(String, Double)].collect().toMap
+    assert(y2030.keySet === Set("GDP_at_constant_prices_2015",
+      "GDP_at_current_prices"))
+    // 100 × (1 + 10/100) = 110; 110 × 120/100 = 132 (IEEE tolerance)
+    assert(math.abs(y2030("GDP_at_constant_prices_2015") - 110.0) < 1e-9)
+    assert(math.abs(y2030("GDP_at_current_prices") - 132.0) < 1e-9)
+    // nothing lands on the old hard-coded endpoint
+    assert(est.filter($"Year" === 2024).count() === 0)
+
+    val usis = P.usisProjection(
+      est.withColumn("Economy_Label", lit("Afghanistan"))
+        .withColumn("CommentEN", lit(null: String))
+        .withColumn("CommentFR", lit(null: String)),
+      lastYear = 2030, refDate = "1-Jan-31")
+      .select("Year", "DataSource").as[(Int, String)].collect().toSet
+    assert(usis.filter(_._1 == 2030).forall(_._2 == "0001"))
+    assert(usis.filter(_._1 != 2030).forall(_._2 == "4809"))
+  }
+
   test("usisProjection maps measures/sources and keeps leaf codes only") {
     val df = Seq(
       ("158", "Taiwan", 2023, "GDP_at_current_prices", 5.0, null, null),
