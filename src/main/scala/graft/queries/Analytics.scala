@@ -603,6 +603,43 @@ object Analytics {
                 (col("l_suppkey") * 2 + 1).as("dst"))
       graft.operators.PageRank.runFixed(edges, iters = 3)
         .orderBy("node")
+    }),
+    "sample_weighted_systematic" -> ((s, d) => {
+      // S17: weighted (PPS) systematic sampling — pick ~k docs with
+      // probability proportional to size (n_chars), deterministically:
+      // order by doc_id, take the integer prefix sum of weights, and
+      // keep every row whose cumulative weight crosses a multiple of
+      // step = total/k. All-integer arithmetic (no RNG, no log/pow),
+      // so the selection is bit-reproducible across engines and
+      // cluster layouts. The prefix sum rides Packing.withRunningOffset
+      // (range shuffle + two narrow passes), NOT a global window — the
+      // single-reducer sort is the 100 TB anti-pattern; the 1-row
+      // total broadcasts.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val k = 50
+      val total = docs.agg(sum(col("n_chars")).cast("long").as("tw"))
+      graft.operators.Packing.withRunningOffset(docs, "doc_id", "n_chars")
+        .crossJoin(broadcast(total))
+        .withColumn("step", greatest(expr(s"tw div ${k}L"), lit(1L)))
+        .withColumn("cw", col("offset") + col("n_chars"))
+        .where(expr("cw div step") > expr("offset div step"))
+        .select(col("doc_id"), col("n_chars"), col("cw"))
+        .orderBy("doc_id")
+    }),
+    "layout_hilbert_key" -> ((s, d) => {
+      // S18: Hilbert clustering key (sources/Layout.hilbertKey) on an
+      // 8-bit 256×256 grid over (custkey mod 256, nationkey×10) —
+      // the data-layout primitive next to Z-order. The key is pure
+      // unrolled integer CASE/shift/xor arithmetic (codegen'd, no
+      // UDF), so DuckDB can mirror it level by level and hash-match.
+      val c = t(s, d, "customer")
+      c.select(col("c_custkey"),
+          (col("c_custkey") % 256).as("gx"),
+          (col("c_nationkey") * 10).as("gy"))
+        .withColumn("hkey",
+          graft.sources.Layout.hilbertKey(col("gx"), col("gy"), order = 8))
+        .orderBy("hkey", "c_custkey")
     })
   )
 
@@ -989,6 +1026,52 @@ object Analytics {
          |       FROM nodes),
          |$steps
          |SELECT node, r AS rank_fp FROM r$iters ORDER BY node""".stripMargin
+    },
+    "sample_weighted_systematic" ->
+      """WITH docs AS (SELECT doc_id, n_chars FROM documents),
+        |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM docs),
+        |c AS (SELECT doc_id, n_chars,
+        |        CAST(sum(n_chars) OVER
+        |          (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+        |        greatest(tw // 50, 1) AS step
+        |      FROM docs CROSS JOIN tot)
+        |SELECT doc_id, n_chars, cw FROM c
+        |WHERE cw // step > (cw - n_chars) // step
+        |ORDER BY doc_id""".stripMargin,
+    "layout_hilbert_key" -> {
+      // Mirrors Layout.hilbertKey level by level: the same xy2d
+      // recurrence unrolled over 8 bit levels (s = 128 … 1), reflect
+      // with n-1 = 255, all-integer CASE/xor arithmetic — so the key
+      // hash-matches bit for bit.
+      val order = 8
+      val n = 1L << order
+      val levels = (order - 1) to 0 by -1
+      val steps = levels.zipWithIndex.map { case (lvl, i) =>
+        val s = 1L << lvl
+        val prev = s"h$i"
+        s"""h${i + 1} AS (
+           |  SELECT c_custkey, gx, gy,
+           |    CASE WHEN ry = 0 THEN
+           |           (CASE WHEN rx = 1 THEN ${n - 1} - y ELSE y END)
+           |         ELSE x END AS x,
+           |    CASE WHEN ry = 0 THEN
+           |           (CASE WHEN rx = 1 THEN ${n - 1} - x ELSE x END)
+           |         ELSE y END AS y,
+           |    d + ${s * s} * xor(3 * rx, ry) AS d
+           |  FROM (SELECT *,
+           |          CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |        FROM $prev) t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (
+         |  SELECT c_custkey,
+         |         c_custkey % 256 AS gx, c_nationkey * 10 AS gy,
+         |         c_custkey % 256 AS x, c_nationkey * 10 AS y,
+         |         CAST(0 AS BIGINT) AS d
+         |  FROM customer),
+         |$steps
+         |SELECT c_custkey, gx, gy, CAST(d AS BIGINT) AS hkey
+         |FROM h$order ORDER BY hkey, c_custkey""".stripMargin
     }
   )
 }

@@ -166,6 +166,25 @@ object Behavioral {
         .select(col("user_id"), col("event_id"), col("v"), col("v_locf"))
         .orderBy("user_id", "event_id")
     }),
+    "window_lead_lag_ignore_nulls" -> ((s, d) => {
+      // lead/lag IGNORE NULLS: for every event, the nearest non-null
+      // reading BEFORE and AFTER it (error events carry no reading) —
+      // the gap-bridging primitive for sensor interpolation.
+      // lag/lead(ignoreNulls = true) skip null rows inside the frame
+      // scan; no self-join back to the nearest valid row, one shuffle
+      // on user_id.
+      val ev = Tables.events(s, d)
+      ev.withColumn("v",
+          when(col("event_type") === "error", lit(null))
+            .otherwise(col("value")))
+        .withColumn("prev_v", lag(col("v"), 1, null, ignoreNulls = true)
+          .over(userOrder))
+        .withColumn("next_v", lead(col("v"), 1, null, ignoreNulls = true)
+          .over(userOrder))
+        .select(col("user_id"), col("event_id"), col("v"),
+          col("prev_v"), col("next_v"))
+        .orderBy("user_id", "event_id")
+    }),
     "window_rolling_median" -> ((s, d) => {
       // Rolling exact median over a trailing 5-row frame. Restricted
       // to full frames (rn >= 5) so the median is a pure element pick
@@ -282,6 +301,18 @@ object Behavioral {
          |  last_value(v IGNORE NULLS) OVER
          |    (PARTITION BY user_id ORDER BY ts, event_id
          |     ROWS UNBOUNDED PRECEDING) AS v_locf
+         |FROM x ORDER BY 1, 2""".stripMargin,
+    "window_lead_lag_ignore_nulls" ->
+      s"""WITH $evSql,
+         |x AS (SELECT user_id, event_id, ts,
+         |        CASE WHEN event_type = 'error' THEN NULL
+         |             ELSE value END AS v
+         |      FROM ev)
+         |SELECT user_id, event_id, v,
+         |  lag(v, 1 IGNORE NULLS) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_v,
+         |  lead(v, 1 IGNORE NULLS) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id) AS next_v
          |FROM x ORDER BY 1, 2""".stripMargin,
     "window_rolling_median" ->
       s"""WITH $evSql,

@@ -117,4 +117,33 @@ class PlanShapeSpec extends SparkSpec {
            !p.contains("BroadcastNestedLoopJoin"),
       s"overlap join must stay an equi-join:\n$p")
   }
+
+  test("sample_weighted_systematic: distributed prefix sum (no global " +
+       "single-partition window), 1-row total broadcasts") {
+    val p = plan("sample_weighted_systematic")
+    assert(!p.contains("Window"),
+      s"prefix sum must ride Packing.withRunningOffset, not a global window:\n$p")
+    assert(p.contains("MapPartitions"), s"expected the narrow passes:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row total must broadcast:\n$p")
+  }
+
+  test("layout_hilbert_key: native expression stays inside whole-stage " +
+       "codegen — no UDF, no window, no join") {
+    val p = plan("layout_hilbert_key")
+    assert(p.contains("graft_hilbert_index"),
+      s"expected the native hilbert expression:\n$p")
+    assert(!p.contains("UDF") && !p.contains("Window") &&
+           !p.toLowerCase.contains("join"),
+      s"hilbert key is a pure map-side projection:\n$p")
+    // codegen membership only shows in the EXECUTED plan under AQE;
+    // collect() executes THIS queryExecution (count() plans a new one).
+    // In simpleString form a codegen'd operator is starred: `*(n) Project`.
+    val df = SparkEntry.queries("layout_hilbert_key")(spark, sf("sf0.001"))
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[.*graft_hilbert_index""".r
+        .findFirstIn(exec).isDefined,
+      s"hilbert projection must be inside a whole-stage-codegen span:\n$exec")
+  }
 }

@@ -114,4 +114,61 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(zDir).except(grid).count() === 0 &&
       grid.except(spark.read.parquet(zDir)).count() === 0)
   }
+
+  test("hilbertKey is a true Hilbert curve: bijective on the grid, consecutive keys Manhattan-adjacent, matches the scalar reference") {
+    val order = 4
+    val n = 1 << order // 16x16 grid, exhaustively enumerated
+    // scalar xy2d reference (reflect in n-1, the Wikipedia formulation)
+    def xy2d(x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = (n >> 1).toLong
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val cells = for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong)
+    val got = cells.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertKey(col("x"), col("y"), order).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall { case (x, y, h) => h === xy2d(x, y) },
+      "hilbertKey must match the scalar reference")
+    // bijective: keys are exactly 0 .. n*n-1
+    val byKey = got.map { case (x, y, h) => h -> (x, y) }.toMap
+    assert(byKey.keySet === (0L until (n.toLong * n)).toSet,
+      "hilbert keys must be a bijection onto [0, n^2)")
+    // the defining curve property: walking keys in order moves exactly
+    // one Manhattan step per key — no Morton-style quadrant jumps
+    (0L until (n.toLong * n - 1)).foreach { i =>
+      val (x1, y1) = byKey(i); val (x2, y2) = byKey(i + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"keys $i -> ${i + 1} jump from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbert layout skips files like z-order and preserves content") {
+    val grid = spark.range(0, 64 * 1024).select(
+      (col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+    val linDir = java.nio.file.Files.createTempDirectory("lin_h").toString
+    val hDir = java.nio.file.Files.createTempDirectory("hilb").toString
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+    Layout.writeHilbert(grid, hDir, "x", "y", numFiles = 16, order = 9)
+    def filesHit(p: String): Long =
+      spark.read.parquet(p).where(col("y") >= 10 && col("y") < 20)
+        .select(input_file_name()).distinct().count()
+    val (lin, h) = (filesHit(linDir), filesHit(hDir))
+    assert(h <= lin / 2,
+      s"hilbert layout should hit far fewer files on the cross-dim filter: h=$h lin=$lin")
+    assert(spark.read.parquet(hDir).except(grid).count() === 0 &&
+      grid.except(spark.read.parquet(hDir)).count() === 0)
+  }
 }
