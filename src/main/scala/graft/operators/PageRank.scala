@@ -41,13 +41,15 @@ object PageRank {
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val edgesDeg = e.join(outDeg, "src")
       .localCheckpoint(false) // the per-iteration join probe side
-    // nodes with no out-edges — static, computed once; only their
-    // rank SUM changes per iteration
-    val danglingNodes = nodes
-      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"),
-            "left_anti")
+    // dangling flag joined ONCE onto the node set and carried through
+    // every iteration's rank frame — the per-iteration dangling-mass
+    // sum is then a pure map-side aggregate over ranks, not a
+    // node-sized semi-join shuffle per round
+    val nodesTag = nodes
+      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), col("__deg").isNull.as("__dang"))
       .localCheckpoint(false)
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks = nodesTag.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -59,18 +61,18 @@ object PageRank {
       // driver round-trip per iteration; at cluster scale a per-
       // iteration action serializes the job queue)
       val dangling = ranks
-        .join(danglingNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
-      ranks = nodes.join(inMass, Seq("node"), "left")
+        .agg(coalesce(sum(when(col("__dang"), col("rank"))), lit(0.0))
+          .as("__dm"))
+      ranks = nodesTag.join(inMass, Seq("node"), "left")
         .crossJoin(dangling) // single row → broadcast
-        .select(col("node"),
+        .select(col("node"), col("__dang"),
                 (lit((1.0 - damping) / n) +
                   lit(damping) *
                     (coalesce(col("__m"), lit(0.0)) + col("__dm") / n))
                   .as("rank"))
         .localCheckpoint(false) // cut the iteration's lineage growth
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Fixed-point PageRank: ranks are scaled integers (`rank_fp` ≈
@@ -106,11 +108,13 @@ object PageRank {
     val teleport = ((dampDen - dampNum) * init) / dampDen
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val edgesDeg = e.join(outDeg, "src").localCheckpoint(false)
-    val danglingNodes = nodes
-      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"),
-            "left_anti")
+    // dangling flag carried through iterations (see run): dangling
+    // mass becomes a map-side aggregate, not a per-round semi-join
+    val nodesTag = nodes
+      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("node"), col("__deg").isNull.as("__dang"))
       .localCheckpoint(false)
-    var ranks = nodes.withColumn("rank_fp", lit(init))
+    var ranks = nodesTag.withColumn("rank_fp", lit(init))
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -118,15 +122,15 @@ object PageRank {
                 expr("rank_fp div __deg").as("__c"))
       val inMass = contribs.groupBy("node").agg(sum(col("__c")).as("__m"))
       val dangling = ranks
-        .join(danglingNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("__dm"))
-      ranks = nodes.join(inMass, Seq("node"), "left")
+        .agg(coalesce(sum(when(col("__dang"), col("rank_fp"))), lit(0L))
+          .as("__dm"))
+      ranks = nodesTag.join(inMass, Seq("node"), "left")
         .crossJoin(dangling) // single row → broadcast
-        .select(col("node"),
+        .select(col("node"), col("__dang"),
           expr(s"${teleport}L + ($dampNum * (coalesce(__m, 0L) " +
                s"+ __dm div ${n}L)) div $dampDen").as("rank_fp"))
         .localCheckpoint(false) // cut the iteration's lineage growth
     }
-    ranks
+    ranks.select(col("node"), col("rank_fp"))
   }
 }
