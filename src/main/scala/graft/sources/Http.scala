@@ -68,4 +68,15 @@ object Http {
     val staged = fetchToFile(url, ".csv", timeout)
     Staged.readCsvSkip(spark, staged.toString, skip, schema, nullValue)
   }
+
+  /** The reference's `get_unsd_gdp_data` shape
+    * (`gpd_etl_pipeline.R:53-61`): GET an .xlsx to a staging file, then
+    * `read_excel(skip = n)` — here the native [[Xlsx]] reader.
+    */
+  def readXlsxUrl(spark: SparkSession, url: String, skip: Int = 0,
+                  sheet: Int = 0,
+                  timeout: Duration = Duration.ofSeconds(60)): DataFrame = {
+    val staged = fetchToFile(url, ".xlsx", timeout)
+    Xlsx.read(spark, staged.toString, skip, sheet)
+  }
 }
