@@ -70,10 +70,14 @@ object GdpRun {
     S.writeCsv(cmp.withColumn("Year", col("Year").cast("int")),
       s"$outDir/gdp_comparison")
     S.writeCsv(P.perEconomySeries(cmp), s"$outDir/gdp_series")
+    // the reference's per-economy plot book (3 per page, old vs new
+    // release in the reference palette) — sinks/PdfPlot, zero deps
+    val pdfPages = graft.sinks.PdfPlot.writeComparison(cmp,
+      s"$outDir/GDP_comparison_groups.pdf")
 
     println(s"[gdp-run] update=${full.count()} usis=" +
       s"${P.usisProjection(full, lastYear, refDateStr).count()} " +
-      s"comparison=${cmp.count()} -> $outDir")
+      s"comparison=${cmp.count()} pdfPages=$pdfPages -> $outDir")
     spark.stop()
   }
 }
