@@ -140,6 +140,12 @@ object PdfPlot {
     * per economy (4 lines: release × variable, reference colors,
     * current-prices dashed), 3 per page, ordered by label — the
     * `marrangeGrob(nrow=3, ncol=1)` layout. Returns page count.
+    *
+    * Label-side note: the reference iterates old-release labels
+    * (`gdp_compare_with_old_data.R:88` sorts `Economy_Label.old`);
+    * the comparison frame carries only the NEW-side label (its
+    * golden-pinned schema), so economies present solely in the old
+    * release — label null here — are skipped rather than plotted.
     */
   def writeComparison(cmp: DataFrame, path: String): Int = {
     val rows = cmp
