@@ -78,7 +78,10 @@ object PdfPlot {
     nPages
   }
 
-  private def fmt(d: Double): String = f"$d%.2f"
+  // PDF numbers use '.' — pin the locale (f"" formats via the default
+  // locale, which would emit decimal commas on e.g. de_DE)
+  private def fmt(d: Double): String =
+    String.format(java.util.Locale.US, "%.2f", Double.box(d))
 
   private def esc(s: String): String =
     s.flatMap {
@@ -116,7 +119,8 @@ object PdfPlot {
       // axis extremes
       sb ++= s"BT /F1 7 Tf ${fmt(x0 - 4)} ${fmt(y0 - 10)} Td (${esc(fmt(dxMin))}) Tj ET\n"
       sb ++= s"BT /F1 7 Tf ${fmt(x1 - 18)} ${fmt(y0 - 10)} Td (${esc(fmt(dxMax))}) Tj ET\n"
-      sb ++= s"BT /F1 7 Tf ${fmt(margin)} ${fmt(y1 - 4)} Td (${esc("%.3g".format(dyMax))}) Tj ET\n"
+      val yLabel = String.format(java.util.Locale.US, "%.3g", Double.box(dyMax))
+      sb ++= s"BT /F1 7 Tf ${fmt(margin)} ${fmt(y1 - 4)} Td (${esc(yLabel)}) Tj ET\n"
       // series polylines; NaN breaks the pen
       p.series.foreach { s =>
         val (r, g, b) = s.rgb
