@@ -76,7 +76,10 @@ object Bench {
       val good = (1 to nRuns).map(_ => timed()).collect { case (true, t) => t }
       name -> good
     }
-    def fmt(d: Double) = f"$d%.6f"
+    // JSON numbers need '.': pin the locale (the f-interpolator uses
+    // the default locale, which would emit decimal commas on de_DE)
+    def fmt(d: Double) =
+      String.format(java.util.Locale.US, "%.6f", Double.box(d))
     val qs = results.map { case (k, ts) =>
       "\"" + k + "\":" + (if (ts.nonEmpty) fmt(ts.min) else "-1.0")
     }.mkString("{", ",", "}")
