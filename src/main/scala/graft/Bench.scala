@@ -37,6 +37,12 @@ object Bench {
       // shingle arrays, ~25MB at sf0.1) should hash-broadcast rather
       // than sort-merge; clusters tune this to their own memory.
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      // SPARK_GRAFT_AQE=true re-times the same set under adaptive
+      // execution (runtime coalescing + skew-join splitting) — AqeSpec
+      // pins result equivalence; this knob makes the plan-level cost
+      // of each mode measurable instead of asserted.
+      .config("spark.sql.adaptive.enabled",
+              sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -198,6 +198,90 @@ object TextDedup {
         .select(col("doc_id"), col("lang_guess"), col("canonical_id"),
                 col("drop_reason"))
         .orderBy("doc_id")),
+    "text_gopher_repetition" -> ((s, d) => {
+      // Gopher repetition filters (Rae et al. 2021, Table A1) over
+      // word n-grams: coverage of the heaviest 2-gram and total
+      // characters inside duplicated 5-grams, each as a fraction of
+      // n_chars; keep thresholds 0.20 / 0.15 are the paper's.
+      // "Heaviest" = max over grams of count × gram length — stays
+      // deterministic under count ties, unlike argmax-by-count.
+      // Shape: positional grams sliced row-locally, ONE explode with
+      // an n-tag, one (doc, n, gram) shuffle, one per-doc reduce —
+      // two aggregations total, no joins, no second corpus scan.
+      val w = tokens(col("text"))
+      def grams(n: Int) =
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", slice(w, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      val tagged = concat(
+        transform(grams(2), g => struct(lit(2).as("n"), g.as("g"))),
+        transform(grams(5), g => struct(lit(5).as("n"), g.as("g"))))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), explode(tagged).as("t"))
+        .groupBy(col("doc_id"), col("n_chars"),
+                 col("t.n").as("n"), col("t.g").as("g"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("n_chars"))
+        .agg(
+          max(when(col("n") === 2, col("cnt") * length(col("g")))
+            .otherwise(0L)).as("top2_chars"),
+          sum(when(col("n") === 5 && col("cnt") > 1,
+              col("cnt") * length(col("g"))).otherwise(0L)).as("dup5_chars"))
+        .select(col("doc_id"),
+          col("top2_chars").cast("long").as("top2_chars"),
+          col("dup5_chars").cast("long").as("dup5_chars"),
+          (col("top2_chars").cast("double") / col("n_chars"))
+            .as("top2_frac"),
+          (col("dup5_chars").cast("double") / col("n_chars"))
+            .as("dup5_frac"),
+          (col("top2_chars").cast("double") / col("n_chars") <= 0.20 &&
+            col("dup5_chars").cast("double") / col("n_chars") <= 0.15)
+            .as("keep"))
+        .orderBy("doc_id")
+    }),
+    "text_pii_redact" -> ((s, d) => {
+      // PII scrub — the masking rewrite pass of a training-data
+      // pipeline: e-mail / IPv4 / SSN-shaped spans → typed placeholder
+      // tokens, with per-doc match counts. The corpus is synthetic
+      // word-soup with no real PII, so spans are INJECTED
+      // deterministically from doc_id (identical integer arithmetic in
+      // the oracle); the operator under test is the chained native
+      // regexp_replace — codegen'd, map-side, zero shuffle: the shape
+      // of a full-corpus rewrite at 100 TB. Patterns stay inside the
+      // RE2 ∩ java.util.regex common subset so both engines agree.
+      val id = col("doc_id").cast("string")
+      def when0(m: Int, c: org.apache.spark.sql.Column) =
+        when(col("doc_id") % m === 0, c).otherwise(lit(""))
+      val aug = concat(col("text"),
+        when0(3, concat(lit(" contact u"), id, lit("@mail"),
+          (col("doc_id") % 7).cast("string"), lit(".example.com"))),
+        when0(4, concat(lit(" from "),
+          (col("doc_id") % 223 + 1).cast("string"), lit("."),
+          (col("doc_id") % 251).cast("string"), lit("."),
+          ((col("doc_id") * 7) % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string"))),
+        when0(5, concat(lit(" ssn "),
+          (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+          (col("doc_id") % 90 + 10).cast("string"), lit("-"),
+          (col("doc_id") % 9000 + 1000).cast("string"))))
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+      t(s, d, "documents")
+        .withColumn("aug", aug)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
+            .as("n_ips"),
+          size(regexp_extract_all(col("aug"), lit(ssnRe), lit(0)))
+            .as("n_ssns"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+              emailRe, "<EMAIL>"), ipRe, "<IP>"), ssnRe, "<SSN>"))
+            .as("redacted_md5"))
+        .orderBy("doc_id")
+    }),
     "mixture_rebalance" -> ((s, d) => {
       // data-mixture rebalancing: downsample every language to the
       // minority language's count. Keep rates are computed FROM the
@@ -486,6 +570,61 @@ object TextDedup {
          |                        THEN 'near_duplicate' END) AS drop_reason
          |FROM g2 LEFT JOIN neardup n USING (doc_id)
          |ORDER BY g2.doc_id""".stripMargin,
+    "text_gopher_repetition" ->
+      """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (
+        |  SELECT doc_id, n_chars, 2 AS n, ws[i] || ' ' || ws[i+1] AS g
+        |  FROM w, UNNEST(range(1, len(ws))) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, 5,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+        |          || ' ' || ws[i+4]
+        |  FROM w, UNNEST(range(1, len(ws) - 3)) AS u(i)),
+        |c AS (SELECT doc_id, n_chars, n, g, count(*) AS cnt
+        |      FROM g GROUP BY 1, 2, 3, 4),
+        |a AS (SELECT doc_id, n_chars,
+        |        max(CASE WHEN n = 2 THEN cnt * length(g) ELSE 0 END)
+        |          AS top2_chars,
+        |        sum(CASE WHEN n = 5 AND cnt > 1 THEN cnt * length(g)
+        |                 ELSE 0 END) AS dup5_chars
+        |      FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(top2_chars AS BIGINT) AS top2_chars,
+        |  CAST(dup5_chars AS BIGINT) AS dup5_chars,
+        |  CAST(top2_chars AS DOUBLE) / n_chars AS top2_frac,
+        |  CAST(dup5_chars AS DOUBLE) / n_chars AS dup5_frac,
+        |  (CAST(top2_chars AS DOUBLE) / n_chars <= 0.20 AND
+        |   CAST(dup5_chars AS DOUBLE) / n_chars <= 0.15) AS keep
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "text_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' contact u' || doc_id || '@mail' || (doc_id % 7)
+        |              || '.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN ' from ' || (doc_id % 223 + 1) || '.' || (doc_id % 251)
+        |              || '.' || (doc_id * 7 % 256) || '.' || (doc_id % 100)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' ssn ' || (doc_id % 900 + 100) || '-'
+        |              || (doc_id % 90 + 10) || '-' || (doc_id % 9000 + 1000)
+        |         ELSE '' END AS a
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(a,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(a,
+        |    '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssns,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin,
     "mixture_rebalance" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |m AS (SELECT min(n) AS mn FROM c),
