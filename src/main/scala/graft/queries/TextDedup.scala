@@ -282,6 +282,66 @@ object TextDedup {
             .as("redacted_md5"))
         .orderBy("doc_id")
     }),
+    "text_tfidf_topk" -> ((s, d) => {
+      // TF-IDF keyword extraction: top-3 terms per document by
+      // tf × ln(N/df), ties broken by term. Plan: one explode →
+      // (doc, term) counts; document frequency derived FROM the tf
+      // frame (no second corpus scan); N is a 1-row broadcast; the df
+      // side is vocabulary-sized (≪ corpus) so the join broadcasts at
+      // runtime. Scores are rounded to 8 decimals and the window
+      // orders by the ROUNDED score, so cross-engine ordering and
+      // values agree to the quantum.
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(n) // 1-row N → broadcast
+        .withColumn("score",
+          round(col("tf") * log(col("n").cast("double") / col("df")), 8))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("score"),
+                col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+    "text_charlm_surprisal" -> ((s, d) => {
+      // Character-trigram LM quality signal (the KenLM-perplexity
+      // filter shape of CCNet/Gopher, self-trained): P(c₃|c₁c₂) from
+      // corpus trigram counts, per-doc surprisal Σ −ln P. Two corpus
+      // passes — train (explode → type counts; context totals derived
+      // from the type counts, not re-scanned) and score (explode →
+      // join the trigram-type-sized model, runtime-broadcast → per-doc
+      // sum). Log-probs are FIXED-POINT (round(−1e6·ln p) as long) so
+      // the per-doc sum is order-independent integer arithmetic —
+      // hash-comparable, unlike a double Σlog.
+      val docs = t(s, d, "documents")
+      val tris = expr(
+        """CASE WHEN length(text) >= 3
+          |THEN transform(sequence(1, length(text) - 2),
+          |               i -> substring(text, i, 3))
+          |ELSE array() END""".stripMargin)
+      val dtris = docs.select(col("doc_id"), explode(tris).as("tri"))
+      val c3 = dtris.groupBy("tri").agg(count(lit(1)).as("c3"))
+      val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("p2"))
+        .agg(sum(col("c3")).as("c2"))
+      val lm = c3.withColumn("p2", substring(col("tri"), 1, 2))
+        .join(c2, "p2")
+        .select(col("tri"),
+          round(-lit(1000000.0) *
+            log(col("c3").cast("double") / col("c2")), 0)
+            .cast("long").as("slog"))
+      val perDoc = dtris.join(lm, "tri").groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"), sum(col("slog")).as("surprisal_fp"))
+      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          coalesce(col("surprisal_fp"), lit(0L)).as("surprisal_fp"))
+        .orderBy("doc_id")
+    }),
     "mixture_rebalance" -> ((s, d) => {
       // data-mixture rebalancing: downsample every language to the
       // minority language's count. Keep rates are computed FROM the
@@ -625,6 +685,38 @@ object TextDedup {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')) AS redacted_md5
         |FROM aug ORDER BY doc_id""".stripMargin,
+    "text_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, term, tf,
+        |        round(tf * ln(CAST(n AS DOUBLE) / df), 8) AS score
+        |      FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY score DESC, term) AS INT) AS rk
+        |FROM s QUALIFY rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    "text_charlm_surprisal" ->
+      """WITH tri AS (
+        |  SELECT doc_id, substr(text, CAST(i AS BIGINT), 3) AS tri
+        |  FROM documents, UNNEST(range(1, length(text) - 1)) AS u(i)),
+        |c3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY 1),
+        |c2 AS (SELECT substr(tri, 1, 2) AS p2, sum(c3) AS c2
+        |       FROM c3 GROUP BY 1),
+        |lm AS (SELECT tri,
+        |         CAST(round(-1000000.0 * ln(CAST(c3 AS DOUBLE) / c2), 0)
+        |              AS BIGINT) AS slog
+        |       FROM c3 JOIN c2 ON substr(tri, 1, 2) = p2),
+        |p AS (SELECT t.doc_id, count(*) AS n_tri, sum(slog) AS surprisal_fp
+        |      FROM tri t JOIN lm USING (tri) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(n_tri, 0) AS n_tri,
+        |  CAST(COALESCE(surprisal_fp, 0) AS BIGINT) AS surprisal_fp
+        |FROM documents d LEFT JOIN p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "mixture_rebalance" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |m AS (SELECT min(n) AS mn FROM c),
