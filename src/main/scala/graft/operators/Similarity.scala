@@ -122,4 +122,32 @@ object Similarity {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         qcosine(expr("graft_qdot(a.v, b.v)"), col("a.n2"), col("b.n2")).as("cos"))
       .where(col("cos") >= threshold)
+
+  /** SemDeDup (Abbas et al. 2023): embedding near-dup pairs restricted
+    * to k-means cells — the scale path [[nearDupPairs]]'s Scaladoc
+    * promises. Cluster with the [[Ivf]] coarse quantizer (deterministic
+    * seeds, one quantized-mean Lloyd step, centroids broadcast — the
+    * corpus never shuffles during assignment), then compare only
+    * WITHIN each cell: the join is an equi-join on the cell key, so
+    * pair count is Σ|cell|²/2 instead of n²/2 and each cell's pairs
+    * co-locate on one reducer. Missed cross-cell near-dups are the
+    * documented recall trade (the paper's too); raise `cells` for
+    * smaller buckets, not bigger machines.
+    */
+  def semDedupPairs(corpus: DataFrame, cells: Int,
+                    threshold: Double): DataFrame = {
+    val corp = corpus.select(col("id"), col("v"), col("n2"))
+    val seeds = corp.where(col("id") < cells)
+      .select(col("id").cast("int").as("cell"),
+        col("v").as("cv"), col("n2").as("cn2"))
+    val cents = Ivf.refine(Ivf.assign(corp, seeds)).localCheckpoint(false)
+    val assigned = Ivf.assign(corp, cents)
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.cell").as("cell"),
+        col("a.id").as("id1"), col("b.id").as("id2"),
+        qcosine(expr("graft_qdot(a.v, b.v)"), col("a.n2"), col("b.n2"))
+          .as("cos"))
+      .where(col("cos") >= threshold)
+  }
 }

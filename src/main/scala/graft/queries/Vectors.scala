@@ -54,6 +54,15 @@ object Vectors {
     "dedup_embedding_cosine" -> ((s, d) =>
       Similarity.nearDupPairs(prepped(s, d), 0.45)
         .orderBy("id1", "id2")),
+    "dedup_semdedup" -> ((s, d) =>
+      // SemDeDup: near-dup pairs restricted to learned k-means cells
+      // (operators/Similarity.semDedupPairs) — the bucketed scale path
+      // next to dedup_embedding_cosine's exhaustive baseline; same
+      // 0.45 threshold, cells = 8, so the result is exactly the
+      // baseline's pairs whose endpoints landed in one cell.
+      Similarity.semDedupPairs(prepped(s, d), cells = 8, threshold = 0.45)
+        .select(col("id1"), col("id2"), col("cell"), col("cos"))
+        .orderBy("id1", "id2")),
     "ann_ivf_kmeans" -> ((s, d) => {
       // REAL IVF: deterministic seeds (vec_id < 8) -> one Lloyd
       // refinement over quantized integer means -> nprobe=2 probing.
@@ -90,6 +99,34 @@ object Vectors {
     s"""CAST(CAST(list_sum(list_transform(range(1, len($va) + 1),
        |        k -> $va[k] * $vb[k])) AS BIGINT) AS DOUBLE)
        | / sqrt(CAST($n2a * $n2b AS DOUBLE))""".stripMargin
+
+  /** Shared IVF coarse-quantizer CTE chain (mirrors `Ivf.assign` +
+    * `Ivf.refine`): seeds = vec_id < 8 → assign → one quantized-mean
+    * Lloyd step → re-assign. Ends with `asg(vec_id, v, n2, cell)` and
+    * `cn(cell, cv, cn2)`; expects `$prepSql` above it.
+    */
+  private lazy val ivfAssignSql =
+    s"""seeds AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, n2 AS cn2
+       |          FROM n WHERE vec_id < 8),
+       |s0 AS (SELECT x.vec_id, x.v, x.n2, s.cell,
+       |         row_number() OVER (PARTITION BY x.vec_id
+       |           ORDER BY ${cosFor("x.v", "s.cv", "x.n2", "s.cn2")} DESC,
+       |                    s.cell) AS rn
+       |       FROM n x CROSS JOIN seeds s),
+       |asg0 AS (SELECT vec_id, v, n2, cell FROM s0 WHERE rn = 1),
+       |comp AS (SELECT cell, k AS pos,
+       |           CAST(floor(CAST(sum(v[k]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cq
+       |         FROM asg0, UNNEST(range(1, 65)) AS r(k) GROUP BY 1, 2),
+       |cents AS (SELECT cell, list(cq ORDER BY pos) AS cv FROM comp GROUP BY 1),
+       |cn AS (SELECT cell, cv,
+       |         CAST(list_sum(list_transform(cv, p -> p * p)) AS BIGINT) AS cn2
+       |       FROM cents),
+       |s1 AS (SELECT x.vec_id, x.v, x.n2, c.cell,
+       |         row_number() OVER (PARTITION BY x.vec_id
+       |           ORDER BY ${cosFor("x.v", "c.cv", "x.n2", "c.cn2")} DESC,
+       |                    c.cell) AS rn
+       |       FROM n x CROSS JOIN cn c),
+       |asg AS (SELECT vec_id, v, n2, cell FROM s1 WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "ann_cosine_topk" ->
@@ -146,32 +183,24 @@ object Vectors {
          |  FROM n q JOIN n c ON q.vec_id < c.vec_id)
          |SELECT id1, id2, cos FROM pairs WHERE cos >= 0.45
          |ORDER BY 1, 2""".stripMargin,
+    "dedup_semdedup" ->
+      // same IVF assignment chain as ann_ivf_kmeans, then pairs
+      // restricted to a shared cell.
+      s"""WITH $prepSql,
+         |$ivfAssignSql
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.cell,
+         |    ${cosFor("a.v", "b.v", "a.n2", "b.n2")} AS cos
+         |  FROM asg a JOIN asg b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |WHERE cos >= 0.45
+         |ORDER BY 1, 2""".stripMargin,
     "ann_ivf_kmeans" ->
       // mirrors graft.operators.Ivf exactly: seed cells = vec_id < 8,
       // one quantized-mean Lloyd step (floor(sum/n + 0.5)), reassign,
       // nprobe=2 probe, exact rank.
       s"""WITH $prepSql,
-         |seeds AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, n2 AS cn2
-         |          FROM n WHERE vec_id < 8),
-         |s0 AS (SELECT x.vec_id, x.v, x.n2, s.cell,
-         |         row_number() OVER (PARTITION BY x.vec_id
-         |           ORDER BY ${cosFor("x.v", "s.cv", "x.n2", "s.cn2")} DESC,
-         |                    s.cell) AS rn
-         |       FROM n x CROSS JOIN seeds s),
-         |asg0 AS (SELECT vec_id, v, n2, cell FROM s0 WHERE rn = 1),
-         |comp AS (SELECT cell, k AS pos,
-         |           CAST(floor(CAST(sum(v[k]) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS cq
-         |         FROM asg0, UNNEST(range(1, 65)) AS r(k) GROUP BY 1, 2),
-         |cents AS (SELECT cell, list(cq ORDER BY pos) AS cv FROM comp GROUP BY 1),
-         |cn AS (SELECT cell, cv,
-         |         CAST(list_sum(list_transform(cv, p -> p * p)) AS BIGINT) AS cn2
-         |       FROM cents),
-         |s1 AS (SELECT x.vec_id, x.v, x.n2, c.cell,
-         |         row_number() OVER (PARTITION BY x.vec_id
-         |           ORDER BY ${cosFor("x.v", "c.cv", "x.n2", "c.cn2")} DESC,
-         |                    c.cell) AS rn
-         |       FROM n x CROSS JOIN cn c),
-         |asg AS (SELECT vec_id, v, n2, cell FROM s1 WHERE rn = 1),
+         |$ivfAssignSql,
          |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM n WHERE vec_id < 5),
          |ps AS (SELECT q.query_id, q.qv, q.qn2, c.cell,
          |         row_number() OVER (PARTITION BY q.query_id
