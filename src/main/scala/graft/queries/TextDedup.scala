@@ -65,7 +65,7 @@ object TextDedup {
           aggregate(transform(split(col("text"), ""), c => ascii(c).cast("long")),
             lit(0L), (acc, ch) => (acc * 31 + ch) % 2147483647L).as("rh"))
         .orderBy("doc_id")),
-    "text_cdc_chunks" -> ((s, d) => {
+    "text_cdc_chunks" -> ((s, d) =>
       // Content-defined chunking (functions/expressions/CdcBoundaries,
       // the FastCDC/LBFS cut rule): boundary where the W=16 rolling
       // polynomial hash ≡ 0 (mod 32) — so a 1-byte edit moves O(1)
@@ -73,22 +73,23 @@ object TextDedup {
       // property chunk-level dedup at 100 TB depends on. O(n) per doc,
       // row-local native codegen; chunk hashes are md5 over the cut
       // substrings, recomputable by any engine from (start, len).
-      graft.functions.expressions.CdcBoundaries.register(s)
-      val (w, dv, b, m) = (16, 32, 31, 1048573)
-      t(s, d, "documents")
-        .select(col("doc_id"), col("text"),
-          call_function("graft_cdc_boundaries", col("text"),
-            lit(w), lit(dv), lit(b), lit(m)).as("bnd"))
-        .withColumn("rng", arrays_zip(
-          concat(array(lit(1)), transform(col("bnd"), x => x + 1)).as("cs"),
-          concat(col("bnd"), array(length(col("text")))).as("ce")))
-        .select(col("doc_id"), col("text"),
-          posexplode(col("rng")).as(Seq("chunk_no", "r")))
-        .select(col("doc_id"), col("chunk_no").cast("int").as("chunk_no"),
-          col("r.cs").as("cstart"),
-          (col("r.ce") - col("r.cs") + 1).as("clen"),
-          md5(expr("substring(text, r.cs, r.ce - r.cs + 1)")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_no")
+      cdcChunks(s, d).orderBy("doc_id", "chunk_no")),
+    "dedup_cdc_chunks" -> ((s, d) => {
+      // Chunk-level dedup — the consumer CDC chunking exists for:
+      // documents sharing ≥ 2 content-defined chunk hashes are near-
+      // dup candidates even when one is a shifted/edited copy (the
+      // boundaries re-synchronize after an edit, so shared tails keep
+      // identical chunk md5s). Self equi-join on the chunk hash —
+      // bucketed by content, never all-pairs; the ≥ 2 floor drops
+      // coincidental single-chunk collisions.
+      val dc = cdcChunks(s, d).select("doc_id", "chunk_md5").distinct()
+      dc.as("a").join(dc.as("b"),
+          col("a.chunk_md5") === col("b.chunk_md5") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy("d1", "d2")
     }),
     "text_stopword_ratio" -> ((s, d) => {
       // stopword density — the quality-scoring signal used to filter
@@ -369,6 +370,64 @@ object TextDedup {
     })
   )
 
+  /** Content-defined chunks of every document: (doc_id, chunk_no,
+    * cstart, clen, chunk_md5) via the native `graft_cdc_boundaries`
+    * rolling-hash expression. Shared by `text_cdc_chunks` (the chunk
+    * inventory) and `dedup_cdc_chunks` (chunk-hash dedup join).
+    */
+  private def cdcChunks(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.CdcBoundaries.register(s)
+    val (w, dv, b, m) = (16, 32, 31, 1048573)
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"),
+        call_function("graft_cdc_boundaries", col("text"),
+          lit(w), lit(dv), lit(b), lit(m)).as("bnd"))
+      .withColumn("rng", arrays_zip(
+        concat(array(lit(1)), transform(col("bnd"), x => x + 1)).as("cs"),
+        concat(col("bnd"), array(length(col("text")))).as("ce")))
+      .select(col("doc_id"), col("text"),
+        posexplode(col("rng")).as(Seq("chunk_no", "r")))
+      .select(col("doc_id"), col("chunk_no").cast("int").as("chunk_no"),
+        col("r.cs").as("cstart"),
+        (col("r.ce") - col("r.cs") + 1).as("clen"),
+        md5(expr("substring(text, r.cs, r.ce - r.cs + 1)")).as("chunk_md5"))
+  }
+
+  /** Direct windowed-sum mirror of the CDC rolling recurrence: h(i) =
+    * Σ_{j=0..15} (code(s[i−j])+1)·31^j mod 1048573, boundary where
+    * h % 32 = 0 for i in [16, n). Same integers, same md5s as
+    * [[cdcChunks]]; ends with `ch(doc_id, chunk_no, cstart, clen,
+    * chunk_md5)`.
+    */
+  private lazy val cdcChunkSql: String = {
+    val (w, dv, b, m) = (16, 32, 31, 1048573)
+    val pows = Iterator.iterate(1L)(_ * b % m).take(w).toSeq
+    s"""d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |g AS (SELECT doc_id, text, n,
+       |        list_transform(range(1, n + 1),
+       |          i -> unicode(text[CAST(i AS INT)]) + 1) AS gc
+       |      FROM d),
+       |bs AS (SELECT doc_id, text, n,
+       |         list_filter(list_transform(range($w, n), i ->
+       |           CASE WHEN list_sum(list_transform(range(0, $w), j ->
+       |                  gc[CAST(i - j AS INT)]
+       |                    * ([${pows.mkString(", ")}])[CAST(j + 1 AS INT)]
+       |                    % $m)) % $m % $dv = 0
+       |                THEN i END), x -> x IS NOT NULL) AS bnd
+       |       FROM g),
+       |ck AS (SELECT doc_id, text,
+       |         list_prepend(1, list_transform(bnd, x -> x + 1)) AS cs,
+       |         list_append(bnd, n) AS ce
+       |       FROM bs),
+       |ch AS (SELECT doc_id, CAST(t.i - 1 AS INT) AS chunk_no,
+       |  CAST(cs[CAST(t.i AS INT)] AS INT) AS cstart,
+       |  CAST(ce[CAST(t.i AS INT)] - cs[CAST(t.i AS INT)] + 1 AS INT) AS clen,
+       |  md5(substr(text, CAST(cs[CAST(t.i AS INT)] AS BIGINT),
+       |             CAST(ce[CAST(t.i AS INT)] - cs[CAST(t.i AS INT)] + 1 AS BIGINT)))
+       |    AS chunk_md5
+       |FROM ck, UNNEST(range(1, len(cs) + 1)) AS t(i))""".stripMargin
+  }
+
   /** Hashed shingle sets: same 60-bit md5 hashing as the native
     * `graft_shingle_hashes` expression, so hash sets match the Spark
     * side bit-for-bit. `src` must expose (doc_id, text).
@@ -452,38 +511,18 @@ object TextDedup {
         |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 2147483647) AS rh
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "text_cdc_chunks" -> {
-      // Direct windowed-sum mirror of the rolling recurrence: h(i) =
-      // Σ_{j=0..15} (code(s[i−j])+1)·31^j mod 1048573, boundary where
-      // h % 32 = 0 for i in [16, n). Same integers, same md5s.
-      val (w, dv, b, m) = (16, 32, 31, 1048573)
-      val pows = Iterator.iterate(1L)(_ * b % m).take(w).toSeq
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
-         |g AS (SELECT doc_id, text, n,
-         |        list_transform(range(1, n + 1),
-         |          i -> unicode(text[CAST(i AS INT)]) + 1) AS gc
-         |      FROM d),
-         |bs AS (SELECT doc_id, text, n,
-         |         list_filter(list_transform(range($w, n), i ->
-         |           CASE WHEN list_sum(list_transform(range(0, $w), j ->
-         |                  gc[CAST(i - j AS INT)]
-         |                    * ([${pows.mkString(", ")}])[CAST(j + 1 AS INT)]
-         |                    % $m)) % $m % $dv = 0
-         |                THEN i END), x -> x IS NOT NULL) AS bnd
-         |       FROM g),
-         |ck AS (SELECT doc_id, text,
-         |         list_prepend(1, list_transform(bnd, x -> x + 1)) AS cs,
-         |         list_append(bnd, n) AS ce
-         |       FROM bs)
-         |SELECT doc_id, CAST(t.i - 1 AS INT) AS chunk_no,
-         |  CAST(cs[CAST(t.i AS INT)] AS INT) AS cstart,
-         |  CAST(ce[CAST(t.i AS INT)] - cs[CAST(t.i AS INT)] + 1 AS INT) AS clen,
-         |  md5(substr(text, CAST(cs[CAST(t.i AS INT)] AS BIGINT),
-         |             CAST(ce[CAST(t.i AS INT)] - cs[CAST(t.i AS INT)] + 1 AS BIGINT)))
-         |    AS chunk_md5
-         |FROM ck, UNNEST(range(1, len(cs) + 1)) AS t(i)
-         |ORDER BY doc_id, chunk_no""".stripMargin
-    },
+    "text_cdc_chunks" ->
+      s"""WITH $cdcChunkSql
+         |SELECT doc_id, chunk_no, cstart, clen, chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_no""".stripMargin,
+    "dedup_cdc_chunks" ->
+      s"""WITH $cdcChunkSql,
+         |dc AS (SELECT DISTINCT doc_id, chunk_md5 FROM ch)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |FROM dc a JOIN dc b
+         |  ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY 1, 2""".stripMargin,
     "text_stopword_ratio" ->
       """SELECT doc_id,
         |  CAST(len(w) AS INT) AS word_cnt,
