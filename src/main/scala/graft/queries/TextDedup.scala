@@ -343,6 +343,36 @@ object TextDedup {
           coalesce(col("surprisal_fp"), lit(0L)).as("surprisal_fp"))
         .orderBy("doc_id")
     }),
+    "mixture_temperature" -> ((s, d) => {
+      // Temperature-based mixture sampling (mT5 / multilingual-BERT
+      // exponentiated smoothing): language i is kept with rate
+      // ∝ p_i^(α−1) with α = 0.5, i.e. rarer languages are boosted by
+      // 1/√p_i, normalized so the LARGEST language's rate is 1. Same
+      // execution shape as mixture_rebalance — rates are computed from
+      // one tiny aggregate, broadcast, and applied map-side as an
+      // md5-space threshold; the corpus scans once and never shuffles.
+      // √ is a single IEEE op on both engines, so thresholds agree
+      // bitwise.
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      // keep rate_i = √(n_min/n_i), the α = 0.5 exponentiation
+      // normalized to the minority language (rate ≤ 1 everywhere, so a
+      // subsample can honor it): the minority keeps ~everything, a
+      // language k× larger keeps √(1/k) — flatter than
+      // mixture_rebalance's linear n_min/n_i, steeper than uniform.
+      val rates = counts
+        .crossJoin(counts.agg(min(col("n")).as("mn")))
+        .withColumn("thr",
+          sqrt(col("mn").cast("double") / col("n").cast("double")) *
+            lit(1048576.0))
+      val h20 = conv(substring(md5(col("doc_id").cast("string")), 1, 5),
+        16, 10).cast("long")
+      docs.join(broadcast(rates), Seq("lang"))
+        .where(h20 < col("thr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("kept_cnt"))
+        .orderBy("lang")
+    }),
     "mixture_rebalance" -> ((s, d) => {
       // data-mixture rebalancing: downsample every language to the
       // minority language's count. Keep rates are computed FROM the
@@ -756,6 +786,17 @@ object TextDedup {
         |  CAST(COALESCE(surprisal_fp, 0) AS BIGINT) AS surprisal_fp
         |FROM documents d LEFT JOIN p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "mixture_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |m AS (SELECT min(n) AS mn FROM c),
+        |r AS (SELECT lang,
+        |        sqrt(CAST(mn AS DOUBLE) / CAST(n AS DOUBLE)) * 1048576.0 AS thr
+        |      FROM c, m)
+        |SELECT d.lang, count(*) AS kept_cnt
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 5))
+        |           AS BIGINT) < thr
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "mixture_rebalance" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |m AS (SELECT min(n) AS mn FROM c),
