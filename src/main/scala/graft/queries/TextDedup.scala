@@ -343,6 +343,31 @@ object TextDedup {
           coalesce(col("surprisal_fp"), lit(0L)).as("surprisal_fp"))
         .orderBy("doc_id")
     }),
+    "dedup_repeated_spans" -> ((s, d) => {
+      // Duplicate-text fraction (Lee et al. 2022 "Deduplicating
+      // Training Data…", the suffix-array metric made distributable):
+      // hash EVERY 40-char span with the native O(n) rolling-hash
+      // expression, count per doc how many span hashes also occur in
+      // ANOTHER document. Two shuffles on the span-hash key — the
+      // honest replacement for a suffix array at 100 TB; output is one
+      // row per doc. dup_frac is a single division, cross-engine
+      // exact.
+      graft.functions.expressions.RollingHashes.register(s)
+      val (w, b, m) = (40, 31, 1099511627689L)
+      val spans = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(call_function("graft_rolling_hashes", col("text"),
+            lit(w), lit(b), lit(m))).as("h"))
+      val nd = spans.groupBy("h")
+        .agg(count_distinct(col("doc_id")).as("nd"))
+      spans.join(nd, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .select(col("doc_id"), col("n_spans"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_spans")).as("dup_frac"))
+        .orderBy("doc_id")
+    }),
     "mixture_temperature" -> ((s, d) => {
       // Temperature-based mixture sampling (mT5 / multilingual-BERT
       // exponentiated smoothing): language i is kept with rate
@@ -786,6 +811,33 @@ object TextDedup {
         |  CAST(COALESCE(surprisal_fp, 0) AS BIGINT) AS surprisal_fp
         |FROM documents d LEFT JOIN p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_repeated_spans" -> {
+      // Direct windowed-sum mirror of graft_rolling_hashes: h(i) =
+      // Σ_{j=0..39} (code(s[i−j])+1)·31^j mod (2^40 − 87) for i in
+      // [40, n]. Same integers as the O(n) rolling form.
+      val (w, b, m) = (40, 31, 1099511627689L)
+      val pows = Iterator.iterate(1L)(_ * b % m).take(w).toSeq
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |g AS (SELECT doc_id, n,
+         |        list_transform(range(1, n + 1),
+         |          i -> unicode(text[CAST(i AS INT)]) + 1) AS gc
+         |      FROM d),
+         |p AS (SELECT doc_id,
+         |        unnest(list_transform(range($w, n + 1), i ->
+         |          list_sum(list_transform(range(0, $w), j ->
+         |            gc[CAST(i - j AS INT)]
+         |              * ([${pows.mkString(", ")}])[CAST(j + 1 AS INT)]
+         |              % $m)) % $m)) AS h
+         |      FROM g),
+         |nd AS (SELECT h, count(DISTINCT doc_id) AS nd FROM p GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared,
+         |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*) AS dup_frac
+         |FROM p JOIN nd USING (h)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "mixture_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |m AS (SELECT min(n) AS mn FROM c),
