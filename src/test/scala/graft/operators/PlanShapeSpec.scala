@@ -146,4 +146,43 @@ class PlanShapeSpec extends SparkSpec {
         .findFirstIn(exec).isDefined,
       s"hilbert projection must be inside a whole-stage-codegen span:\n$exec")
   }
+
+  test("text_pii_redact: the corpus rewrite is one scan with no data " +
+       "exchange except the output sort") {
+    val p = plan("text_pii_redact")
+    assert(!p.contains("Join"), s"redaction must not join:\n$p")
+    // exactly one Exchange node: the final rangepartitioning sort
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected only the output-sort exchange:\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"the single exchange must be the output sort:\n$p")
+  }
+
+  test("text_gopher_repetition: one explode feeds both gram sizes — " +
+       "the corpus is scanned once, and nothing joins") {
+    val p = plan("text_gopher_repetition")
+    assert(!p.contains("Join"), s"repetition stats must not join:\n$p")
+    // count detail-section entries ("(n) Scan parquet") — the tree
+    // section prints every node a second time
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected a single corpus scan:\n$p")
+  }
+
+  test("dedup_semdedup: pairs build on a cell equi-join, never a " +
+       "data-sized cartesian/nested loop") {
+    val p = plan("dedup_semdedup")
+    // the only BroadcastNestedLoopJoin allowed is the 1-row centroid
+    // array cross (it scans no parquet on its build side beyond the
+    // folded aggregate); the pair join itself must be an equi hash join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"pair join must be an equi-join on cell:\n$p")
+    assert(!p.contains("CartesianProduct"), s"must not be cartesian:\n$p")
+  }
+
+  test("text_charlm_surprisal: the trigram model joins the corpus as a " +
+       "broadcast build side (the corpus never shuffles to score)") {
+    val p = plan("text_charlm_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"lm table must broadcast into the scoring join:\n$p")
+  }
 }
