@@ -21,7 +21,10 @@ object Bench {
     "window_range_frame", "pack_chunks", "decontaminate",
     "sql_exists_correlated", "sql_in_subquery", "dedup_cluster_cc",
     "events_funnel", "events_interval_overlap", "cohort_retention_weeks",
-    "pagerank_fixed")
+    "pagerank_fixed",
+    // round-5 additions: the shuffle/join-bearing training-data ops
+    "text_gopher_repetition", "text_charlm_surprisal", "dedup_semdedup",
+    "dedup_repeated_spans", "dedup_cdc_chunks", "text_tfidf_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

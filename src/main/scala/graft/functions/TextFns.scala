@@ -19,6 +19,20 @@ object TextFns {
   /** Whitespace tokens. Documents testdata is single-space separated. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** PII span patterns, kept inside the RE2 ∩ java.util.regex common
+    * subset so DuckDB oracles can mirror matches exactly.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  /** Mask e-mail/IPv4/SSN spans with typed placeholders — chained
+    * native regexp_replace, codegen'd, map-side.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), SsnRe, "<SSN>")
+
   /** 60-bit portable integer hash of a string (see object doc). */
   def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 

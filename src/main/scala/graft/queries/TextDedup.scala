@@ -266,21 +266,16 @@ object TextDedup {
           (col("doc_id") % 900 + 100).cast("string"), lit("-"),
           (col("doc_id") % 90 + 10).cast("string"), lit("-"),
           (col("doc_id") % 9000 + 1000).cast("string"))))
-      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
       t(s, d, "documents")
         .withColumn("aug", aug)
         .select(col("doc_id"),
-          size(regexp_extract_all(col("aug"), lit(emailRe), lit(0)))
+          size(regexp_extract_all(col("aug"), lit(EmailRe), lit(0)))
             .as("n_emails"),
-          size(regexp_extract_all(col("aug"), lit(ipRe), lit(0)))
+          size(regexp_extract_all(col("aug"), lit(Ipv4Re), lit(0)))
             .as("n_ips"),
-          size(regexp_extract_all(col("aug"), lit(ssnRe), lit(0)))
+          size(regexp_extract_all(col("aug"), lit(SsnRe), lit(0)))
             .as("n_ssns"),
-          md5(regexp_replace(regexp_replace(regexp_replace(col("aug"),
-              emailRe, "<EMAIL>"), ipRe, "<IP>"), ssnRe, "<SSN>"))
-            .as("redacted_md5"))
+          md5(redactPii(col("aug"))).as("redacted_md5"))
         .orderBy("doc_id")
     }),
     "text_tfidf_topk" -> ((s, d) => {

@@ -18,6 +18,40 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Streaming corpus intake: the stateless document gates composed
+    * for `readStream` — word-count/diversity quality thresholds,
+    * stopword-marker language guess, and PII masking, all map-side
+    * projections (no watermark, no state, append-mode everywhere).
+    * Runs identically over a batch frame; chain
+    * [[dedupWithinWatermark]] upstream when the source is
+    * at-least-once. Emits every input doc with `drop_reason` NULL for
+    * keepers — the provenance-preserving shape of
+    * `CorpusPipeline.curate`, minus the (inherently batch) cross-doc
+    * dedup stages.
+    */
+  def corpusIntake(docs: DataFrame, minWords: Int = 30,
+                   minUniqRatio: Double = 0.2,
+                   langs: Set[String] = Set("en")): DataFrame = {
+    import graft.functions.TextFns._
+    val w = tokens(col("text"))
+    val words = size(w)
+    val uniq = size(array_distinct(w)).cast("double") / words
+    val Seq(en, de, es, fr) = langMarkers.map { case (lang, _) =>
+      langScore(col("text"), lang)
+    }
+    val guess = when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    docs
+      .withColumn("lang_guess", guess)
+      .withColumn("drop_reason",
+        when(words < minWords, "too_short")
+          .when(uniq < minUniqRatio, "low_diversity")
+          .when(!col("lang_guess").isInCollection(langs), "language"))
+      .withColumn("text", redactPii(col("text")))
+  }
+
   /** Tumbling hourly aggregate with a 2h watermark. Append-mode
     * compatible: emits only closed windows on streams.
     */

@@ -25,6 +25,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.agg(sum("cnt")).as[Long].head() === ev.count())
   }
 
+  test("corpusIntake on a MemoryStream gates, tags, and redacts " +
+       "append-mode, identical to the batch run") {
+    implicit val sq = spark.sqlContext
+    val docs = Seq(
+      // 32 words, uniq ~0.4, 'the'/'and' dominate → en keeper
+      (1L, (("the quick brown fox and the lazy dog jump over a fence " +
+            "near the old mill ") * 2).trim),
+      // 8 distinct words × 5 (uniq = 0.2 passes), 'der und' dominate
+      (2L, ("der und haus baum berg fluss wald tal " * 5).trim),
+      (3L, "short doc"),                                    // too_short
+      (4L, ("the quick brown fox and lazy dog near a mill " * 4).trim +
+           " mail me u1@x.io now"))
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val q = corpusIntake(df).writeStream
+      .format("memory").queryName("intake_test").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, lang_guess, drop_reason, text FROM intake_test " +
+        "ORDER BY doc_id").as[(Long, String, String, String)].collect().toSeq
+      // streaming answer == batch answer over the same frame
+      val batch = corpusIntake(docs.toDF("doc_id", "text"))
+        .select("doc_id", "lang_guess", "drop_reason", "text")
+        .orderBy("doc_id").as[(Long, String, String, String)].collect().toSeq
+      assert(got === batch)
+      assert(got.map(r => r._1 -> r._3).toMap ===
+        Map(1L -> null, 2L -> "language", 3L -> "too_short", 4L -> null))
+      assert(got.find(_._1 == 4L).get._4.contains("<EMAIL>"))
+    } finally q.stop()
+  }
+
   test("sessionWindows on a MemoryStream splits at the 30-minute gap") {
     implicit val sq = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
