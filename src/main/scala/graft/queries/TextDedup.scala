@@ -338,6 +338,53 @@ object TextDedup {
           coalesce(col("surprisal_fp"), lit(0L)).as("surprisal_fp"))
         .orderBy("doc_id")
     }),
+    "text_langid_ngram" -> ((s, d) => {
+      // Learned n-gram-profile language ID (the textcat/CLD family,
+      // next to text_langid's fixed stopword markers): train per-
+      // language profiles = top-50 char trigrams by corpus count (ties
+      // by trigram), score each doc by |distinct doc trigrams ∩
+      // profile|, guess = argmax with language-order tiebreak. The
+      // profile table is 200 rows — broadcast — so classification is
+      // one map-side-buildable join + per-doc conditional sums; the
+      // corpus never shuffles on a content key.
+      val docs = t(s, d, "documents")
+      val tris = expr(
+        """CASE WHEN length(text) >= 3
+          |THEN transform(sequence(1, length(text) - 2),
+          |               i -> substring(text, i, 3))
+          |ELSE array() END""".stripMargin)
+      val dtris = docs
+        .select(col("doc_id"), col("lang"), explode(tris).as("tri"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("c").desc, col("tri"))
+      val profiles = dtris.groupBy("lang", "tri")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 50)
+        .select(col("lang").as("plang"), col("tri"))
+      val scores = dtris.select(col("doc_id"), col("tri")).distinct()
+        .join(broadcast(profiles), "tri")
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("plang") === "en", 1L).otherwise(0L)).as("s_en"),
+          sum(when(col("plang") === "de", 1L).otherwise(0L)).as("s_de"),
+          sum(when(col("plang") === "es", 1L).otherwise(0L)).as("s_es"),
+          sum(when(col("plang") === "fr", 1L).otherwise(0L)).as("s_fr"))
+      docs.select("doc_id", "lang").join(scores, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("s_en"), lit(0L)).as("s_en"),
+          coalesce(col("s_de"), lit(0L)).as("s_de"),
+          coalesce(col("s_es"), lit(0L)).as("s_es"),
+          coalesce(col("s_fr"), lit(0L)).as("s_fr"))
+        .withColumn("guess",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+               col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") &&
+                  col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .orderBy("doc_id")
+    }),
     "dedup_repeated_spans" -> ((s, d) => {
       // Duplicate-text fraction (Lee et al. 2022 "Deduplicating
       // Training Data…", the suffix-array metric made distributable):
@@ -805,6 +852,37 @@ object TextDedup {
         |  COALESCE(n_tri, 0) AS n_tri,
         |  CAST(COALESCE(surprisal_fp, 0) AS BIGINT) AS surprisal_fp
         |FROM documents d LEFT JOIN p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "text_langid_ngram" ->
+      """WITH tri AS (
+        |  SELECT doc_id, lang, substr(text, CAST(i AS BIGINT), 3) AS tri
+        |  FROM documents, UNNEST(range(1, length(text) - 1)) AS u(i)),
+        |cnt AS (SELECT lang, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+        |prof AS (SELECT lang AS plang, tri FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY lang
+        |                       ORDER BY c DESC, tri) AS rk FROM cnt)
+        |         WHERE rk <= 50),
+        |dt AS (SELECT DISTINCT doc_id, tri FROM tri),
+        |sc AS (SELECT doc_id,
+        |         sum(CASE WHEN plang = 'en' THEN 1 ELSE 0 END) AS s_en,
+        |         sum(CASE WHEN plang = 'de' THEN 1 ELSE 0 END) AS s_de,
+        |         sum(CASE WHEN plang = 'es' THEN 1 ELSE 0 END) AS s_es,
+        |         sum(CASE WHEN plang = 'fr' THEN 1 ELSE 0 END) AS s_fr
+        |       FROM dt JOIN prof USING (tri) GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |  CAST(COALESCE(s_en, 0) AS BIGINT) AS s_en,
+        |  CAST(COALESCE(s_de, 0) AS BIGINT) AS s_de,
+        |  CAST(COALESCE(s_es, 0) AS BIGINT) AS s_es,
+        |  CAST(COALESCE(s_fr, 0) AS BIGINT) AS s_fr,
+        |  CASE
+        |    WHEN COALESCE(s_en, 0) >= COALESCE(s_de, 0)
+        |     AND COALESCE(s_en, 0) >= COALESCE(s_es, 0)
+        |     AND COALESCE(s_en, 0) >= COALESCE(s_fr, 0) THEN 'en'
+        |    WHEN COALESCE(s_de, 0) >= COALESCE(s_es, 0)
+        |     AND COALESCE(s_de, 0) >= COALESCE(s_fr, 0) THEN 'de'
+        |    WHEN COALESCE(s_es, 0) >= COALESCE(s_fr, 0) THEN 'es'
+        |    ELSE 'fr' END AS guess
+        |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "dedup_repeated_spans" -> {
       // Direct windowed-sum mirror of graft_rolling_hashes: h(i) =
