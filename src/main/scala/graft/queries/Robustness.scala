@@ -31,6 +31,35 @@ object Robustness {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "json_corrupt_records" -> ((s, d) => {
+      // PERMISSIVE-mode ingestion of dirty JSON — the real-world
+      // at-scale contract: malformed rows must neither kill the job
+      // (FAILFAST) nor vanish silently (DROPMALFORMED); they surface
+      // in a corrupt-record column for quarantine. Corruption is
+      // INJECTED deterministically (event_id % 7 → a doubled brace
+      // makes the row unparseable) so the oracle can mirror it with
+      // json_valid. Parse is from_json with an explicit schema —
+      // once per row, codegen'd, map-side.
+      val ev = graft.Tables.events(s, d)
+        .withColumn("raw",
+          when(col("event_id") % 7 === 0, concat(lit("{"), col("props")))
+            .otherwise(col("props")))
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL("k INT, _corrupt_record STRING")
+      ev.select(col("event_type"), col("raw"),
+          from_json(col("raw"), schema,
+            Map("mode" -> "PERMISSIVE",
+                "columnNameOfCorruptRecord" -> "_corrupt_record")).as("p"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("p.k")).as("n_parsed"),
+          count(col("p._corrupt_record")).as("n_corrupt"),
+          sum(col("p.k")).as("sum_k"),
+          // quarantine checksum: corrupt payloads survive verbatim
+          md5(concat_ws("|", array_sort(collect_list(
+            col("p._corrupt_record"))))).as("quarantine_md5"))
+        .orderBy("event_type")
+    }),
     "try_arith" -> ((s, d) =>
       // NULL-on-error arithmetic: division by a data-dependent zero
       // and an unparseable cast, both yielding NULL instead of a
@@ -97,6 +126,22 @@ object Robustness {
   )
 
   val oracles: Map[String, String] = Map(
+    "json_corrupt_records" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN '{' || props ELSE props END AS raw
+        |  FROM events),
+        |p AS (SELECT event_type, raw,
+        |        CASE WHEN json_valid(raw)
+        |             THEN CAST(json_extract_string(raw, '$.k') AS INT) END AS k,
+        |        CASE WHEN NOT json_valid(raw) THEN raw END AS corrupt
+        |      FROM ev)
+        |SELECT event_type, count(*) AS n_rows,
+        |  count(k) AS n_parsed, count(corrupt) AS n_corrupt,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  md5(array_to_string(list_sort(COALESCE(list(corrupt)
+        |        FILTER (corrupt IS NOT NULL), [])), '|')) AS quarantine_md5
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "try_arith" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice / nullif(l_quantity - 25.0, 0.0) AS ratio_to_qty25,
