@@ -361,6 +361,30 @@ object Analytics {
              expr("bool_and(l_extendedprice > 0)").as("all_pos_price"),
              expr("bool_or(l_discount > 0.05)").as("any_big_disc"))
         .orderBy("l_returnflag")),
+    "window_distinct_count" -> ((s, d) => {
+      // W19: COUNT(DISTINCT) OVER — SQL engines allow it, Spark's
+      // window aggregates don't, so the idiomatic Spark form is
+      // size(collect_set(..).over(w)): a running distinct-supplier
+      // count per customer order history. The set lives in window
+      // state (O(distinct per partition) memory) — fine for per-key
+      // cardinalities like a customer's suppliers; for corpus-scale
+      // cardinalities switch to the two-phase distinct or HLL sketches
+      // (A12/K5) instead of a window.
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val perOrder = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .agg(collect_set(col("l_suppkey")).as("supps"))
+      perOrder
+        .select(col("o_custkey"), col("o_orderkey"),
+          size(array_distinct(flatten(
+            collect_list(col("supps")).over(w)))).as("distinct_supps"))
+        .where(col("o_custkey") < 100)
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "window_first_last" -> ((s, d) => {
       // W10: first_value / last_value / nth_value over the full
       // partition frame (explicit unbounded frame — last_value under
@@ -772,6 +796,17 @@ object Analytics {
         |  bool_and(l_extendedprice > 0) AS all_pos_price,
         |  bool_or(l_discount > 0.05) AS any_big_disc
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "window_distinct_count" ->
+      """WITH per AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    list(DISTINCT l_suppkey) AS supps
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(len(list_distinct(flatten(list(supps) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING)))) AS INT) AS distinct_supps
+        |FROM per WHERE o_custkey < 100 ORDER BY 1, 2""".stripMargin,
     "window_first_last" ->
       """SELECT o_custkey, o_orderkey,
         |  first_value(o_totalprice) OVER w AS first_price,
