@@ -90,6 +90,32 @@ object Analytics {
         .orderBy("returnflag", "linestatus")),
 
     // ---- percentiles / distribution -----------------------------------------
+    "agg_weighted_median" -> ((s, d) => {
+      // A24: WEIGHTED percentiles (median + p90 of extended price,
+      // weighted by quantity) by integer cumulative-weight crossing:
+      // the answer is min(v) among rows with k·cum ≥ q·k·tot, all in
+      // exact integer arithmetic — no interpolation, no doubles in the
+      // selection rule, so both engines pick the identical row. One
+      // windowed pass per group; the RANGE frame makes tied values
+      // share their cumulative weight, so ties cannot split the
+      // crossing.
+      val w = Window.partitionBy(col("g")).orderBy(col("v"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("g"))
+      val c = t(s, d, "lineitem").select(
+        col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+        col("l_quantity").cast("long").as("wt"))
+      val cum = c.withColumn("cum", sum(col("wt")).over(w))
+        .withColumn("tot", sum(col("wt")).over(all))
+      cum.groupBy(col("g").as("l_returnflag"))
+        .agg(
+          min(when(col("cum") * 2 >= col("tot"), col("v")))
+            .as("wmedian"),
+          min(when(col("cum") * 10 >= col("tot") * 9, col("v")))
+            .as("wp90"),
+          max(col("tot")).as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
     "percentile_grouped" -> ((s, d) =>
       // A11: EXACT linear-interpolation percentiles per group (Spark
       // `percentile`, not approx_percentile — quartile fractions on
@@ -704,6 +730,19 @@ object Analytics {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY 1, 2""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH c AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+        |             CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+        |w AS (SELECT g, v,
+        |        sum(wt) OVER (PARTITION BY g ORDER BY v
+        |                      RANGE UNBOUNDED PRECEDING) AS cum,
+        |        sum(wt) OVER (PARTITION BY g) AS tot
+        |      FROM c)
+        |SELECT g AS l_returnflag,
+        |  min(CASE WHEN cum * 2 >= tot THEN v END) AS wmedian,
+        |  min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS wp90,
+        |  CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "percentile_grouped" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS p25,
