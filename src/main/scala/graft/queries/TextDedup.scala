@@ -199,6 +199,22 @@ object TextDedup {
         .select(col("doc_id"), col("lang_guess"), col("canonical_id"),
                 col("drop_reason"))
         .orderBy("doc_id")),
+    "text_normalize" -> ((s, d) => {
+      // Canonical text normalization — the pre-tokenizer stage every
+      // pipeline runs before dedup/training: lowercase, tokenize,
+      // strip stopwords, re-join. Pure map-side projection (zero
+      // shuffle); the md5 of the normalized form is the canonical key
+      // downstream exact-dedup can group on.
+      val toks = tokens(lower(col("text")))
+      val kept = filter(toks,
+        tk => !(tk === "the" || tk === "a" || tk === "and"))
+      t(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          size(kept).as("n_kept"),
+          md5(concat_ws(" ", kept)).as("norm_md5"))
+        .orderBy("doc_id")
+    }),
     "text_gopher_repetition" -> ((s, d) => {
       // Gopher repetition filters (Rae et al. 2021, Table A1) over
       // word n-grams: coverage of the heaviest 2-gram and total
@@ -766,6 +782,17 @@ object TextDedup {
          |                        THEN 'near_duplicate' END) AS drop_reason
          |FROM g2 LEFT JOIN neardup n USING (doc_id)
          |ORDER BY g2.doc_id""".stripMargin,
+    "text_normalize" ->
+      """WITH n AS (SELECT doc_id,
+        |    string_split(lower(text), ' ') AS toks,
+        |    list_filter(string_split(lower(text), ' '),
+        |      t -> NOT (t = 'the' OR t = 'a' OR t = 'and')) AS kept
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(kept) AS INT) AS n_kept,
+        |  md5(array_to_string(kept, ' ')) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     "text_gopher_repetition" ->
       """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
         |           FROM documents),
