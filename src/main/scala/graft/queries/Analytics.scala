@@ -27,6 +27,79 @@ object Analytics {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // ---- graph: triangle counting ---------------------------------------
+    "graph_triangle_count" -> ((s, d) => {
+      // G5: exact triangle count over the part co-purchase graph
+      // (parts sharing an order are adjacent). Edges are oriented
+      // low-id -> high-id so each triangle is enumerated exactly once
+      // as (u<v<w); the count is then two equi-joins over the oriented
+      // edge list — the standard distributed formulation (at 100 TB,
+      // orient by DEGREE instead of id so the fan-out join's probe
+      // side is every node's low-degree neighbours; count unchanged).
+      // Edge building dedups (order, part) first so M:N lineitems
+      // don't multiply pairs.
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = pp.as("a")
+        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+      e.as("e1")
+        .join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"),
+          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .agg(count(lit(1)).as("triangles"))
+    }),
+
+    // ---- windows: distribution / share ----------------------------------
+    "window_cume_dist" -> ((s, d) => {
+      // W19: cumulative distribution of account balance inside each
+      // market segment. The ORDER BY key includes c_custkey so ranks
+      // are total (no tie plateaus) and cume_dist is the exact
+      // rational n/m evaluated in IEEE double identically by both
+      // engines; scaled to integer e9 for a byte-stable hash.
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(cume_dist().over(w) * lit(1e9)).cast("long").as("cd_e9"))
+        .orderBy("c_custkey")
+    }),
+    "window_ratio_to_report" -> ((s, d) => {
+      // W20: each supplier's share of its nation's shipped quantity
+      // (ratio-to-report). Numerator and denominator are both EXACT
+      // decimal sums (group sum + window re-sum of it), so the final
+      // double division is bit-identical at any parallelism; only
+      // then does the value leave exact arithmetic.
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(money(col("l_quantity"))).as("qty"))
+      val bySupp = t(s, d, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+      val w = Window.partitionBy(col("s_nationkey"))
+      bySupp.select(col("s_nationkey"), col("s_suppkey"),
+          (dbl(col("qty")) / dbl(sum(col("qty")).over(w))).as("share"))
+        .orderBy("s_nationkey", "s_suppkey")
+    }),
+
+    // ---- skew-mitigated join (operators/Skew) ---------------------------
+    "join_skew_salted" -> ((s, d) => {
+      // J15: Skew.saltedJoin end-to-end — the broadcast-ineligible
+      // skewed-key pattern: big side salted deterministically, small
+      // side replicated `factor` times, join on (key, salt). The
+      // result is provably the plain inner join (the oracle IS the
+      // plain join), so correctness of the rewrite is what's checked.
+      val big = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("s_suppkey"),
+                money(col("l_quantity")).as("qty"))
+      val small = t(s, d, "supplier").select(col("s_suppkey"), col("s_name"))
+      Skew.saltedJoin(big, small, Seq("s_suppkey"), factor = 8)
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(dbl(sum(col("qty"))).as("sum_qty"))
+        .orderBy("s_suppkey")
+    }),
+
     // ---- semi / anti joins ----------------------------------------------
     "join_semi" -> ((s, d) => {
       // J8: existence check WITHOUT fanout — left_semi never duplicates
@@ -694,6 +767,36 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_triangle_count" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT count(*) AS triangles
+        |FROM e e1
+        |JOIN e e2 ON e1.v = e2.u
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    "window_cume_dist" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(round(cume_dist() OVER (PARTITION BY c_mktsegment
+        |                               ORDER BY c_acctbal, c_custkey)
+        |             * 1e9) AS BIGINT) AS cd_e9
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "window_ratio_to_report" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT s_nationkey, s_suppkey,
+        |  CAST(qty AS DOUBLE)
+        |    / CAST(sum(qty) OVER (PARTITION BY s_nationkey) AS DOUBLE)
+        |    AS share
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+    "join_skew_salted" ->
+      """SELECT s_suppkey, s_name,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)

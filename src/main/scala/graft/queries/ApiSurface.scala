@@ -40,6 +40,30 @@ object ApiSurface {
           |  AND l_discount BETWEEN 0.05 AND 0.07
           |  AND l_quantity < 24""".stripMargin)
     }),
+    "sql_tpch_q18" -> ((s, d) => {
+      // TPC-H Q18 (large-volume customers): HAVING-filtered IN
+      // subquery over the fact table itself + 3-way join + top-100.
+      // The subquery and outer aggregate share the lineitem scan's
+      // partitioning on l_orderkey (one shuffle feeds both); decimal
+      // quantity sums keep the HAVING threshold and output exact.
+      // o_orderkey breaks sort ties totally under the LIMIT.
+      t(s, d, "customer").createOrReplaceTempView("q18_customer")
+      t(s, d, "orders").createOrReplaceTempView("q18_orders")
+      t(s, d, "lineitem").createOrReplaceTempView("q18_lineitem")
+      s.sql(
+        """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+          |FROM q18_customer, q18_orders, q18_lineitem
+          |WHERE o_orderkey IN (
+          |    SELECT l_orderkey FROM q18_lineitem
+          |    GROUP BY l_orderkey
+          |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+          |  AND c_custkey = o_custkey
+          |  AND o_orderkey = l_orderkey
+          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 100""".stripMargin)
+    }),
     "sql_tpch_q10" -> ((s, d) => {
       // TPC-H Q10 (returned-item reporting): 4-way join + decimal
       // revenue aggregate + top-20. The date window prunes orders at
@@ -159,6 +183,19 @@ object ApiSurface {
         |       AND l_quantity < 10)
         |   OR (p_type = 'SMALL' AND p_size >= 40
         |       AND l_discount > 0.05)""".stripMargin,
+    "sql_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey
+        |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+        |  AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "sql_tpch_q10" ->
       """SELECT c_custkey, c_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
