@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed exact triangle counting over an undirected edge list.
+  *
+  * The standard shuffle-join formulation: orient every edge so each
+  * triangle {a,b,c} survives as exactly one directed wedge pair, then
+  * close wedges with two equi-joins. No adjacency lists are ever
+  * materialized on one machine — state is edge-sized and hash
+  * partitioned throughout.
+  *
+  * Two orientations:
+  *   - [[orientById]]: low id -> high id. Simple, one shuffle fewer;
+  *     fine when degrees are bounded (e.g. co-occurrence graphs with a
+  *     per-row item cap).
+  *   - [[orientByDegree]]: low (degree, id) -> high (degree, id) — the
+  *     100 TB choice. Every node's out-neighbourhood is O(sqrt(m))
+  *     (Schank & Wagner 2005), so the wedge join's fan-out is bounded
+  *     even under power-law degrees where a single hub would otherwise
+  *     produce deg² wedge candidates on one reducer.
+  *
+  * Both orientations are acyclic total orders, so [[count]] returns the
+  * identical triangle count for either (pinned in TrianglesSpec).
+  */
+object Triangles {
+
+  /** Canonical undirected edge list from possibly-duplicated, possibly
+    * self-looped input: drops loops, orients u < v by id, dedups.
+    * Input columns: `u`, `v` (integral node ids).
+    */
+  def orientById(edges: DataFrame): DataFrame =
+    edges.where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+              greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** Re-orients a canonical edge list so every edge points from the
+    * endpoint with lower (degree, id) to the higher one. Two extra
+    * edge-sized shuffles (degree aggregate + two key lookups) buy the
+    * O(sqrt(m)) out-degree bound that keeps the wedge join skew-free.
+    */
+  def orientByDegree(edges: DataFrame): DataFrame = {
+    val canon = orientById(edges)
+    val deg = canon.select(col("u").as("node"))
+      .union(canon.select(col("v").as("node")))
+      .groupBy("node")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    canon.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv")
+            || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+          .otherwise(struct(col("v").as("a"), col("u").as("b")))
+          .as("e"))
+      .select(col("e.a").as("u"), col("e.b").as("v"))
+  }
+
+  /** Exact triangle count of an oriented (acyclic) edge list: wedges
+    * (u->v->w) closed by a third edge (u->w). Two hash joins on single
+    * integer keys; the closing join probes with the wedge set, which
+    * the orientation keeps near-uniform.
+    */
+  def count(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .join(oriented.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+}

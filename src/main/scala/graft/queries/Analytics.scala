@@ -44,12 +44,26 @@ object Analytics {
       val e = pp.as("a")
         .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      graft.operators.Triangles.count(
+        graft.operators.Triangles.orientByDegree(e))
+    }),
+    "graph_degree_topk" -> ((s, d) => {
+      // G6: top-20 hub parts by co-purchase degree (distinct
+      // neighbours in the same graph as graph_triangle_count). One
+      // edge-sized dedup + one count per node; p_partkey breaks ties
+      // totally under the LIMIT.
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      e.as("e1")
-        .join(e.as("e2"), col("e1.v") === col("e2.u"))
-        .join(e.as("e3"),
-          col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-        .agg(count(lit(1)).as("triangles"))
+      val e = pp.as("a")
+        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      graft.operators.Triangles.orientById(e)
+        .select(col("u").as("node"))
+        .union(graft.operators.Triangles.orientById(e).select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .orderBy(col("degree").desc, col("node"))
+        .limit(20)
     }),
 
     // ---- windows: distribution / share ----------------------------------
@@ -776,6 +790,14 @@ object Analytics {
         |FROM e e1
         |JOIN e e2 ON e1.v = e2.u
         |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    "graph_degree_topk" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT node, count(*) AS degree
+        |FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |GROUP BY 1 ORDER BY degree DESC, node LIMIT 20""".stripMargin,
     "window_cume_dist" ->
       """SELECT c_custkey, c_mktsegment,
         |  CAST(round(cume_dist() OVER (PARTITION BY c_mktsegment

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Triangle counting invariants: known closed-form graphs, robustness
+  * to duplicates/loops/arbitrary orientation in the input, and
+  * id-orientation vs degree-orientation agreement (the two acyclic
+  * orders must count identical triangles).
+  */
+class TrianglesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Int, Int)*) =
+    pairs.toSeq.toDF("u", "v")
+
+  private def triangles(df: org.apache.spark.sql.DataFrame): Long =
+    Triangles.count(Triangles.orientById(df)).head().getLong(0)
+
+  private def trianglesByDeg(df: org.apache.spark.sql.DataFrame): Long =
+    Triangles.count(Triangles.orientByDegree(df)).head().getLong(0)
+
+  test("closed forms: K4 has 4, K5 has 10, C4 has 0, path has 0") {
+    val k4 = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    assert(triangles(k4) === 4L)
+    val k5 = edges((for (i <- 1 to 5; j <- (i + 1) to 5) yield (i, j)): _*)
+    assert(triangles(k5) === 10L)
+    val c4 = edges((1, 2), (2, 3), (3, 4), (4, 1))
+    assert(triangles(c4) === 0L)
+    val path = edges((1, 2), (2, 3), (3, 4))
+    assert(triangles(path) === 0L)
+  }
+
+  test("input noise is canonicalized: duplicates, reversals, self-loops") {
+    val noisy = edges((1, 2), (2, 1), (1, 2), (2, 3), (3, 1), (1, 1), (3, 3))
+    assert(triangles(noisy) === 1L)
+    assert(trianglesByDeg(noisy) === 1L)
+  }
+
+  test("degree orientation counts the same as id orientation (testdata graph)") {
+    val pp = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = pp.as("a")
+      .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val byId = triangles(e)
+    assert(byId > 0L)
+    assert(trianglesByDeg(e) === byId)
+  }
+
+  test("degree orientation emits each canonical edge exactly once") {
+    val star = edges((1, 2), (1, 3), (1, 4), (2, 3))
+    val oriented = Triangles.orientByDegree(star)
+    assert(oriented.count() === 4L)
+    // hub 1 (deg 3) must be the TARGET of its star edges
+    val intoHub = oriented.where(col("v") === 1).count()
+    assert(intoHub === 3L)
+  }
+}
