@@ -15,6 +15,19 @@ object TextDedup {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "text_char_entropy" -> ((s, d) => {
+      // Character-distribution entropy gate (graft_char_entropy, a
+      // single-pass codegen'd expression): low entropy = repeated-char
+      // junk, high = byte soup. Pure projection — the explode→groupBy
+      // formulation the oracle uses would shuffle one row PER
+      // CHARACTER; this shuffles nothing. Fixed-point per-term longs
+      // (see CharEntropy) keep the hash comparable.
+      graft.functions.expressions.CharEntropy.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          expr("graft_char_entropy(text)").as("entropy_fp_e6"))
+        .orderBy("doc_id")
+    }),
     "text_token_stats" -> ((s, d) => {
       val w = tokens(col("text"))
       t(s, d, "documents").select(
@@ -585,6 +598,27 @@ object TextDedup {
       |       FROM bits GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_char_entropy" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch,
+        |         count(*) AS c
+        |  FROM pos GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+        |term AS (
+        |  SELECT cnt.doc_id,
+        |    CAST(round(1000000.0 * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE)))
+        |      AS BIGINT) AS t
+        |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.e, 0) AS BIGINT) AS entropy_fp_e6
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, sum(t) AS e FROM term GROUP BY 1) s
+        |  ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS word_cnt,

@@ -98,4 +98,37 @@ class NativeExpressionsSpec extends SparkSpec {
       .collect()
     assert(bad.isEmpty, bad.mkString("; "))
   }
+
+  test("graft_char_entropy == explode->groupBy fixed-point formulation") {
+    CharEntropy.register(spark)
+    // composable mirror: one row per character, fixed-point per type
+    val chars = docs.select(col("doc_id"),
+      explode(split(col("text"), "")).as("ch"))
+    val cnt = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("doc_id").agg(sum(col("c")).as("n"))
+    val composed = cnt.join(tot, "doc_id")
+      .withColumn("t",
+        round(lit(1000000.0) * (col("c").cast("double") / col("n").cast("double"))
+          * log(col("n").cast("double") / col("c").cast("double")), 0)
+          .cast("long"))
+      .groupBy("doc_id").agg(sum(col("t")).as("composed"))
+    val mismatches = docs
+      .select(col("doc_id"), expr("graft_char_entropy(text)").as("native"))
+      .join(composed, "doc_id")
+      .where(col("native") =!= col("composed")).count()
+    assert(mismatches === 0)
+  }
+
+  test("graft_char_entropy edge cases: empty, uniform, null") {
+    CharEntropy.register(spark)
+    val rows = Seq(("", 0L), ("aaaa", 0L))
+      .toDF("s", "expect")
+      .select(expr("graft_char_entropy(s)").as("got"), col("expect"))
+      .where(col("got") =!= col("expect")).count()
+    assert(rows === 0)
+    val nulls = Seq(Option.empty[String]).toDF("s")
+      .select(expr("graft_char_entropy(s)").as("got"))
+      .where(col("got").isNotNull).count()
+    assert(nulls === 0)
+  }
 }
