@@ -72,6 +72,35 @@ object Nested {
           variant_get(col("v"), "$.k", "int").as("k_val"))
         .where(col("k_val") % 7 === 0)
         .orderBy("event_id")),
+    "sketch_count_min" -> ((s, d) => {
+      // Count-Min sketch (depth 4 × width 64) of event-type
+      // frequencies, next to the exact counts. The counter table is
+      // the (d, bucket)-grouped count — 256 mergeable cells that
+      // combine map-side, the 100 TB substitute for a per-key shuffle
+      // when only point estimates are needed; the estimate is the MIN
+      // over each key's 4 counters (overestimates only, never under).
+      // Bucket hashing is salted md5 (engine-portable), so the oracle
+      // builds the IDENTICAL sketch and the match is exact — including
+      // any collision overestimates.
+      val depth = 4
+      val width = 64
+      val ds = explode(array((0 until depth).map(lit): _*)).as("dd")
+      def bucket(k: org.apache.spark.sql.Column) =
+        pmod(graft.functions.TextFns.hash60(
+          concat(col("dd").cast("string"), lit("|"), k)), lit(width))
+      val ev = t(s, d, "events").select(col("event_type").as("k"))
+      val counters = ev.select(col("k"), ds)
+        .withColumn("b", bucket(col("k")))
+        .groupBy("dd", "b").agg(count(lit(1)).as("c"))
+      val est = ev.distinct()
+        .select(col("k"), ds)
+        .withColumn("b", bucket(col("k")))
+        .join(counters, Seq("dd", "b"))
+        .groupBy("k").agg(min(col("c")).as("cms_estimate"))
+      ev.groupBy("k").agg(count(lit(1)).as("exact_cnt"))
+        .join(est, "k")
+        .orderBy("k")
+    }),
     "sketch_hll_distinct" -> ((s, d) =>
       // HLL++ distinct-count sketch (rsd 1%) next to the exact count;
       // the oracle-checked claim is |approx−exact| ≤ 5%·exact. At
@@ -358,6 +387,26 @@ object Nested {
         |FROM events
         |WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
         |ORDER BY event_id""".stripMargin,
+    "sketch_count_min" ->
+      """WITH ev AS (SELECT event_type AS k FROM events),
+        |ds AS (SELECT unnest([0, 1, 2, 3]) AS dd),
+        |rb AS (
+        |  SELECT k, dd,
+        |    CAST(concat('0x', substr(md5(concat(dd, '|', k)), 1, 15))
+        |         AS BIGINT) % 64 AS b
+        |  FROM ev CROSS JOIN ds),
+        |counters AS (SELECT dd, b, count(*) AS c FROM rb GROUP BY 1, 2),
+        |kb AS (
+        |  SELECT k, dd,
+        |    CAST(concat('0x', substr(md5(concat(dd, '|', k)), 1, 15))
+        |         AS BIGINT) % 64 AS b
+        |  FROM (SELECT DISTINCT k FROM ev) CROSS JOIN ds),
+        |est AS (
+        |  SELECT k, min(c) AS cms_estimate
+        |  FROM kb JOIN counters USING (dd, b) GROUP BY 1),
+        |exact AS (SELECT k, count(*) AS exact_cnt FROM ev GROUP BY 1)
+        |SELECT k, exact_cnt, cms_estimate
+        |FROM exact JOIN est USING (k) ORDER BY k""".stripMargin,
     "sketch_hll_distinct" ->
       """SELECT o_orderpriority,
         |  count(DISTINCT o_custkey) AS exact_customers,

@@ -28,6 +28,44 @@ object TextDedup {
           expr("graft_char_entropy(text)").as("entropy_fp_e6"))
         .orderBy("doc_id")
     }),
+    "text_pmi_bigrams" -> ((s, d) => {
+      // Top-50 word collocations by pointwise mutual information —
+      // the phrase-mining signal (word2vec-phrases / NPMI gates).
+      // Bigram and unigram counts are two corpus-wide aggregates on
+      // token keys; the three totals that normalize them are 1-row
+      // broadcasts. PMI itself is a double from exact integer counts
+      // with the oracle's exact expression shape, fixed-pointed to e6
+      // for a stable hash; min-count 5 prunes the noise tail before
+      // the top-k sort.
+      val docs = t(s, d, "documents")
+      val w = split(col("text"), " ")
+      val bigrams = docs.select(explode(expr(
+        """CASE WHEN size(split(text, ' ')) >= 2
+          |THEN transform(sequence(1, size(split(text, ' ')) - 1),
+          |     i -> concat(element_at(split(text, ' '), i), ' ',
+          |                 element_at(split(text, ' '), i + 1)))
+          |ELSE array() END""".stripMargin)).as("bg"))
+      val unigrams = docs.select(explode(w).as("tok"))
+      val cb = bigrams.groupBy("bg").agg(count(lit(1)).as("cxy"))
+      val cu = unigrams.groupBy("tok").agg(count(lit(1)).as("cw"))
+      val nb = cb.agg(sum(col("cxy")).as("nb"))
+      val nu = cu.agg(sum(col("cw")).as("nu"))
+      val parts = cb.where(col("cxy") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      parts
+        .join(cu.select(col("tok").as("w1"), col("cw").as("c1")), "w1")
+        .join(cu.select(col("tok").as("w2"), col("cw").as("c2")), "w2")
+        .crossJoin(nb).crossJoin(nu)
+        .select(col("w1"), col("w2"), col("cxy"),
+          round(lit(1000000.0) * log(
+            (col("cxy").cast("double") / col("nb").cast("double"))
+              / ((col("c1").cast("double") / col("nu").cast("double"))
+                 * (col("c2").cast("double") / col("nu").cast("double")))),
+            0).cast("long").as("pmi_fp_e6"))
+        .orderBy(col("pmi_fp_e6").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
     "text_token_stats" -> ((s, d) => {
       val w = tokens(col("text"))
       t(s, d, "documents").select(
@@ -619,6 +657,32 @@ object TextDedup {
         |LEFT JOIN (SELECT doc_id, sum(t) AS e FROM term GROUP BY 1) s
         |  ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "text_pmi_bigrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |big AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |                               i -> w[i] || ' ' || w[i + 1])) AS bg
+        |  FROM toks WHERE len(w) >= 2),
+        |uni AS (SELECT unnest(w) AS tok FROM toks),
+        |cb AS (SELECT bg, count(*) AS cxy FROM big GROUP BY 1),
+        |cu AS (SELECT tok, count(*) AS cw FROM uni GROUP BY 1),
+        |nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS nb FROM cb),
+        |nu AS (SELECT CAST(sum(cw) AS BIGINT) AS nu FROM cu)
+        |SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+        |  cxy,
+        |  CAST(round(1000000.0 * ln(
+        |    (CAST(cxy AS DOUBLE) / CAST(nb.nb AS DOUBLE))
+        |      / ((CAST(c1.cw AS DOUBLE) / CAST(nu.nu AS DOUBLE))
+        |         * (CAST(c2.cw AS DOUBLE) / CAST(nu.nu AS DOUBLE)))))
+        |    AS BIGINT) AS pmi_fp_e6
+        |FROM cb
+        |JOIN cu c1 ON c1.tok = string_split(bg, ' ')[1]
+        |JOIN cu c2 ON c2.tok = string_split(bg, ' ')[2]
+        |CROSS JOIN nb CROSS JOIN nu
+        |WHERE cxy >= 5
+        |ORDER BY pmi_fp_e6 DESC, w1, w2
+        |LIMIT 50""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS word_cnt,
