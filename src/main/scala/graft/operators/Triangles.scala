@@ -70,4 +70,19 @@ object Triangles {
       .join(oriented.as("e3"),
         col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+
+  /** Per-node triangle participation: every triangle is enumerated
+    * once (any acyclic orientation), then credited to all three
+    * corners. Feeds local clustering coefficients. Output: `node`,
+    * `tri_cnt` (nodes in no triangle are absent — left-join + 0-fill
+    * at the call site).
+    */
+  def perNode(oriented: DataFrame): DataFrame =
+    oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
+      .join(oriented.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("node"))
+      .groupBy("node")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("tri_cnt"))
 }

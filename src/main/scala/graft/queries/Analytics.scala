@@ -47,6 +47,31 @@ object Analytics {
       graft.operators.Triangles.count(
         graft.operators.Triangles.orientByDegree(e))
     }),
+    "graph_clustering_coeff" -> ((s, d) => {
+      // G7: local clustering coefficient per part — per-node triangle
+      // credit (Triangles.perNode, degree-oriented so no hub blows up
+      // the wedge join) over (deg choose 2). The coefficient is one
+      // double division of exact integers, identical in both engines.
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val raw = pp.as("a")
+        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      val canon = graft.operators.Triangles.orientById(raw)
+      val deg = canon.select(col("u").as("node"))
+        .union(canon.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val tri = graft.operators.Triangles.perNode(
+        graft.operators.Triangles.orientByDegree(canon))
+      deg.where(col("deg") >= 2)
+        .join(tri, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+          ((coalesce(col("tri_cnt"), lit(0L)) * 2).cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double")).as("cc"))
+        .orderBy("node")
+    }),
     "graph_degree_topk" -> ((s, d) => {
       // G6: top-20 hub parts by co-purchase degree (distinct
       // neighbours in the same graph as graph_triangle_count). One
@@ -790,6 +815,33 @@ object Analytics {
         |FROM e e1
         |JOIN e e2 ON e1.v = e2.u
         |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    "graph_clustering_coeff" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT node, count(*) AS deg
+        |  FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pn AS (
+        |  SELECT node, count(*) AS tri_cnt
+        |  FROM (SELECT a AS node FROM tri
+        |        UNION ALL SELECT b FROM tri
+        |        UNION ALL SELECT c FROM tri)
+        |  GROUP BY 1)
+        |SELECT deg.node, deg.deg,
+        |  coalesce(pn.tri_cnt, 0) AS tri_cnt,
+        |  CAST(coalesce(pn.tri_cnt, 0) * 2 AS DOUBLE)
+        |    / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS cc
+        |FROM deg LEFT JOIN pn ON deg.node = pn.node
+        |WHERE deg.deg >= 2
+        |ORDER BY deg.node""".stripMargin,
     "graph_degree_topk" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),

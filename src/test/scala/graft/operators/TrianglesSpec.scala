@@ -50,6 +50,26 @@ class TrianglesSpec extends SparkSpec {
     assert(trianglesByDeg(e) === byId)
   }
 
+  test("perNode credits every triangle to exactly its three corners") {
+    val k4 = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    // K4: each node sits in C(3,2)=3 triangles
+    val pn = Triangles.perNode(Triangles.orientById(k4))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(pn === Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+    // testdata graph: per-node credits sum to 3 x total count,
+    // independent of orientation
+    val pp = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = pp.as("a")
+      .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val total = triangles(e)
+    val credited = Triangles.perNode(Triangles.orientByDegree(e))
+      .agg(sum(col("tri_cnt"))).head().getLong(0)
+    assert(credited === 3 * total)
+  }
+
   test("degree orientation emits each canonical edge exactly once") {
     val star = edges((1, 2), (1, 3), (1, 4), (2, 3))
     val oriented = Triangles.orientByDegree(star)
