@@ -93,7 +93,7 @@ object Analytics {
 
     // ---- windows: distribution / share ----------------------------------
     "window_cume_dist" -> ((s, d) => {
-      // W19: cumulative distribution of account balance inside each
+      // W20: cumulative distribution of account balance inside each
       // market segment. The ORDER BY key includes c_custkey so ranks
       // are total (no tie plateaus) and cume_dist is the exact
       // rational n/m evaluated in IEEE double identically by both
@@ -106,7 +106,7 @@ object Analytics {
         .orderBy("c_custkey")
     }),
     "window_ratio_to_report" -> ((s, d) => {
-      // W20: each supplier's share of its nation's shipped quantity
+      // W21: each supplier's share of its nation's shipped quantity
       // (ratio-to-report). Numerator and denominator are both EXACT
       // decimal sums (group sum + window re-sum of it), so the final
       // double division is bit-identical at any parallelism; only
