@@ -47,6 +47,90 @@ object Analytics {
       graft.operators.Triangles.count(
         graft.operators.Triangles.orientByDegree(e))
     }),
+    "bucketed_join_colocated" -> ((s, d) => {
+      // S19: co-located join via bucketed tables — both sides written
+      // bucketBy(8, join key) + sortBy, one file per bucket
+      // (repartition on the same hash before write), so the
+      // sort-merge join aligns buckets 1:1 and the join itself needs
+      // NO Exchange (pinned in PlanShapeSpec: the only shuffles in
+      // the plan belong to the aggregate and final sort). At 100 TB
+      // this is the difference between re-shuffling the fact table on
+      // every join and a scan-local merge — the layout cost is paid
+      // once at write time. Tables are rewritten idempotently per run
+      // (stale warehouse dirs cleared first: the in-memory catalog
+      // forgets them across sessions but the filesystem doesn't).
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val ob = s"graft_bkt_orders_$tag"
+      val cb = s"graft_bkt_cust_$tag"
+      val hconf = s.sparkContext.hadoopConfiguration
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      Seq(ob, cb).foreach { tn =>
+        s.sql(s"DROP TABLE IF EXISTS $tn")
+        val p = new org.apache.hadoop.fs.Path(wh, tn)
+        p.getFileSystem(hconf).delete(p, true)
+      }
+      t(s, d, "orders").repartition(8, col("o_custkey"))
+        .write.format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ob)
+      t(s, d, "customer").repartition(8, col("c_custkey"))
+        .write.format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cb)
+      s.table(cb).hint("merge")
+        .join(s.table(ob), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+             dbl(sum(money(col("o_totalprice")))).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+    "stats_gini" -> ((s, d) => {
+      // A25: Gini inequality coefficient of order value per priority
+      // class via the rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+      // over EXACT cents and total-order ranks — numerator and
+      // denominator are bigint, the single double division is the only
+      // float op. One window sort + one aggregate. (At 100 TB the
+      // bigint Σi·x can overflow ~2^63 around 10¹⁰ rows·cents — swap
+      // the two sums to DECIMAL(38,0) there; same plan.)
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("x"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), cents.as("x"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+             sum(col("i") * col("x")).as("six"))
+        .select(col("o_orderpriority"), col("n"),
+          ((lit(2L) * col("six") - (col("n") + 1) * col("sx")).cast("double")
+            / (col("n") * col("sx")).cast("double")).as("gini"))
+        .orderBy("o_orderpriority")
+    }),
+    "anomaly_mad_exact" -> ((s, d) => {
+      // A26: median absolute deviation per event type — the robust
+      // outlier scale zscores can't give under heavy tails. Both
+      // medians are DISCRETE (value at ceil(n/2) on a total-order
+      // key), so every output is an actual data value in exact cents;
+      // two window sorts on the same partition key (one shuffle,
+      // Spark reuses the hash partitioning for the second window).
+      val cents = round(col("value") * 100, 0).cast("long")
+      val w1 = Window.partitionBy(col("event_type"))
+        .orderBy(col("x"), col("event_id"))
+      val ranked = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"), cents.as("x"))
+        .withColumn("rn", row_number().over(w1))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+      val med = ranked.where(col("rn") === ceil(col("n") * 0.5))
+        .select(col("event_type"), col("x").as("med"))
+      val w2 = Window.partitionBy(col("event_type"))
+        .orderBy(col("dev"), col("event_id"))
+      ranked.join(med, "event_type")
+        .withColumn("dev", abs(col("x") - col("med")))
+        .withColumn("rn2", row_number().over(w2))
+        .where(col("rn2") === ceil(col("n") * 0.5))
+        .select(col("event_type"), col("n"), col("med").as("med_cents"),
+                col("dev").as("mad_cents"))
+        .orderBy("event_type")
+    }),
     "graph_clustering_coeff" -> ((s, d) => {
       // G7: local clustering coefficient per part — per-node triangle
       // credit (Triangles.perNode, degree-oriented so no hub blows up
@@ -815,6 +899,43 @@ object Analytics {
         |FROM e e1
         |JOIN e e2 ON e1.v = e2.u
         |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
+    "bucketed_join_colocated" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stats_gini" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+        |               o_orderkey) AS i
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+        |    / CAST(count(*) * sum(x) AS DOUBLE) AS gini
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
+    "anomaly_mad_exact" ->
+      """WITH ranked AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type, x AS med FROM ranked
+        |  WHERE rn = ceil(n * 0.5)),
+        |dev AS (
+        |  SELECT r.event_type, r.n, m.med, abs(r.x - m.med) AS dev,
+        |    row_number() OVER (PARTITION BY r.event_type
+        |      ORDER BY abs(r.x - m.med), r.event_id) AS rn2
+        |  FROM ranked r JOIN med m ON r.event_type = m.event_type)
+        |SELECT event_type, n, med AS med_cents, dev AS mad_cents
+        |FROM dev WHERE rn2 = ceil(n * 0.5)
+        |ORDER BY event_type""".stripMargin,
     "graph_clustering_coeff" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),

@@ -185,4 +185,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"lm table must broadcast into the scoring join:\n$p")
   }
+
+  test("bucketed_join_colocated: the sort-merge join reads aligned " +
+       "buckets with no Exchange of its own") {
+    val p = plan("bucketed_join_colocated")
+    assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+    // the only shuffles allowed are the post-join aggregate and the
+    // final sort — the join inputs come straight from bucketed scans
+    val exchanges = p.linesIterator
+      .count(l => l.matches(""".*\(\d+\) Exchange.*"""))
+    assert(exchanges <= 2,
+      s"join sides must not shuffle (found $exchanges exchanges):\n$p")
+    assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+      s"scan must be bucket-aware:\n$p")
+  }
+
+  test("graph_triangle_count: wedge closing is equi-joins only — no " +
+       "cartesian, no broadcast of the edge list") {
+    val p = plan("graph_triangle_count")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins must be hash/merge equi-joins:\n$p")
+  }
 }
