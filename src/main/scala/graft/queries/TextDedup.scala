@@ -66,6 +66,36 @@ object TextDedup {
         .orderBy(col("pmi_fp_e6").desc, col("w1"), col("w2"))
         .limit(50)
     }),
+    "text_dedup_tokens_ordered" -> ((s, d) => {
+      // First-occurrence-preserving token dedup INSIDE each row — the
+      // repetition-collapse preprocessing step — as a pure higher-
+      // order-function projection: filter-with-index keeps token i
+      // iff its first occurrence is at i. Zero shuffle, codegen'd;
+      // O(k²) per row in token count k, which beats re-keying the
+      // corpus for any sane k (cap k upstream for adversarial rows).
+      val ws = split(col("text"), " ")
+      val kept = filter(ws, (x, i) => array_position(ws, x) === i + 1)
+      t(s, d, "documents")
+        .select(col("doc_id"), size(ws).as("n_tokens"),
+          size(kept).as("n_unique"),
+          array_join(kept, " ").as("dedup_text"))
+        .orderBy("doc_id")
+    }),
+    "text_feature_hashing" -> ((s, d) => {
+      // Hashing-trick featurization (CountVectorizer without a
+      // vocabulary): token → salted-md5 bucket mod 64, per-doc bucket
+      // counts. The shuffle key is (doc_id, bucket), so partial
+      // aggregation collapses each doc to ≤ 64 rows map-side — the
+      // fixed-width sparse vector ML ingestion wants, with no
+      // vocabulary build pass and no OOV handling.
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      toks.select(col("doc_id"),
+          pmod(hash60(col("tok")), lit(64)).as("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")
+    }),
     "text_token_stats" -> ((s, d) => {
       val w = tokens(col("text"))
       t(s, d, "documents").select(
@@ -683,6 +713,26 @@ object TextDedup {
         |WHERE cxy >= 5
         |ORDER BY pmi_fp_e6 DESC, w1, w2
         |LIMIT 50""".stripMargin,
+    "text_dedup_tokens_ordered" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ws) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(ws, (x, i) -> list_position(ws, x) = i))
+        |       AS INT) AS n_unique,
+        |  array_to_string(
+        |    list_filter(ws, (x, i) -> list_position(ws, x) = i), ' ')
+        |    AS dedup_text
+        |FROM w ORDER BY doc_id""".stripMargin,
+    "text_feature_hashing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 64
+        |    AS bucket,
+        |  count(*) AS cnt
+        |FROM toks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS word_cnt,
