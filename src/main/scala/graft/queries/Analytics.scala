@@ -223,6 +223,23 @@ object Analytics {
         .orderBy("s_suppkey")
     }),
 
+    "join_null_safe" -> ((s, d) => {
+      // J16: null-safe equality join (<=> / IS NOT DISTINCT FROM) —
+      // NULL keys match EACH OTHER, unlike ordinary equi-joins where
+      // they match nothing. Catalyst still plans <=> as a hash-join
+      // key (coalesce-normalized), so this stays an equi-join, never
+      // a nested loop. NULLS FIRST pinned in the sort (engines
+      // disagree on defaults).
+      val o = t(s, d, "orders")
+        .select(expr("nullif(o_orderstatus, 'O')").as("k"))
+      val dim = o.distinct()
+      o.as("l").join(dim.as("r"), col("l.k") <=> col("r.k"))
+        .groupBy(col("r.k").as("k_grp"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumnRenamed("k_grp", "k")
+        .orderBy(col("k").asc_nulls_first)
+    }),
+
     // ---- semi / anti joins ----------------------------------------------
     "join_semi" -> ((s, d) => {
       // J8: existence check WITHOUT fanout — left_semi never duplicates
@@ -992,6 +1009,12 @@ object Analytics {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "join_null_safe" ->
+      """WITH o AS (SELECT nullif(o_orderstatus, 'O') AS k FROM orders),
+        |dim AS (SELECT DISTINCT k FROM o)
+        |SELECT dim.k, count(*) AS cnt
+        |FROM o JOIN dim ON o.k IS NOT DISTINCT FROM dim.k
+        |GROUP BY 1 ORDER BY dim.k NULLS FIRST""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders)
