@@ -154,6 +154,38 @@ object Multimodal {
     }
   }
 
+  /** Average-hash perceptual fingerprint (aHash) of a grayscale
+    * image: bit i is set iff pixel i is strictly brighter than the
+    * image mean. Near-duplicate images differ in a few bits (compare
+    * with hamming distance ≤ t), so image dedup becomes the same
+    * banded equi-join shape as SimHash — never an all-pairs compare.
+    * The mean test is kept in exact integers (`n·pᵢ > Σp`) and the
+    * hash is emitted as a bit string, so it is engine-portable.
+    * Rows whose bytes aren't a w×h raster pass through as null.
+    */
+  def aHash(media: Dataset[MediaRow]): Dataset[(Long, String)] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.bytes == null || r.width * r.height != r.bytes.length ||
+            r.bytes.length == 0) (r.asset_id, null: String)
+        else {
+          val n = r.bytes.length
+          var sum = 0L
+          var i = 0
+          while (i < n) { sum += (r.bytes(i) & 0xff); i += 1 }
+          val sb = new java.lang.StringBuilder(n)
+          i = 0
+          while (i < n) {
+            sb.append(if (n.toLong * (r.bytes(i) & 0xff) > sum) '1' else '0')
+            i += 1
+          }
+          (r.asset_id, sb.toString)
+        }
+      }
+    }
+  }
+
   /** Byte-level metadata pass (pure column ops — no UDF): payload
     * size, magic-byte sniff, sha-style fingerprint for dedup.
     */

@@ -245,6 +245,25 @@ object Nested {
           md5(col("bytes")).as("thumb_md5"))
         .orderBy("doc_id")
     }),
+    "media_phash" -> ((s, d) => {
+      // M4 perceptual image hash under the oracle gate: 8×8 "images"
+      // from the first 64 text bytes, aHash = brighter-than-mean bit
+      // per pixel — the REAL Multimodal.aHash loop; the mean test is
+      // exact integer (64·pᵢ > Σp) so DuckDB reproduces the bits
+      // verbatim. Downstream: image near-dup = banded equi-join on
+      // hash substrings, the SimHash shape.
+      import s.implicits._
+      val media = t(s, d, "documents")
+        .where(length(col("text")) >= 64)
+        .select(col("doc_id"), substring(col("text"), 1, 64))
+        .as[(Long, String)]
+        .map { case (id, tx) =>
+          graft.multimodal.Multimodal.MediaRow(
+            id, "img", tx.getBytes("UTF-8"), 8, 8) }
+      graft.multimodal.Multimodal.aHash(media)
+        .toDF("doc_id", "phash_bits")
+        .orderBy("doc_id")
+    }),
     "media_audio_windows" -> ((s, d) => {
       // M3 audio windowing under the oracle gate: documents' UTF-8
       // bytes stand in for PCM-8 samples; 32-sample windows every 16
@@ -465,6 +484,19 @@ object Nested {
         |  count(DISTINCT c_custkey) AS exact_customers,
         |  true AS within_5pct
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "media_phash" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CAST(i AS INT) AS i,
+        |    ascii(substring(text, CAST(i + 1 AS INT), 1)) AS p
+        |  FROM documents, UNNEST(range(64)) AS u(i)
+        |  WHERE length(text) >= 64),
+        |tot AS (SELECT doc_id, sum(p) AS s FROM px GROUP BY 1)
+        |SELECT px.doc_id,
+        |  string_agg(CASE WHEN 64 * p > s THEN '1' ELSE '0' END, ''
+        |             ORDER BY i) AS phash_bits
+        |FROM px JOIN tot ON px.doc_id = tot.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "media_audio_windows" ->
       """WITH b AS (

@@ -66,6 +66,25 @@ class MultimodalSpec extends SparkSpec {
     assert(top.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("vec_id")))
   }
 
+  test("aHash: brighter-than-mean bits, flat image all zeros, " +
+       "near-dup differs in few bits, bad raster -> null") {
+    val flat = MediaRow(1L, "img", Array.fill(16)(100.toByte), 4, 4)
+    val grad = MediaRow(2L, "img", Array.tabulate(16)(_.toByte), 4, 4)
+    val near = MediaRow(3L, "img",
+      Array.tabulate(16)(i => (if (i == 0) 1 else i).toByte), 4, 4)
+    val bad = MediaRow(4L, "img", Array.fill(7)(1.toByte), 4, 4)
+    val h = aHash(spark.createDataset(Seq(flat, grad, near, bad)))
+      .collect().toMap
+    // strictly-greater test: a constant image has NO bit set
+    assert(h(1L) === "0" * 16)
+    // gradient: exactly the pixels above the mean are set
+    assert(h(2L) === Array.tabulate(16)(i => if (16 * i > 120) '1' else '0')
+      .mkString)
+    // 1-pixel edit flips at most 1 bit (means differ negligibly)
+    assert(h(2L).zip(h(3L)).count { case (a, b) => a != b } <= 1)
+    assert(h(4L) === null)
+  }
+
   test("describe: byte-level metadata via pure column ops") {
     val df = describe(media(3).toDF())
     val r = df.filter($"asset_id" === 0)
