@@ -575,6 +575,44 @@ object Analytics {
         .select(col("key").as("l_returnflag"), col("distinct_parts"))
         .orderBy("l_returnflag")),
 
+    "intersect_all_parts" -> ((s, d) =>
+      // U5: INTERSECT ALL (multiset semantics): each partkey kept
+      // min(multiplicity-left, multiplicity-right) times — one
+      // aggregate per side + a generator, never a row-level join.
+      t(s, d, "lineitem").select(col("l_partkey"))
+        .intersectAll(t(s, d, "lineitem")
+          .where(col("l_returnflag") === "R").select(col("l_partkey")))
+        .groupBy("l_partkey").agg(count(lit(1)).as("multiplicity"))
+        .orderBy("l_partkey")),
+    "stats_ks_statistic" -> ((s, d) => {
+      // A27: exact two-sample Kolmogorov–Smirnov distance between the
+      // click and view value distributions — D = max |ECDF₁ − ECDF₂|
+      // evaluated at every sample point. Running conditional counts
+      // over one global value sort; ECDFs are double ratios of exact
+      // integers, so both engines compute identical doubles and the
+      // max picks the same point. Scaled to e9 for the hash. (The
+      // global sort is single-keyed: at corpus scale run it per
+      // segment key, same plan per group.)
+      val ev = Tables.events(s, d)
+        .where(col("event_type").isin("click", "view"))
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("x"),
+          col("event_id"))
+      val tot = ev.agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"))
+      val w = Window.orderBy(col("x"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("c1", sum(when(col("event_type") === "click", 1L)
+            .otherwise(0L)).over(w))
+        .withColumn("c2", sum(when(col("event_type") === "view", 1L)
+            .otherwise(0L)).over(w))
+        .crossJoin(tot) // 1-row aggregate: broadcast NL, no data motion
+        .select(round(abs(col("c1").cast("double") / col("n1").cast("double")
+            - col("c2").cast("double") / col("n2").cast("double")) * 1e9)
+          .cast("long").as("d_e9"))
+        .agg(max(col("d_e9")).as("ks_d_e9"))
+    }),
     "except_all_parts" -> ((s, d) =>
       // U4: EXCEPT ALL (multiset semantics — per-row multiplicity).
       t(s, d, "lineitem").select(col("l_partkey"))
@@ -1137,6 +1175,35 @@ object Analytics {
         |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT)
         |    AS price_quartile
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "intersect_all_parts" ->
+      """SELECT l_partkey, count(*) AS multiplicity FROM (
+        |  SELECT l_partkey FROM lineitem
+        |  INTERSECT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stats_ks_statistic" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS x, event_id
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |tot AS (
+        |  SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+        |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2
+        |  FROM ev),
+        |run AS (
+        |  SELECT
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY x, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY x, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+        |  FROM ev)
+        |SELECT max(CAST(round(abs(
+        |    CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * 1e9)
+        |  AS BIGINT)) AS ks_d_e9
+        |FROM run CROSS JOIN tot""".stripMargin,
     "except_all_parts" ->
       """SELECT * FROM (
         |  SELECT l_partkey FROM lineitem
