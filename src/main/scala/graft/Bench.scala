@@ -24,7 +24,16 @@ object Bench {
     "pagerank_fixed",
     // round-5 additions: the shuffle/join-bearing training-data ops
     "text_gopher_repetition", "text_charlm_surprisal", "dedup_semdedup",
-    "dedup_repeated_spans", "dedup_cdc_chunks", "text_tfidf_topk")
+    "dedup_repeated_spans", "dedup_cdc_chunks", "text_tfidf_topk",
+    // round-5 wave 2: graph wedge joins (clustering_coeff carries the
+    // Triangles operator — the standalone count query covers the same
+    // joins and is CORRECTNESS-gated but its 2-checkpoint
+    // materialization makes it a storage benchmark, not a query
+    // benchmark), the bucketed-layout join (timing includes the
+    // bucketed write — the pay-once layout cost), and the
+    // salt-rewritten skew join
+    "graph_clustering_coeff",
+    "bucketed_join_colocated", "join_skew_salted")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,6 +84,12 @@ object Bench {
         // builds fresh frames, so drop the previous run's cache
         // entries or they accumulate and thrash the heap.
         spark.catalog.clearCache()
+        // operators that localCheckpoint (Components, PageRank,
+        // Triangles) leave RDD blocks pinned in storage; drop them or
+        // they accumulate across queries and squeeze the heap the
+        // later queries run in
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case t: Throwable =>

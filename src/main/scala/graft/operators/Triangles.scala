@@ -42,9 +42,13 @@ object Triangles {
     * O(sqrt(m)) out-degree bound that keeps the wedge join skew-free.
     */
   def orientByDegree(edges: DataFrame): DataFrame = {
-    val canon = orientById(edges)
-    val deg = canon.select(col("u").as("node"))
-      .union(canon.select(col("v").as("node")))
+    // the canonical edge list feeds THREE consumers (degree agg + two
+    // key lookups): materialize it once — self-referencing plans
+    // otherwise re-run the whole upstream dedup per reference, which
+    // at sf0.1 costs more than the triangle joins themselves
+    val canon = orientById(edges).localCheckpoint()
+    val deg = canon
+      .select(explode(array(col("u"), col("v"))).as("node")) // 1 scan, not 2
       .groupBy("node")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
@@ -64,12 +68,14 @@ object Triangles {
     * integer keys; the closing join probes with the wedge set, which
     * the orientation keeps near-uniform.
     */
-  def count(oriented: DataFrame): DataFrame =
-    oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
-      .join(oriented.as("e3"),
+  def count(oriented: DataFrame): DataFrame = {
+    val e = oriented.localCheckpoint() // referenced 3× below
+    e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
         col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("triangles"))
+  }
 
   /** Per-node triangle participation: every triangle is enumerated
     * once (any acyclic orientation), then credited to all three
@@ -77,12 +83,14 @@ object Triangles {
     * `tri_cnt` (nodes in no triangle are absent — left-join + 0-fill
     * at the call site).
     */
-  def perNode(oriented: DataFrame): DataFrame =
-    oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.v") === col("e2.u"))
-      .join(oriented.as("e3"),
+  def perNode(oriented: DataFrame): DataFrame = {
+    val e = oriented.localCheckpoint() // referenced 3× below
+    e.as("e1")
+      .join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
         col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
       .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("node"))
       .groupBy("node")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("tri_cnt"))
+  }
 }

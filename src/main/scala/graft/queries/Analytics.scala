@@ -168,8 +168,7 @@ object Analytics {
         .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
       graft.operators.Triangles.orientById(e)
-        .select(col("u").as("node"))
-        .union(graft.operators.Triangles.orientById(e).select(col("v").as("node")))
+        .select(explode(array(col("u"), col("v"))).as("node")) // 1 scan
         .groupBy("node").agg(count(lit(1)).as("degree"))
         .orderBy(col("degree").desc, col("node"))
         .limit(20)
