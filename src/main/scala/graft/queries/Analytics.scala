@@ -612,6 +612,29 @@ object Analytics {
           .cast("long").as("d_e9"))
         .agg(max(col("d_e9")).as("ks_d_e9"))
     }),
+    "stats_chi2_independence" -> ((s, d) => {
+      // A28: χ² independence statistic between market segment and
+      // order priority. Observed cell counts and both marginals are
+      // exact integers; each cell's (o−e)²/e contribution is
+      // fixed-pointed (round(1e6·term) as long) so the statistic is
+      // an order-independent integer sum — the charlm/entropy scheme.
+      // Contingency table is 25 cells: every join side past the first
+      // aggregate is broadcast-sized.
+      val j = t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("r"), col("o_orderpriority").as("c"))
+      val cells = j.groupBy("r", "c").agg(count(lit(1)).as("o"))
+      val nr = cells.groupBy("r").agg(sum(col("o")).as("nr"))
+      val nc = cells.groupBy("c").agg(sum(col("o")).as("nc"))
+      val tot = cells.agg(sum(col("o")).as("n"))
+      val e = (col("nr").cast("double") * col("nc").cast("double")
+        / col("n").cast("double"))
+      cells.join(nr, "r").join(nc, "c").crossJoin(tot)
+        .select(round(lit(1000000.0)
+            * (col("o").cast("double") - e) * (col("o").cast("double") - e)
+            / e, 0).cast("long").as("t"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("t")).as("chi2_fp_e6"))
+    }),
     "except_all_parts" -> ((s, d) =>
       // U4: EXCEPT ALL (multiset semantics — per-row multiplicity).
       t(s, d, "lineitem").select(col("l_partkey"))
@@ -1174,6 +1197,28 @@ object Analytics {
         |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INT)
         |    AS price_quartile
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
+    "stats_chi2_independence" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment AS r, o_orderpriority AS c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT r, c, count(*) AS o FROM j GROUP BY 1, 2),
+        |nr AS (SELECT r, sum(o) AS nr FROM cells GROUP BY 1),
+        |nc AS (SELECT c, sum(o) AS nc FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM cells),
+        |term AS (
+        |  SELECT CAST(round(1000000.0
+        |      * (CAST(o AS DOUBLE)
+        |         - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+        |           / CAST(n AS DOUBLE))
+        |      * (CAST(o AS DOUBLE)
+        |         - CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+        |           / CAST(n AS DOUBLE))
+        |      / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)
+        |         / CAST(n AS DOUBLE)))
+        |    AS BIGINT) AS t
+        |  FROM cells JOIN nr USING (r) JOIN nc USING (c) CROSS JOIN tot)
+        |SELECT count(*) AS n_cells, CAST(sum(t) AS BIGINT) AS chi2_fp_e6
+        |FROM term""".stripMargin,
     "intersect_all_parts" ->
       """SELECT l_partkey, count(*) AS multiplicity FROM (
         |  SELECT l_partkey FROM lineitem
