@@ -77,50 +77,86 @@ object Bench {
     // A query that throws reports the sentinel -1 (never a plausible
     // timing) and is listed in "errors".
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val fn = SparkEntry.queries(name)
-      def timed(): (Boolean, Double) = {
-        // Operators persist shared intermediates; each invocation
-        // builds fresh frames, so drop the previous run's cache
-        // entries or they accumulate and thrash the heap.
-        spark.catalog.clearCache()
-        // operators that localCheckpoint (Components, PageRank,
-        // Triangles) leave RDD blocks pinned in storage; drop them or
-        // they accumulate across queries and squeeze the heap the
-        // later queries run in
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case t: Throwable =>
-                   System.err.println(s"WARN Bench: $name failed: $t"); false }
-        (ok, (System.nanoTime() - t0) / 1e9)
+
+    def runBlock(nRunsBlock: Int): Seq[(String, Seq[Double])] =
+      headline.filter(SparkEntry.queries.contains).map { name =>
+        val fn = SparkEntry.queries(name)
+        def timed(): (Boolean, Double) = {
+          // Operators persist shared intermediates; each invocation
+          // builds fresh frames, so drop the previous run's cache
+          // entries or they accumulate and thrash the heap.
+          spark.catalog.clearCache()
+          // operators that localCheckpoint (Components, PageRank,
+          // Triangles) leave RDD blocks pinned in storage; drop them or
+          // they accumulate across queries and squeeze the heap the
+          // later queries run in
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case t: Throwable =>
+                     System.err.println(s"WARN Bench: $name failed: $t"); false }
+          (ok, (System.nanoTime() - t0) / 1e9)
+        }
+        timed() // warmup, discarded
+        val good = (1 to nRunsBlock).map(_ => timed()).collect { case (true, t) => t }
+        name -> good
       }
-      timed() // warmup, discarded
-      val good = (1 to nRuns).map(_ => timed()).collect { case (true, t) => t }
-      name -> good
-    }
+
     // JSON numbers need '.': pin the locale (the f-interpolator uses
     // the default locale, which would emit decimal commas on de_DE)
     def fmt(d: Double) =
       String.format(java.util.Locale.US, "%.6f", Double.box(d))
-    val qs = results.map { case (k, ts) =>
-      "\"" + k + "\":" + (if (ts.nonEmpty) fmt(ts.min) else "-1.0")
-    }.mkString("{", ",", "}")
-    val stats = results.map { case (k, ts) =>
-      if (ts.isEmpty) "\"" + k + "\":null"
-      else {
-        val mean = ts.sum / ts.size
-        val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
-        "\"" + k + "\":{\"min\":" + fmt(ts.min) + ",\"mean\":" + fmt(mean) +
-          ",\"stddev\":" + fmt(sd) + ",\"max\":" + fmt(ts.max) +
-          ",\"runs\":" + ts.size + "}"
-      }
-    }.mkString("{", ",", "}")
+    def minsJson(results: Seq[(String, Seq[Double])]) =
+      results.map { case (k, ts) =>
+        "\"" + k + "\":" + (if (ts.nonEmpty) fmt(ts.min) else "-1.0")
+      }.mkString("{", ",", "}")
+    def statsJson(results: Seq[(String, Seq[Double])]) =
+      results.map { case (k, ts) =>
+        if (ts.isEmpty) "\"" + k + "\":null"
+        else {
+          val mean = ts.sum / ts.size
+          val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
+          "\"" + k + "\":{\"min\":" + fmt(ts.min) + ",\"mean\":" + fmt(mean) +
+            ",\"stddev\":" + fmt(sd) + ",\"max\":" + fmt(ts.max) +
+            ",\"runs\":" + ts.size + "}"
+        }
+      }.mkString("{", ",", "}")
+
+    val results = runBlock(nRuns)
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
     val errs = failed.mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"stats":$stats,"errors":$errs,"warmup":1,"runs":$nRuns,"sf":"$sfDir"}""")
+
+    // Secondary AQE-on block (runtime coalescing + skew-join splitting)
+    // so the artifact carries BOTH modes first-class instead of
+    // requiring a separate env-flagged invocation. AQE is a runtime
+    // conf — toggled on the live session. Fewer runs (default 2) keep
+    // the added wall-clock bounded; set SPARK_GRAFT_AQE_RUNS=0 to skip.
+    val aqePrimary = sys.env.getOrElse("SPARK_GRAFT_AQE", "false") == "true"
+    val nAqeRuns = sys.env.getOrElse("SPARK_GRAFT_AQE_RUNS",
+                                     if (aqePrimary) "0" else "2").toInt
+    val aqeBlock =
+      if (nAqeRuns <= 0) ""
+      else {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        val r = runBlock(nAqeRuns)
+        spark.conf.set("spark.sql.adaptive.enabled", aqePrimary.toString)
+        val totalAqe = r.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+        s""","aqe":{"total":${fmt(totalAqe)},"queries":${minsJson(r)},"stats":${statsJson(r)},"runs":$nAqeRuns}"""
+      }
+
+    val json =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${minsJson(results)},"stats":${statsJson(results)},"errors":$errs,"warmup":1,"runs":$nRuns,"aqe_primary":$aqePrimary$aqeBlock,"sf":"$sfDir"}"""
+    // The driver's tail capture truncated BENCH_r05's stdout — also
+    // write the full JSON to a file so the artifact can't be clipped.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case t: Throwable =>
+      System.err.println(s"WARN Bench: could not write $outPath: $t") }
+    println(json)
     spark.stop()
   }
 }

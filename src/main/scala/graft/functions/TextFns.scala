@@ -97,6 +97,29 @@ object TextFns {
     langMarkers.toMap.apply(lang).map(w => markerCount(text, w))
       .reduce(_ + _)
 
+  /** Marker scores for every language, keyed by code — callers look up
+    * by name, so adding/reordering a language in [[langMarkers]] can't
+    * silently shift which score lands where (the failure mode of
+    * positional `val Seq(en, de, …) = …` destructuring).
+    */
+  def langScores(text: Column): Map[String, Column] =
+    langMarkers.map { case (l, _) => l -> langScore(text, l) }.toMap
+
+  /** Argmax language over [[langMarkers]], ties broken by list order
+    * (earlier language wins) — language i is the guess iff its score
+    * is >= every LATER language's score. Generic in the marker list:
+    * the CASE chain is built from it, not hand-unrolled per language.
+    */
+  def langGuess(text: Column): Column = {
+    val scored = langMarkers.map { case (l, _) => (l, langScore(text, l)) }
+    val branches = scored.zipWithIndex.init.map { case ((l, s), i) =>
+      (l, scored.drop(i + 1).map { case (_, t) => s >= t }.reduce(_ && _))
+    }
+    branches.foldRight(lit(scored.last._1): Column) {
+      case ((l, cond), els) => when(cond, l).otherwise(els)
+    }
+  }
+
   private def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -97,7 +97,16 @@ object RollingHashes {
           case e => throw new IllegalArgumentException(
             s"argument $i must be a constant, got $e")
         }
-        RollingHashes(children.head, const(1).toInt, const(2).toInt,
-          const(3))
+        val (window, base, mod) = (const(1), const(2), const(3))
+        // .toInt would silently truncate (2^32+5 → 5); the overflow
+        // contract in evalString needs (c+1)·B^w terms < 2^63, which
+        // M < 2^45 with B < 2^17 guarantees.
+        require(window >= 1 && window <= Int.MaxValue,
+          s"window must be in [1, 2^31), got $window")
+        require(base >= 2 && base < (1L << 17),
+          s"base must be in [2, 2^17), got $base")
+        require(mod >= 2 && mod < (1L << 45),
+          s"mod must be in [2, 2^45) (overflow contract), got $mod")
+        RollingHashes(children.head, window.toInt, base.toInt, mod)
       })
 }

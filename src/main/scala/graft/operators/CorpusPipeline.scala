@@ -34,19 +34,12 @@ object CorpusPipeline {
     val w = tokens(col(textCol))
     val wordCnt = size(w)
     val uniqRatio = size(array_distinct(w)).cast("double") / wordCnt
-    val langGuess = {
-      val Seq(en, de, es, fr) = langMarkers.map { case (l, _) =>
-        langScore(col(textCol), l)
-      }
-      when(en >= de && en >= es && en >= fr, "en")
-        .when(de >= es && de >= fr, "de")
-        .when(es >= fr, "es").otherwise("fr")
-    }
+    val langGuessCol = langGuess(col(textCol))
 
     val gated = docs
       .withColumn("__words", wordCnt)
       .withColumn("__uniq", uniqRatio)
-      .withColumn("__lang", langGuess)
+      .withColumn("__lang", langGuessCol)
       .withColumn("drop_reason",
         when(col("__words") < cfg.minWords, "too_short")
           .when(col("__uniq") < cfg.minUniqRatio, "low_diversity")

@@ -36,6 +36,15 @@ object Triangles {
               greatest(col("u"), col("v")).as("v"))
       .distinct()
 
+  /** Undirected degree of every node in a canonical edge list — ONE
+    * explode scan (not a 2-scan union). Output: `node`, `deg`.
+    */
+  def degrees(canon: DataFrame): DataFrame =
+    canon
+      .select(explode(array(col("u"), col("v"))).as("node")) // 1 scan, not 2
+      .groupBy("node")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+
   /** Re-orients a canonical edge list so every edge points from the
     * endpoint with lower (degree, id) to the higher one. Two extra
     * edge-sized shuffles (degree aggregate + two key lookups) buy the
@@ -47,10 +56,18 @@ object Triangles {
     // otherwise re-run the whole upstream dedup per reference, which
     // at sf0.1 costs more than the triangle joins themselves
     val canon = orientById(edges).localCheckpoint()
-    val deg = canon
-      .select(explode(array(col("u"), col("v"))).as("node")) // 1 scan, not 2
-      .groupBy("node")
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("deg"))
+    orientByDegreeCanonical(canon, degrees(canon))
+  }
+
+  /** [[orientByDegree]] for callers that ALREADY hold a materialized
+    * canonical edge list and its degree frame (e.g. a clustering-
+    * coefficient query that needs `deg` again for the denominator):
+    * skips the redundant re-canonicalization (an edge-wide distinct
+    * shuffle) and the duplicate degree aggregate. `canon` should be
+    * checkpointed/persisted by the caller — it is referenced three
+    * times here.
+    */
+  def orientByDegreeCanonical(canon: DataFrame, deg: DataFrame): DataFrame = {
     val du = deg.select(col("node").as("u"), col("deg").as("du"))
     val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
     canon.join(du, "u").join(dv, "v")

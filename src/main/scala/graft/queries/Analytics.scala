@@ -58,8 +58,12 @@ object Analytics {
       // every join and a scan-local merge — the layout cost is paid
       // once at write time. Tables are rewritten idempotently per run
       // (stale warehouse dirs cleared first: the in-memory catalog
-      // forgets them across sessions but the filesystem doesn't).
-      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      // forgets them across sessions but the filesystem doesn't), and
+      // the names carry the applicationId so two concurrent JVMs over
+      // the same dataset (driver verify vs a test run) each write
+      // their own tables instead of racing on one DROP+rewrite.
+      val tag = (d + "_" + s.sparkContext.applicationId)
+        .replaceAll("[^a-zA-Z0-9]", "_")
       val ob = s"graft_bkt_orders_$tag"
       val cb = s"graft_bkt_cust_$tag"
       val hconf = s.sparkContext.hadoopConfiguration
@@ -136,18 +140,20 @@ object Analytics {
       // credit (Triangles.perNode, degree-oriented so no hub blows up
       // the wedge join) over (deg choose 2). The coefficient is one
       // double division of exact integers, identical in both engines.
+      // The expensive pp self-join feeds degree, orientation, AND the
+      // final join, so the canonical edge list is materialized ONCE
+      // and its degree frame (node-sized) shared between the
+      // orientation and the (deg choose 2) denominator.
       val pp = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val raw = pp.as("a")
         .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      val canon = graft.operators.Triangles.orientById(raw)
-      val deg = canon.select(col("u").as("node"))
-        .union(canon.select(col("v").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val canon = graft.operators.Triangles.orientById(raw).localCheckpoint()
+      val deg = graft.operators.Triangles.degrees(canon).localCheckpoint()
       val tri = graft.operators.Triangles.perNode(
-        graft.operators.Triangles.orientByDegree(canon))
+        graft.operators.Triangles.orientByDegreeCanonical(canon, deg))
       deg.where(col("deg") >= 2)
         .join(tri, Seq("node"), "left")
         .select(col("node"), col("deg"),

@@ -251,10 +251,15 @@ object Nested {
       // per pixel — the REAL Multimodal.aHash loop; the mean test is
       // exact integer (64·pᵢ > Σp) so DuckDB reproduces the bits
       // verbatim. Downstream: image near-dup = banded equi-join on
-      // hash substrings, the SimHash shape.
+      // hash substrings, the SimHash shape. ASCII-only docs: the
+      // oracle indexes CHARACTERS (ascii()) while getBytes indexes
+      // UTF-8 octets — any multi-byte char would silently diverge
+      // (>64 bytes → aHash null, oracle still hashes), so the gate is
+      // explicit on both sides (char length == octet length ⇔ ASCII).
       import s.implicits._
       val media = t(s, d, "documents")
-        .where(length(col("text")) >= 64)
+        .where(length(col("text")) >= 64 &&
+               length(col("text")) === octet_length(col("text")))
         .select(col("doc_id"), substring(col("text"), 1, 64))
         .as[(Long, String)]
         .map { case (id, tx) =>
@@ -491,7 +496,7 @@ object Nested {
         |    CAST(i AS INT) AS i,
         |    ascii(substring(text, CAST(i + 1 AS INT), 1)) AS p
         |  FROM documents, UNNEST(range(64)) AS u(i)
-        |  WHERE length(text) >= 64),
+        |  WHERE length(text) >= 64 AND length(text) = strlen(text)),
         |tot AS (SELECT doc_id, sum(p) AS s FROM px GROUP BY 1)
         |SELECT px.doc_id,
         |  string_agg(CASE WHEN 64 * p > s THEN '1' ELSE '0' END, ''

@@ -46,8 +46,14 @@ object TextDedup {
           |                 element_at(split(text, ' '), i + 1)))
           |ELSE array() END""".stripMargin)).as("bg"))
       val unigrams = docs.select(explode(w).as("tok"))
+      // cb feeds the nb total and the PMI numerator; cu feeds the nu
+      // total and BOTH word-marginal joins — materialize each once or
+      // the corpus explode+shuffle subtree re-evaluates per consumer
+      // (2× for bigrams, 3× for unigrams).
       val cb = bigrams.groupBy("bg").agg(count(lit(1)).as("cxy"))
+        .localCheckpoint()
       val cu = unigrams.groupBy("tok").agg(count(lit(1)).as("cw"))
+        .localCheckpoint()
       val nb = cb.agg(sum(col("cxy")).as("nb"))
       val nu = cu.agg(sum(col("cw")).as("nu"))
       val parts = cb.where(col("cxy") >= 5)
@@ -118,18 +124,14 @@ object TextDedup {
         .orderBy("doc_id")
     }),
     "text_langid" -> ((s, d) => {
-      // Stopword-marker argmax; CASE chain order breaks ties (en first).
-      val Seq(en, de, es, fr) = langMarkers.map { case (lang, _) =>
-        langScore(col("text"), lang)
-      }
-      // argmax via explicit comparisons, deterministic tie order:
-      val guess = when(en >= de && en >= es && en >= fr, "en")
-        .when(de >= es && de >= fr, "de")
-        .when(es >= fr, "es")
-        .otherwise("fr")
+      // Stopword-marker argmax; langMarkers order breaks ties (en
+      // first). Scores looked up by language KEY, guess built
+      // generically from the marker list (TextFns.langGuess).
+      val sc = langScores(col("text"))
       t(s, d, "documents").select(
-          col("doc_id"), en.as("score_en"), de.as("score_de"),
-          es.as("score_es"), fr.as("score_fr"), guess.as("lang_guess"))
+          col("doc_id"), sc("en").as("score_en"), sc("de").as("score_de"),
+          sc("es").as("score_es"), sc("fr").as("score_fr"),
+          langGuess(col("text")).as("lang_guess"))
         .orderBy("doc_id")
     }),
     "text_fingerprint" -> ((s, d) =>
@@ -305,7 +307,10 @@ object TextDedup {
       // deterministic under count ties, unlike argmax-by-count.
       // Shape: positional grams sliced row-locally, ONE explode with
       // an n-tag, one (doc, n, gram) shuffle, one per-doc reduce —
-      // two aggregations total, no joins, no second corpus scan.
+      // then a left join back to the doc_id spine so gram-less docs
+      // (< 2 tokens, which the explode drops entirely) still get a
+      // keep verdict (trivially true: zero repeated mass). A quality
+      // gate that silently skips documents is not a gate.
       val w = tokens(col("text"))
       def grams(n: Int) =
         when(size(w) >= n,
@@ -315,26 +320,27 @@ object TextDedup {
       val tagged = concat(
         transform(grams(2), g => struct(lit(2).as("n"), g.as("g"))),
         transform(grams(5), g => struct(lit(5).as("n"), g.as("g"))))
-      t(s, d, "documents")
-        .select(col("doc_id"), col("n_chars"), explode(tagged).as("t"))
-        .groupBy(col("doc_id"), col("n_chars"),
-                 col("t.n").as("n"), col("t.g").as("g"))
+      val stats = t(s, d, "documents")
+        .select(col("doc_id"), explode(tagged).as("t"))
+        .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
         .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"), col("n_chars"))
+        .groupBy(col("doc_id"))
         .agg(
           max(when(col("n") === 2, col("cnt") * length(col("g")))
-            .otherwise(0L)).as("top2_chars"),
+            .otherwise(0L)).as("t2"),
           sum(when(col("n") === 5 && col("cnt") > 1,
-              col("cnt") * length(col("g"))).otherwise(0L)).as("dup5_chars"))
+              col("cnt") * length(col("g"))).otherwise(0L)).as("d5"))
+      t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        .join(stats, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          col("top2_chars").cast("long").as("top2_chars"),
-          col("dup5_chars").cast("long").as("dup5_chars"),
-          (col("top2_chars").cast("double") / col("n_chars"))
+          coalesce(col("t2"), lit(0L)).cast("long").as("top2_chars"),
+          coalesce(col("d5"), lit(0L)).cast("long").as("dup5_chars"),
+          (coalesce(col("t2"), lit(0L)).cast("double") / col("n_chars"))
             .as("top2_frac"),
-          (col("dup5_chars").cast("double") / col("n_chars"))
+          (coalesce(col("d5"), lit(0L)).cast("double") / col("n_chars"))
             .as("dup5_frac"),
-          (col("top2_chars").cast("double") / col("n_chars") <= 0.20 &&
-            col("dup5_chars").cast("double") / col("n_chars") <= 0.15)
+          (coalesce(col("t2"), lit(0L)).cast("double") / col("n_chars") <= 0.20 &&
+            coalesce(col("d5"), lit(0L)).cast("double") / col("n_chars") <= 0.15)
             .as("keep"))
         .orderBy("doc_id")
     }),
@@ -383,11 +389,14 @@ object TextDedup {
       // side is vocabulary-sized (≪ corpus) so the join broadcasts at
       // runtime. Scores are rounded to 8 decimals and the window
       // orders by the ROUNDED score, so cross-engine ordering and
-      // values agree to the quantum.
+      // values agree to the quantum. `tf` feeds both the df derivation
+      // and the final join, so it is materialized once — otherwise the
+      // corpus explode+shuffle subtree evaluates twice.
       val docs = t(s, d, "documents")
       val tf = docs
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))
       val w = org.apache.spark.sql.expressions.Window
@@ -404,13 +413,15 @@ object TextDedup {
     "text_charlm_surprisal" -> ((s, d) => {
       // Character-trigram LM quality signal (the KenLM-perplexity
       // filter shape of CCNet/Gopher, self-trained): P(c₃|c₁c₂) from
-      // corpus trigram counts, per-doc surprisal Σ −ln P. Two corpus
-      // passes — train (explode → type counts; context totals derived
-      // from the type counts, not re-scanned) and score (explode →
-      // join the trigram-type-sized model, runtime-broadcast → per-doc
-      // sum). Log-probs are FIXED-POINT (round(−1e6·ln p) as long) so
-      // the per-doc sum is order-independent integer arithmetic —
-      // hash-comparable, unlike a double Σlog.
+      // corpus trigram counts, per-doc surprisal Σ −ln P. ONE corpus
+      // explode, materialized: the (doc, tri) frame feeds both train
+      // (→ type counts; context totals derived from the type counts,
+      // not re-scanned) and score (join the trigram-type-sized model,
+      // runtime-broadcast → per-doc sum). The type-count frame is
+      // also materialized — it feeds the model numerator AND the
+      // context totals. Log-probs are FIXED-POINT (round(−1e6·ln p)
+      // as long) so the per-doc sum is order-independent integer
+      // arithmetic — hash-comparable, unlike a double Σlog.
       val docs = t(s, d, "documents")
       val tris = expr(
         """CASE WHEN length(text) >= 3
@@ -418,7 +429,9 @@ object TextDedup {
           |               i -> substring(text, i, 3))
           |ELSE array() END""".stripMargin)
       val dtris = docs.select(col("doc_id"), explode(tris).as("tri"))
+        .localCheckpoint()
       val c3 = dtris.groupBy("tri").agg(count(lit(1)).as("c3"))
+        .localCheckpoint()
       val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("p2"))
         .agg(sum(col("c3")).as("c2"))
       val lm = c3.withColumn("p2", substring(col("tri"), 1, 2))
@@ -452,6 +465,7 @@ object TextDedup {
           |ELSE array() END""".stripMargin)
       val dtris = docs
         .select(col("doc_id"), col("lang"), explode(tris).as("tri"))
+        .localCheckpoint() // feeds train AND score — one explode, not two
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("c").desc, col("tri"))
       val profiles = dtris.groupBy("lang", "tri")
@@ -954,20 +968,20 @@ object TextDedup {
         |  FROM w, UNNEST(range(1, len(ws) - 3)) AS u(i)),
         |c AS (SELECT doc_id, n_chars, n, g, count(*) AS cnt
         |      FROM g GROUP BY 1, 2, 3, 4),
-        |a AS (SELECT doc_id, n_chars,
-        |        max(CASE WHEN n = 2 THEN cnt * length(g) ELSE 0 END)
-        |          AS top2_chars,
+        |a AS (SELECT doc_id,
+        |        max(CASE WHEN n = 2 THEN cnt * length(g) ELSE 0 END) AS t2,
         |        sum(CASE WHEN n = 5 AND cnt > 1 THEN cnt * length(g)
-        |                 ELSE 0 END) AS dup5_chars
-        |      FROM c GROUP BY 1, 2)
-        |SELECT doc_id,
-        |  CAST(top2_chars AS BIGINT) AS top2_chars,
-        |  CAST(dup5_chars AS BIGINT) AS dup5_chars,
-        |  CAST(top2_chars AS DOUBLE) / n_chars AS top2_frac,
-        |  CAST(dup5_chars AS DOUBLE) / n_chars AS dup5_frac,
-        |  (CAST(top2_chars AS DOUBLE) / n_chars <= 0.20 AND
-        |   CAST(dup5_chars AS DOUBLE) / n_chars <= 0.15) AS keep
-        |FROM a ORDER BY doc_id""".stripMargin,
+        |                 ELSE 0 END) AS d5
+        |      FROM c GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(t2, 0) AS BIGINT) AS top2_chars,
+        |  CAST(coalesce(d5, 0) AS BIGINT) AS dup5_chars,
+        |  CAST(coalesce(t2, 0) AS DOUBLE) / d.n_chars AS top2_frac,
+        |  CAST(coalesce(d5, 0) AS DOUBLE) / d.n_chars AS dup5_frac,
+        |  (CAST(coalesce(t2, 0) AS DOUBLE) / d.n_chars <= 0.20 AND
+        |   CAST(coalesce(d5, 0) AS DOUBLE) / d.n_chars <= 0.15) AS keep
+        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_pii_redact" ->
       """WITH aug AS (
         |  SELECT doc_id, text ||

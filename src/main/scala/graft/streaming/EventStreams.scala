@@ -36,13 +36,7 @@ object EventStreams {
     val w = tokens(col("text"))
     val words = size(w)
     val uniq = size(array_distinct(w)).cast("double") / words
-    val Seq(en, de, es, fr) = langMarkers.map { case (lang, _) =>
-      langScore(col("text"), lang)
-    }
-    val guess = when(en >= de && en >= es && en >= fr, "en")
-      .when(de >= es && de >= fr, "de")
-      .when(es >= fr, "es")
-      .otherwise("fr")
+    val guess = langGuess(col("text"))
     docs
       .withColumn("lang_guess", guess)
       .withColumn("drop_reason",

@@ -158,14 +158,20 @@ class PlanShapeSpec extends SparkSpec {
       s"the single exchange must be the output sort:\n$p")
   }
 
-  test("text_gopher_repetition: one explode feeds both gram sizes — " +
-       "the corpus is scanned once, and nothing joins") {
+  test("text_gopher_repetition: one explode feeds both gram sizes; the " +
+       "only second scan is the column-pruned doc_id spine join") {
     val p = plan("text_gopher_repetition")
-    assert(!p.contains("Join"), s"repetition stats must not join:\n$p")
     // count detail-section entries ("(n) Scan parquet") — the tree
-    // section prints every node a second time
+    // section prints every node a second time. Two scans: the gram
+    // explode and the (doc_id, n_chars) spine the verdicts left-join
+    // back onto — the spine must NOT read the text column.
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans == 1, s"expected a single corpus scan:\n$p")
+    assert(scans == 2, s"expected explode scan + pruned spine scan:\n$p")
+    val spinePruned = "ReadSchema: struct<doc_id:bigint,n_chars:"
+    assert(p.contains(spinePruned),
+      s"spine scan must prune to (doc_id, n_chars):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the per-doc stats side must hash-join the spine:\n$p")
   }
 
   test("dedup_semdedup: pairs build on a cell equi-join, never a " +
@@ -206,5 +212,63 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"),
       s"triangle joins must be hash/merge equi-joins:\n$p")
+  }
+
+  // ---- one-corpus-scan invariants: a frame that feeds two consumers
+  // must be materialized, never re-derived from a second scan of the
+  // corpus. The checkpointed subtree shows up as Scan ExistingRDD; the
+  // residual parquet scans are counted exactly.
+
+  test("text_tfidf_topk: the corpus is exploded once — tf is " +
+       "materialized, df/join read it, only the 1-row N re-scans") {
+    val p = plan("text_tfidf_topk")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1,
+      s"expected one residual parquet scan (the N count), got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"tf frame must be the materialized scan source:\n$p")
+    assert(!p.contains("Generate"),
+      s"a Generate means the corpus explode re-entered the plan:\n$p")
+  }
+
+  test("text_charlm_surprisal: train and score read ONE materialized " +
+       "explode — a single residual parquet scan (the doc spine)") {
+    val p = plan("text_charlm_surprisal")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1,
+      s"expected one residual parquet scan (doc_id spine), got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the (doc, tri) frame must be the materialized scan source:\n$p")
+  }
+
+  test("text_langid_ngram: profile training and scoring share ONE " +
+       "materialized explode — a single residual parquet scan") {
+    val p = plan("text_langid_ngram")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1,
+      s"expected one residual parquet scan (doc labels), got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the (doc, tri) frame must be the materialized scan source:\n$p")
+  }
+
+  test("text_pmi_bigrams: bigram/unigram aggregates are materialized — " +
+       "totals and marginal joins re-read them, never the corpus") {
+    val p = plan("text_pmi_bigrams")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 0,
+      s"every consumer must read the materialized counts, got $scans corpus scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"count frames must be the materialized scan sources:\n$p")
+  }
+
+  test("graph_clustering_coeff: the pp self-join is evaluated once — " +
+       "degree, orientation and the final join all read materialized " +
+       "frames") {
+    val p = plan("graph_clustering_coeff")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 0,
+      s"the lineitem scan must live behind the checkpoint, got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"canonical edges + degrees must be materialized scan sources:\n$p")
   }
 }
