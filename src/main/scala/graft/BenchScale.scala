@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling probe: times the heaviest catalog queries across every
+  * available scale factor and reports per-decade scaling exponents
+  * (slope of log t vs log SF). The per-SF bench can't see super-linear
+  * blowups — a quadratic subtree looks fine at any single scale — but
+  * the exponent can: ~1 is linear, noticeably above ~1.3 on the top
+  * decade means a term that will not survive a 100× scale-up. Small
+  * SFs are overhead-dominated (exponents below 1 there are fixed-cost
+  * amortization, not sub-linearity), so the top decade is the signal.
+  *
+  * The probed set is the catalog's heavy tail plus the queries whose
+  * cost terms are structurally at risk: the graph queries' co-purchase
+  * edge build is per-order quadratic in items-per-order (bounded in
+  * TPC-H-shaped data — this probe is the proof), and the corpus
+  * text/dedup shuffles grow with total token count.
+  */
+object BenchScale {
+  val probes: Seq[String] = Seq(
+    "pagerank_fixed", "graph_clustering_coeff", "graph_triangle_count",
+    "dedup_cluster_cc", "bucketed_join_colocated", "text_tfidf_topk",
+    "dedup_cdc_chunks", "heavy_hitters_words", "ann_ivf_kmeans",
+    "dedup_semdedup", "text_gopher_repetition", "dedup_repeated_spans",
+    "dedup_minhash_lsh", "q5_region_revenue")
+
+  def main(args: Array[String]): Unit = {
+    val sfDirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def sfOf(dir: String): Double =
+      dir.split("sf").last.toDouble // ".../sf0.01" -> 0.01
+
+    val rows = probes.filter(SparkEntry.queries.contains).map { name =>
+      val fn = SparkEntry.queries(name)
+      val perSf = sfDirs.map { dir =>
+        def timed(): Double = {
+          spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        timed() // warmup
+        val t = (1 to nRuns).map(_ => timed()).min
+        System.err.println(s"[scale] $name ${sfOf(dir)}: ${f"$t%.3f"}s")
+        dir -> t
+      }
+      name -> perSf
+    }
+
+    def fmt(d: Double) =
+      String.format(java.util.Locale.US, "%.6f", Double.box(d))
+    val json = rows.map { case (name, perSf) =>
+      val times = perSf.map { case (d, t) => "\"sf" + sfOf(d) + "\":" + fmt(t) }
+      // top-decade exponent: slope between the two largest SFs
+      val sorted = perSf.sortBy { case (d, _) => sfOf(d) }
+      val exp =
+        if (sorted.size < 2) "null"
+        else {
+          val (dLo, tLo) = sorted(sorted.size - 2)
+          val (dHi, tHi) = sorted.last
+          fmt(math.log(tHi / tLo) / math.log(sfOf(dHi) / sfOf(dLo)))
+        }
+      "\"" + name + "\":{" + times.mkString(",") +
+        ",\"top_decade_exponent\":" + exp + "}"
+    }.mkString("{", ",", "}")
+    val out = s"""{"metric":"scaling","runs":$nRuns,"queries":$json}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "BENCH_SFSCALE.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (out + "\n").getBytes("UTF-8"))
+    println(out)
+    spark.stop()
+  }
+}

@@ -155,6 +155,44 @@ object Nested {
           (abs(col("p50_approx") - col("p50_exact")) <=
             abs(col("p50_exact")) * 0.02).as("within_2pct"))
         .orderBy("l_returnflag")),
+    "sketch_tdigest_quantiles" -> ((s, d) => {
+      // K8: OUR mergeable t-digest (operators/TDigest — built,
+      // merged, and read outside any query plan, unlike K2's baked-in
+      // percentile_approx) as a two-phase Spark aggregate: map-side
+      // partial digests, one kryo-sized merge per group. Exact
+      // anchors are DISCRETE percentiles (value at ceil(n·q) on a
+      // total order — actual data cents, zero float risk); the
+      // oracle-checked claim is the digest estimate lands within 2%
+      // of each. δ=200 holds that bound with ~100× headroom.
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("x"), col("o_orderkey"))
+      val ranked = t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), cents.as("x"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_orderpriority"))))
+      val exact = ranked.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          max(when(col("rn") === ceil(col("n") * 0.5), col("x")))
+            .as("p50_cents"),
+          max(when(col("rn") === ceil(col("n") * 0.95), col("x")))
+            .as("p95_cents"))
+      val td = graft.operators.TDigest.quantilesUdaf(Seq(0.5, 0.95))
+      val est = t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(td(round(col("o_totalprice") * 100, 0)).as("est"))
+      exact.join(est, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n"),
+          col("p50_cents"), col("p95_cents"),
+          (abs(element_at(col("est"), 1) - col("p50_cents")) <=
+            col("p50_cents") * 0.02).as("p50_within_2pct"),
+          (abs(element_at(col("est"), 2) - col("p95_cents")) <=
+            col("p95_cents") * 0.02).as("p95_within_2pct"))
+        .orderBy("o_orderpriority")
+    }),
     "array_hof_stats" -> ((s, d) => {
       // array higher-order functions (transform/aggregate/filter) stay
       // codegen'd and row-local — per-token stats with zero explode,
@@ -441,6 +479,21 @@ object Nested {
         |  quantile_cont(l_quantity, 0.5) AS p50_exact,
         |  TRUE AS within_2pct
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sketch_tdigest_quantiles" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+        |               o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, n,
+        |  max(CASE WHEN rn = ceil(n * 0.5) THEN x END) AS p50_cents,
+        |  max(CASE WHEN rn = ceil(n * 0.95) THEN x END) AS p95_cents,
+        |  TRUE AS p50_within_2pct,
+        |  TRUE AS p95_within_2pct
+        |FROM r GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "array_hof_stats" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents)

@@ -33,27 +33,53 @@ object Http {
       s"Measure${measure}FrequencyA/GetLastVersion()/Data?" + "$format=csv"
 
   /** `httr::GET(url, write_disk(tempfile))` equivalent: stream the
-    * response body to a temp staging file and return its path. Throws
-    * on any non-2xx status (the reference would silently parse an
-    * HTML error page; we fail fast).
+    * response body to a temp staging file and return its path.
+    * Redirects are followed (NORMAL: http→https upgrades allowed,
+    * https→http downgrades refused, like httr). Transient failures —
+    * 5xx, 429, connect/read errors — are retried with exponential
+    * backoff; 4xx client errors fail immediately (a wrong URL won't
+    * get righter, and retrying it hammers the upstream API). Throws
+    * after the last attempt on any non-2xx (the reference would
+    * silently parse an HTML error page; we fail fast).
     */
   def fetchToFile(url: String, suffix: String = ".csv",
-                  timeout: Duration = Duration.ofSeconds(60)): Path = {
+                  timeout: Duration = Duration.ofSeconds(60),
+                  retries: Int = 2,
+                  backoffMs: Long = 200): Path = {
     val client = HttpClient.newBuilder()
       .followRedirects(HttpClient.Redirect.NORMAL)
       .connectTimeout(timeout)
       .build()
     val req = HttpRequest.newBuilder(URI.create(url))
       .timeout(timeout).GET().build()
-    val tmp = Files.createTempFile("graft-staged-", suffix)
-    tmp.toFile.deleteOnExit()
-    val resp = client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
-    if (resp.statusCode() / 100 != 2) {
-      Files.deleteIfExists(tmp)
-      throw new java.io.IOException(
-        s"GET $url returned HTTP ${resp.statusCode()}")
+    def attempt(left: Int, wait: Long): Path = {
+      val tmp = Files.createTempFile("graft-staged-", suffix)
+      tmp.toFile.deleteOnExit()
+      val status =
+        try Right(client.send(req, HttpResponse.BodyHandlers.ofFile(tmp))
+          .statusCode())
+        catch { case e: java.io.IOException => Left(e) }
+      status match {
+        case Right(code) if code / 100 == 2 => tmp
+        case other =>
+          Files.deleteIfExists(tmp)
+          val retryable = other match {
+            case Right(code) => code / 100 == 5 || code == 429
+            case Left(_) => true // connect/read failure
+          }
+          if (retryable && left > 0) {
+            Thread.sleep(wait)
+            attempt(left - 1, wait * 2)
+          } else other match {
+            case Right(code) => throw new java.io.IOException(
+              s"GET $url returned HTTP $code" +
+                (if (retryable) s" after ${retries + 1} attempts" else ""))
+            case Left(e) => throw new java.io.IOException(
+              s"GET $url failed after ${retries + 1} attempts", e)
+          }
+      }
     }
-    tmp
+    attempt(retries, backoffMs)
   }
 
   /** Full staged-CSV extract path: fetch → staging file →
