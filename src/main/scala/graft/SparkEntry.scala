@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.ApiSurface.queries ++
       graft.queries.Subqueries.queries ++
       graft.queries.Behavioral.queries ++
-      graft.queries.Robustness.queries
+      graft.queries.Robustness.queries ++
+      graft.queries.Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.ApiSurface.oracles ++
       graft.queries.Subqueries.oracles ++
       graft.queries.Behavioral.oracles ++
-      graft.queries.Robustness.oracles
+      graft.queries.Robustness.oracles ++
+      graft.queries.Stats.oracles
 }

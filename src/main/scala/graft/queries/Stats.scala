@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.Tables.t
+
+/** Statistical testing / profiling surface (round 6): rank statistics
+  * (Spearman, Mann–Whitney), Welch's t, lag autocorrelation, marketing
+  * attribution, neighborhood similarity, sentence-level text stats,
+  * and Benford first-digit profiling.
+  *
+  * Exactness strategy (the house float-determinism recipes): every
+  * statistic is assembled from EXACT integer operands — total-order
+  * ranks (row_number with a full tiebreak, so no average-rank float),
+  * cent-scaled bigint sums — and leaves integer arithmetic in at most
+  * one final double expression with the IDENTICAL shape on the DuckDB
+  * side, or a fixed-point rounding of it. Overflow notes are per-query
+  * (bigint Σx² and Σd² fit to ~10¹⁰ rows·cents; swap to DECIMAL(38,0)
+  * past that — same plan).
+  */
+object Stats {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "stats_spearman_corr" -> ((s, d) => {
+      // A29: Spearman rank correlation between order value and order
+      // date per priority (is spend drifting over time?). Ranks are
+      // TOTAL-ORDER row_numbers tiebroken by the UNIQUE o_orderkey —
+      // a documented, deterministic treatment of ties that keeps both
+      // rank vectors exact permutations, so ρ = 1 − 6Σd²/(n(n²−1))
+      // holds verbatim and Σd² is an exact bigint (DECIMAL(38,0) past
+      // ~10⁶ rows/group: Σd² grows as n³). The tiebreak column MUST
+      // be unique — a non-total order assigns tied rows arbitrarily,
+      // differently per engine (lineitem's (orderkey, linenumber) is
+      // NOT unique in this data; that bug is why this query ranks
+      // orders). Two windows share one priority exchange.
+      val wp = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("p"), col("o_orderkey"))
+      val wd = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("dt"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("p"),
+          unix_timestamp(col("o_orderdate")).as("dt"))
+        .withColumn("rp", row_number().over(wp).cast("long"))
+        .withColumn("rd", row_number().over(wd).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("rp") - col("rd")) * (col("rp") - col("rd")))
+            .as("sum_d2"))
+        .select(col("o_orderpriority"), col("n"), col("sum_d2"),
+          (lit(1.0) - lit(6.0) * col("sum_d2").cast("double")
+            / (col("n") * (col("n") * col("n") - 1)).cast("double"))
+            .as("rho"))
+        .orderBy("o_orderpriority")
+    }),
+    "stats_mannwhitney_u" -> ((s, d) => {
+      // A30: Mann–Whitney U comparing URGENT vs LOW order values
+      // inside each market segment — the nonparametric two-sample
+      // location test next to A27's KS. Combined total-order ranks
+      // (cents, then orderkey: no average-rank float), U₁ from the
+      // rank sum of sample 1; U₁+U₂ = n₁n₂ is the built-in self-check
+      // and everything is exact bigint.
+      val o = t(s, d, "orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("x"), col("o_orderkey"))
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("x"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT", 1L)
+            .otherwise(0L)).as("n1"),
+          sum(when(col("o_orderpriority") === "5-LOW", 1L)
+            .otherwise(0L)).as("n2"),
+          sum(when(col("o_orderpriority") === "1-URGENT", col("rk"))
+            .otherwise(0L)).as("r1"))
+        .select(col("c_mktsegment"), col("n1"), col("n2"),
+          (col("r1") - (col("n1") * (col("n1") + 1) / 2).cast("long"))
+            .as("u1"),
+          (col("n1") * col("n2")
+            - (col("r1") - (col("n1") * (col("n1") + 1) / 2).cast("long")))
+            .as("u2"))
+        .orderBy("c_mktsegment")
+    }),
+    "stats_welch_ttest" -> ((s, d) => {
+      // A31: Welch's unequal-variance t — each event type's value
+      // distribution against the 'view' baseline. Group moments are
+      // exact bigint cent sums; mean/variance/t are ONE double
+      // expression with the oracle's exact shape, emitted fixed-point
+      // e6. The baseline side is a 1-row broadcast cross join.
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("x"))
+      val m = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+             sum(col("x") * col("x")).as("sxx"))
+      val base = m.where(col("event_type") === "view")
+        .select(col("n").as("n0"), col("sx").as("sx0"),
+                col("sxx").as("sxx0"))
+      def mean(sx: String, n: String) =
+        col(sx).cast("double") / col(n).cast("double")
+      def variance(n: String, sx: String, sxx: String) =
+        (col(n) * col(sxx) - col(sx) * col(sx)).cast("double") /
+          (col(n) * (col(n) - 1)).cast("double")
+      m.where(col("event_type") =!= "view").crossJoin(base)
+        .select(col("event_type"), col("n"), col("n0"),
+          round(lit(1000000.0) *
+            (mean("sx", "n") - mean("sx0", "n0")) /
+            sqrt(variance("n", "sx", "sxx") / col("n").cast("double") +
+                 variance("n0", "sx0", "sxx0") / col("n0").cast("double")),
+            0).cast("long").as("t_fp_e6"))
+        .orderBy("event_type")
+    }),
+    "window_autocorr_lag1" -> ((s, d) => {
+      // W22: lag-1 autocorrelation of event values per type — the
+      // memory-of-the-series signal. One ts-ordered window produces
+      // (xₜ₋₁, xₜ) pairs; Pearson r over the pairs from five exact
+      // bigint sums, one double expression, fixed-point e6.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("y"))
+        .withColumn("x", lag(col("y"), 1).over(w))
+        .where(col("x").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("event_type"), col("np"),
+          round(lit(1000000.0) *
+            (col("np") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("np") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("np") * col("syy") - col("sy") * col("sy")).cast("double")),
+            0).cast("long").as("r_fp_e6"))
+        .orderBy("event_type")
+    }),
+    "events_attribution" -> ((s, d) => {
+      // B5: first/last-touch attribution — for every purchase, the
+      // user's first event ever and the most recent NON-purchase
+      // event before the purchase (classic marketing attribution).
+      // One user_id exchange, two frames over the same sort; the
+      // IGNORE NULLS last() is W17's LOCF machinery pointed at a
+      // conditional column. Purchases with no prior touch → 'none'.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"))
+        .withColumn("first_touch", first(col("event_type")).over(w))
+        .withColumn("last_touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+               ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("first_touch"), lit("none")).as("first_touch"),
+          coalesce(col("last_touch"), lit("none")).as("last_touch"))
+        .orderBy("event_id")
+    }),
+    "graph_common_neighbors" -> ((s, d) => {
+      // G8: neighborhood Jaccard similarity over the part co-purchase
+      // graph — the link-prediction/people-also-bought signal. Common
+      // neighbors are wedge counts through shared neighbors (adjacency
+      // joined to itself on the middle node, endpoints ordered);
+      // |N∪N| = du+dv−common by inclusion-exclusion, so ONE extra
+      // degree join prices the union without materializing sets. The
+      // wedge fan-out is deg² per middle node — fine under this data's
+      // bounded degrees; at power-law 100 TB swap in minhashed
+      // neighbor sketches (operators/Dedup machinery) instead.
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val raw = pp.as("a")
+        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      val canon = graft.operators.Triangles.orientById(raw).localCheckpoint()
+      val deg = graft.operators.Triangles.degrees(canon).localCheckpoint()
+      val adj = canon.select(col("u").as("node"), col("v").as("nbr"))
+        .union(canon.select(col("v").as("node"), col("u").as("nbr")))
+      val common = adj.as("x")
+        .join(adj.as("y"),
+          col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+        .groupBy(col("x.node").as("u"), col("y.node").as("v"))
+        .agg(count(lit(1)).as("common"))
+        .where(col("common") >= 2)
+      common
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(col("u"), col("v"), col("common"),
+          (col("common").cast("double") /
+            (col("du") + col("dv") - col("common")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u"), col("v"))
+        .limit(50)
+    }),
+    "text_sentence_stats" -> ((s, d) => {
+      // T16: sentence-level shape stats — the readability-gate
+      // companion to word-level text_quality_score. Sentences split on
+      // terminal punctuation + space (a regex shared verbatim with the
+      // oracle's RE2 — kept to a class both engines read identically);
+      // empties from trailing punctuation are dropped on both sides.
+      // Row-local HOFs, zero shuffle before the output sort.
+      val sents = filter(
+        split(col("text"), "[.!?] +"),
+        x => length(x) > 0)
+      t(s, d, "documents")
+        .select(col("doc_id"), sents.as("ss"))
+        .select(col("doc_id"),
+          size(col("ss")).cast("long").as("n_sent"),
+          aggregate(col("ss"), lit(0L), (acc, x) => acc + length(x))
+            .as("sum_chars"),
+          aggregate(col("ss"), lit(0L),
+            (acc, x) => greatest(acc, length(x).cast("long")))
+            .as("max_sent_chars"))
+        .select(col("doc_id"), col("n_sent"), col("max_sent_chars"),
+          round(lit(1000.0) * col("sum_chars").cast("double")
+            / col("n_sent").cast("double"), 0).cast("long")
+            .as("avg_sent_chars_fp_e3"))
+        .orderBy("doc_id")
+    }),
+    "profile_benford_digits" -> ((s, d) => {
+      // A32: Benford first-significant-digit profile of order values
+      // per priority — the fraud/data-quality screen. The digit comes
+      // from the DECIMAL STRING of exact cents (no log10: libm
+      // rounding at powers of ten is exactly the cross-engine trap
+      // fixed-point recipes exist to avoid). Share-of-group is one
+      // windowed sum over the 9-row-per-group aggregate.
+      val wp = Window.partitionBy(col("o_orderpriority"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"),
+          substring(round(col("o_totalprice") * 100, 0).cast("long")
+            .cast("string"), 1, 1).as("digit"))
+        .groupBy(col("o_orderpriority"), col("digit"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("freq_fp_e6",
+          round(lit(1000000.0) * col("cnt").cast("double")
+            / sum(col("cnt")).over(wp).cast("double"), 0).cast("long"))
+        .orderBy("o_orderpriority", "digit")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "stats_spearman_corr" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+        |               o_orderkey) AS rp,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(epoch(o_orderdate) AS BIGINT),
+        |               o_orderkey) AS rd
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum((rp - rd) * (rp - rd)) AS BIGINT) AS sum_d2,
+        |  1.0 - 6.0 * CAST(sum((rp - rd) * (rp - rd)) AS DOUBLE)
+        |    / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE) AS rho
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stats_mannwhitney_u" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, o_orderpriority,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+        |               o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+        |a AS (
+        |  SELECT c_mktsegment,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN o_orderpriority = '5-LOW'
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |             THEN rk ELSE 0 END) AS BIGINT) AS r1
+        |  FROM r GROUP BY 1)
+        |SELECT c_mktsegment, n1, n2,
+        |  CAST(r1 - n1 * (n1 + 1) // 2 AS BIGINT) AS u1,
+        |  CAST(n1 * n2 - (r1 - n1 * (n1 + 1) // 2) AS BIGINT) AS u2
+        |FROM a ORDER BY 1""".stripMargin,
+    "stats_welch_ttest" ->
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS sx,
+        |    sum(CAST(round(value * 100) AS BIGINT)
+        |        * CAST(round(value * 100) AS BIGINT)) AS sxx
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT n AS n0, sx AS sx0, sxx AS sxx0 FROM m
+        |      WHERE event_type = 'view')
+        |SELECT event_type, n, n0,
+        |  CAST(round(1000000.0 *
+        |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+        |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |           / CAST(n * (n - 1) AS DOUBLE) / CAST(n AS DOUBLE) +
+        |         CAST(n0 * sxx0 - sx0 * sx0 AS DOUBLE)
+        |           / CAST(n0 * (n0 - 1) AS DOUBLE) / CAST(n0 AS DOUBLE)))
+        |    AS BIGINT) AS t_fp_e6
+        |FROM m, b WHERE event_type <> 'view' ORDER BY 1""".stripMargin,
+    "window_autocorr_lag1" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    lag(CAST(round(value * 100) AS BIGINT)) OVER
+        |      (PARTITION BY event_type ORDER BY ts, event_id) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, count(*) AS np, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM p WHERE x IS NOT NULL GROUP BY 1)
+        |SELECT event_type, np,
+        |  CAST(round(1000000.0 *
+        |    CAST(np * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
+        |         * CAST(np * syy - sy * sy AS DOUBLE))) AS BIGINT)
+        |    AS r_fp_e6
+        |FROM a ORDER BY 1""".stripMargin,
+    "events_attribution" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, event_type,
+        |    first_value(event_type) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS first_touch,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  coalesce(first_touch, 'none') AS first_touch,
+        |  coalesce(last_touch, 'none') AS last_touch
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "graph_common_neighbors" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT u AS node, v AS nbr FROM e
+        |        UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+        |cm AS (
+        |  SELECT x.node AS u, y.node AS v, count(*) AS common
+        |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT cm.u, cm.v, cm.common,
+        |  CAST(cm.common AS DOUBLE)
+        |    / CAST(du.deg + dv.deg - cm.common AS DOUBLE) AS jaccard
+        |FROM cm JOIN deg du ON cm.u = du.node
+        |        JOIN deg dv ON cm.v = dv.node
+        |ORDER BY jaccard DESC, cm.u, cm.v LIMIT 50""".stripMargin,
+    "text_sentence_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '[.!?] +'),
+        |                x -> length(x) > 0) AS ss
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(ss) AS BIGINT) AS n_sent,
+        |  CAST(list_max(list_transform(ss, x -> length(x))) AS BIGINT)
+        |    AS max_sent_chars,
+        |  CAST(round(1000.0 *
+        |    CAST(list_aggregate(list_transform(ss, x -> length(x)), 'sum')
+        |         AS DOUBLE) / CAST(len(ss) AS DOUBLE)) AS BIGINT)
+        |    AS avg_sent_chars_fp_e3
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "profile_benford_digits" ->
+      """WITH d AS (
+        |  SELECT o_orderpriority,
+        |    substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |              AS VARCHAR), 1, 1) AS digit
+        |  FROM orders),
+        |c AS (SELECT o_orderpriority, digit, count(*) AS cnt
+        |      FROM d GROUP BY 1, 2)
+        |SELECT o_orderpriority, digit, cnt,
+        |  CAST(round(1000000.0 * CAST(cnt AS DOUBLE) /
+        |    CAST(sum(cnt) OVER (PARTITION BY o_orderpriority) AS DOUBLE))
+        |    AS BIGINT) AS freq_fp_e6
+        |FROM c ORDER BY 1, 2""".stripMargin)
+}
