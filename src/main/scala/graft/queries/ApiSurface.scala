@@ -40,6 +40,42 @@ object ApiSurface {
           |  AND l_discount BETWEEN 0.05 AND 0.07
           |  AND l_quantity < 24""".stripMargin)
     }),
+    "sql_tpch_q7" -> ((s, d) => {
+      // TPC-H Q7 (volume shipping between two nations): 6-way join
+      // with a disjunctive nation-pair predicate and a per-year
+      // decimal revenue rollup. nation joins twice under different
+      // aliases (supplier side / customer side) — both broadcast; the
+      // pair predicate prunes after the two key joins; year() is
+      // engine-identical on timestamps. Revenue is an exact decimal
+      // sum cast once to double.
+      t(s, d, "supplier").createOrReplaceTempView("q7_supplier")
+      t(s, d, "lineitem").createOrReplaceTempView("q7_lineitem")
+      t(s, d, "orders").createOrReplaceTempView("q7_orders")
+      t(s, d, "customer").createOrReplaceTempView("q7_customer")
+      t(s, d, "nation").createOrReplaceTempView("q7_nation")
+      s.sql(
+        """SELECT supp_nation, cust_nation, l_year,
+          |  CAST(sum(volume) AS DOUBLE) AS revenue
+          |FROM (
+          |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |    CAST(l_extendedprice AS DECIMAL(12,2))
+          |      * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS volume
+          |  FROM q7_supplier, q7_lineitem, q7_orders, q7_customer,
+          |       q7_nation n1, q7_nation n2
+          |  WHERE s_suppkey = l_suppkey
+          |    AND o_orderkey = l_orderkey
+          |    AND c_custkey = o_custkey
+          |    AND s_nationkey = n1.n_nationkey
+          |    AND c_nationkey = n2.n_nationkey
+          |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          |) shipping
+          |GROUP BY supp_nation, cust_nation, l_year
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+    }),
     "sql_tpch_q18" -> ((s, d) => {
       // TPC-H Q18 (large-volume customers): HAVING-filtered IN
       // subquery over the fact table itself + 3-way join + top-100.
@@ -183,6 +219,28 @@ object ApiSurface {
         |       AND l_quantity < 10)
         |   OR (p_type = 'SMALL' AND p_size >= 40
         |       AND l_discount > 0.05)""".stripMargin,
+    "sql_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS volume
+        |  FROM supplier, lineitem, orders, customer,
+        |       nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey
+        |    AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey
+        |    AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "sql_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
