@@ -229,6 +229,60 @@ object Stats {
             .as("avg_sent_chars_fp_e3"))
         .orderBy("doc_id")
     }),
+    "fuzzy_damerau_pairs" -> ((s, d) => {
+      // T17: transposition-aware fuzzy matching — the native
+      // unrestricted Damerau–Levenshtein expression (swapped letters
+      // are the dominant human typo class; plain levenshtein prices
+      // them as 2 edits) over T2's successor-key banded self-join.
+      // Both distances are exact integer DPs; emitting their delta
+      // makes the transposition credit itself oracle-checked.
+      graft.functions.expressions.DamerauLevenshtein.register(s)
+      val dl = call_function("graft_damerau_levenshtein",
+        col("x.p_name"), col("y.p_name"))
+      t(s, d, "part").as("x")
+        .join(t(s, d, "part").as("y"),
+          col("y.p_partkey") === col("x.p_partkey") + 1)
+        .select(col("x.p_partkey").as("p1"),
+          dl.as("dl_dist"),
+          levenshtein(col("x.p_name"), col("y.p_name")).as("lev_dist"),
+          (levenshtein(col("x.p_name"), col("y.p_name")) - dl)
+            .as("transposition_credit"))
+        .orderBy("p1")
+    }),
+    "agg_winsorized_mean" -> ((s, d) => {
+      // A33: winsorized mean — the robust location estimate that clips
+      // (not drops) the tails at the discrete p05/p95 before
+      // averaging. Thresholds are actual data values at ceil(n·q)
+      // ranks (exact cents, zero interpolation float); the clipped sum
+      // is exact bigint and the mean leaves integer arithmetic in one
+      // rounded division. One window sort, a 1-row-per-group threshold
+      // join, one aggregate.
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("x"), col("o_orderkey"))
+      val ranked = t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), cents.as("x"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("o_orderpriority"))))
+      val thresholds = ranked.groupBy(col("o_orderpriority"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.05), col("x")))
+            .as("p05"),
+          max(when(col("rn") === ceil(col("n") * 0.95), col("x")))
+            .as("p95"))
+      ranked.join(thresholds, "o_orderpriority")
+        .select(col("o_orderpriority"),
+          greatest(col("p05"), least(col("p95"), col("x"))).as("cx"),
+          col("p05"), col("p95"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), max(col("p05")).as("p05_cents"),
+          max(col("p95")).as("p95_cents"), sum(col("cx")).as("sum_w"),
+          round(lit(10000.0) * sum(col("cx")).cast("double")
+            / count(lit(1)).cast("double"), 0).cast("long")
+            .as("wmean_fp_e4"))
+        .orderBy("o_orderpriority")
+    }),
     "profile_benford_digits" -> ((s, d) => {
       // A32: Benford first-significant-digit profile of order values
       // per priority — the fraud/data-quality screen. The digit comes
@@ -373,6 +427,37 @@ object Stats {
         |         AS DOUBLE) / CAST(len(ss) AS DOUBLE)) AS BIGINT)
         |    AS avg_sent_chars_fp_e3
         |FROM s ORDER BY doc_id""".stripMargin,
+    "fuzzy_damerau_pairs" ->
+      """SELECT x.p_partkey AS p1,
+        |  CAST(damerau_levenshtein(x.p_name, y.p_name) AS INT) AS dl_dist,
+        |  CAST(levenshtein(x.p_name, y.p_name) AS INT) AS lev_dist,
+        |  CAST(levenshtein(x.p_name, y.p_name)
+        |       - damerau_levenshtein(x.p_name, y.p_name) AS INT)
+        |    AS transposition_credit
+        |FROM part x JOIN part y ON y.p_partkey = x.p_partkey + 1
+        |ORDER BY p1""".stripMargin,
+    "agg_winsorized_mean" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+        |               o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |t AS (
+        |  SELECT o_orderpriority,
+        |    max(CASE WHEN rn = ceil(n * 0.05) THEN x END) AS p05,
+        |    max(CASE WHEN rn = ceil(n * 0.95) THEN x END) AS p95
+        |  FROM ranked GROUP BY 1)
+        |SELECT r.o_orderpriority, count(*) AS n,
+        |  max(t.p05) AS p05_cents, max(t.p95) AS p95_cents,
+        |  CAST(sum(greatest(t.p05, least(t.p95, r.x))) AS BIGINT) AS sum_w,
+        |  CAST(round(10000.0 *
+        |    CAST(sum(greatest(t.p05, least(t.p95, r.x))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
+        |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "profile_benford_digits" ->
       """WITH d AS (
         |  SELECT o_orderpriority,

@@ -131,4 +131,39 @@ class NativeExpressionsSpec extends SparkSpec {
       .where(col("got").isNotNull).count()
     assert(nulls === 0)
   }
+
+  test("graft_damerau_levenshtein: closed forms, the unrestricted-vs-" +
+       "OSA separator, symmetry, and codegen membership") {
+    DamerauLevenshtein.register(spark)
+    val cases = Seq(
+      ("", "", 0), ("", "abc", 3), ("abc", "", 3),
+      ("kitten", "sitting", 3),      // plain levenshtein agrees
+      ("ab", "ba", 1),               // one transposition
+      ("abcdef", "abcfed", 2),       // transposition + substitution path
+      ("ca", "abc", 2),              // OSA would say 3 — the variant pin
+      ("same", "same", 0))
+    val bad = cases.toDF("a", "b", "want")
+      .select(expr("graft_damerau_levenshtein(a, b)").as("got"), col("want"))
+      .where(col("got") =!= col("want")).count()
+    assert(bad === 0)
+    // symmetry on real part names
+    val parts = graft.Tables.t(spark, sf("sf0.001"), "part").limit(50)
+    val asym = parts.as("x").crossJoin(parts.as("y"))
+      .where(expr("graft_damerau_levenshtein(x.p_name, y.p_name)") =!=
+             expr("graft_damerau_levenshtein(y.p_name, x.p_name)"))
+      .count()
+    assert(asym === 0)
+    // distance never exceeds plain levenshtein (transpositions only help)
+    val worse = parts.as("x").crossJoin(parts.as("y"))
+      .where(expr("graft_damerau_levenshtein(x.p_name, y.p_name)") >
+             levenshtein(col("x.p_name"), col("y.p_name"))).count()
+    assert(worse === 0)
+    import org.apache.spark.sql.functions.{col => c}
+    val df = Seq(("hello", "hlelo")).toDF("a", "b")
+      .select(expr("graft_damerau_levenshtein(a, b)").as("d"))
+    df.collect()
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("WholeStageCodegen") ||
+      !exec.contains("graft_damerau_levenshtein"), exec)
+  }
 }

@@ -34,6 +34,36 @@ class OperationalSpec extends SparkSpec {
     assert(plain.columns.length <= 3)
   }
 
+  test("dynamic partition overwrite replaces ONLY the partitions in " +
+       "the incoming batch — the incremental-backfill write mode") {
+    val dir = java.nio.file.Files.createTempDirectory("dynpart").toString
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      Seq((1L, "2026-01-01"), (2L, "2026-01-01"), (3L, "2026-01-02"),
+          (4L, "2026-01-03"))
+        .toDF("id", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+      // re-land day 2 only: static overwrite mode would DELETE days 1
+      // and 3 (the whole table path); dynamic replaces just day 2
+      Seq((30L, "2026-01-02"), (31L, "2026-01-02"))
+        .toDF("id", "day")
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+      val got = spark.read.parquet(dir)
+        .select(col("id"), col("day").cast("string"))
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(got === Seq((1L, "2026-01-01"), (2L, "2026-01-01"),
+        (4L, "2026-01-03"), (30L, "2026-01-02"), (31L, "2026-01-02")))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("Observation collects data-quality metrics from the SAME pass " +
        "that produced the output (no second scan)") {
     val obs = Observation("qa")
