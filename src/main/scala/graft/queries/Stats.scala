@@ -283,6 +283,44 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "split_train_val_test" -> ((s, d) => {
+      // C5: deterministic 80/10/10 train/val/test split — the one
+      // pipeline op every training run needs. The split key is a pure
+      // content-free hash of the doc id (md5 → top-60-bit int → mod
+      // 100), so membership is stable across runs, machines, and
+      // engine versions — never a Math.random. Emitted as per
+      // (source, split) counts so leakage across sources is auditable.
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long") % 100
+      t(s, d, "documents")
+        .select(col("source"),
+          when(h < 80, "train").when(h < 90, "val").otherwise("test")
+            .as("split"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("source", "split")
+    }),
+    "window_ewma_halflife" -> ((s, d) => {
+      // W23: bounded exponentially-weighted moving average with
+      // half-life decay (β = ½) over each event type's value series.
+      // A true EWMA is a sequential recurrence — hostile to a
+      // distributed engine — but with β = ½ the 8-term truncation is
+      // an INTEGER dot product: weights 128..1 over the lag window,
+      // exact bigint, zero float anywhere (the tail beyond 8 lags is
+      // below half a cent). One window exchange, 8 codegen'd lags.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val cents = round(col("value") * 100, 0).cast("long")
+      val terms = (0 to 7).map(k =>
+        coalesce(lag(col("x"), k).over(w), lit(0L)) * lit(1L << (7 - k)))
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          cents.as("x"))
+        .withColumn("ewma_x256", terms.reduce(_ + _))
+        .select(col("event_id"), col("event_type"), col("x"),
+          col("ewma_x256"))
+        .orderBy("event_id")
+    }),
     "profile_benford_digits" -> ((s, d) => {
       // A32: Benford first-significant-digit profile of order values
       // per priority — the fraud/data-quality screen. The digit comes
@@ -458,6 +496,36 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "split_train_val_test" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    CASE WHEN CAST(concat('0x',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           % 100 < 80 THEN 'train'
+        |         WHEN CAST(concat('0x',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |           % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT source, split, count(*) AS cnt
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "window_ewma_halflife" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events)
+        |SELECT event_id, event_type, x,
+        |  coalesce(lag(x, 0) OVER w, 0) * 128 +
+        |  coalesce(lag(x, 1) OVER w, 0) * 64 +
+        |  coalesce(lag(x, 2) OVER w, 0) * 32 +
+        |  coalesce(lag(x, 3) OVER w, 0) * 16 +
+        |  coalesce(lag(x, 4) OVER w, 0) * 8 +
+        |  coalesce(lag(x, 5) OVER w, 0) * 4 +
+        |  coalesce(lag(x, 6) OVER w, 0) * 2 +
+        |  coalesce(lag(x, 7) OVER w, 0) AS ewma_x256
+        |FROM v
+        |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
     "profile_benford_digits" ->
       """WITH d AS (
         |  SELECT o_orderpriority,

@@ -17,6 +17,32 @@ object Vectors {
     Similarity.prep(t(s, d, "embeddings"), "vec_id", "embedding", Some("label"))
 
   val queries: Map[String, Q] = Map(
+    "embedding_label_centroids" -> ((s, d) => {
+      // V3: per-label centroid of the first 4 embedding dims — the
+      // class-prototype builder (SemDeDup cells, nearest-centroid
+      // classification, drift monitors all start here). Float dims
+      // are fixed-pointed to e6 BEFORE summing, so the per-label sum
+      // is order-independent bigint arithmetic — a raw float sum
+      // would drift with partition count. One narrow projection, one
+      // aggregate, no shuffle beyond the label groupBy.
+      def fp(i: Int) =
+        round(lit(1000000.0) *
+          element_at(col("embedding"), i).cast("double")).cast("long")
+      val agged = t(s, d, "embeddings")
+        .select(col("label"), fp(1).as("x1"), fp(2).as("x2"),
+                fp(3).as("x3"), fp(4).as("x4"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("x1")).as("s1"),
+             sum(col("x2")).as("s2"), sum(col("x3")).as("s3"),
+             sum(col("x4")).as("s4"))
+      def mean(sc: String) =
+        round(col(sc).cast("double") / col("n").cast("double"), 0)
+          .cast("long")
+      agged.select(col("label"), col("n"),
+          mean("s1").as("c1_fp_e6"), mean("s2").as("c2_fp_e6"),
+          mean("s3").as("c3_fp_e6"), mean("s4").as("c4_fp_e6"))
+        .orderBy("label")
+    }),
     "ann_cosine_topk" -> ((s, d) => {
       val corpus = prepped(s, d)
       Similarity.cosineTopK(corpus.where(col("id") < 5), corpus, 10)
@@ -129,6 +155,22 @@ object Vectors {
        |asg AS (SELECT vec_id, v, n2, cell FROM s1 WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embedding_label_centroids" ->
+      """WITH dims AS (
+        |  SELECT label, i,
+        |    CAST(round(1000000.0 * CAST(embedding[CAST(i AS INT)]
+        |                               AS DOUBLE)) AS BIGINT) AS xf
+        |  FROM embeddings, UNNEST([1, 2, 3, 4]) AS u(i))
+        |SELECT label, CAST(count(*) / 4 AS BIGINT) AS n,
+        |  CAST(round(CAST(sum(CASE WHEN i = 1 THEN xf END) AS DOUBLE)
+        |    / (count(*) / 4)) AS BIGINT) AS c1_fp_e6,
+        |  CAST(round(CAST(sum(CASE WHEN i = 2 THEN xf END) AS DOUBLE)
+        |    / (count(*) / 4)) AS BIGINT) AS c2_fp_e6,
+        |  CAST(round(CAST(sum(CASE WHEN i = 3 THEN xf END) AS DOUBLE)
+        |    / (count(*) / 4)) AS BIGINT) AS c3_fp_e6,
+        |  CAST(round(CAST(sum(CASE WHEN i = 4 THEN xf END) AS DOUBLE)
+        |    / (count(*) / 4)) AS BIGINT) AS c4_fp_e6
+        |FROM dims GROUP BY label ORDER BY label""".stripMargin,
     "ann_cosine_topk" ->
       s"""WITH $prepSql,
          |scored AS (
