@@ -180,6 +180,40 @@ object EventStreams {
       }
   }
 
+  /** Streaming quantile monitor with BOUNDED state: one t-digest
+    * (operators/TDigest — O(compression) centroids) per key in
+    * `flatMapGroupsWithState`, emitting the running p50/p95 each
+    * trigger. The streaming twin of `sketch_tdigest_quantiles`: the
+    * naive exact path keeps every value ever seen per key; the digest
+    * keeps ~2δ centroids forever, which is what makes a
+    * latency-percentile dashboard over an unbounded stream viable.
+    * Mergeability is what a cross-partition rollup of these per-key
+    * digests would ride — the same monoid the batch aggregate uses.
+    */
+  def streamingQuantiles(values: Dataset[(String, Double)],
+                         compression: Double = 100)
+      : Dataset[(String, Long, Double, Double)] = {
+    import values.sparkSession.implicits._
+    implicit val tdEnc: org.apache.spark.sql.Encoder[
+      graft.operators.TDigestSketch] =
+      org.apache.spark.sql.Encoders.kryo[graft.operators.TDigestSketch]
+    values
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[graft.operators.TDigestSketch,
+                              (String, Long, Double, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[graft.operators.TDigestSketch]) =>
+          val td = state.getOption.getOrElse(
+            new graft.operators.TDigestSketch(compression))
+          rows.foreach(r => td.add(r._2))
+          td.compress()
+          state.update(td)
+          Iterator.single(
+            (key, td.count.toLong, td.quantile(0.5), td.quantile(0.95)))
+      }
+  }
+
   /** Stream-static enrichment: join each micro-batch against a static
     * dimension frame. The static side is planned per micro-batch like
     * any batch join — explicitly broadcast here, so the stream is

@@ -293,6 +293,42 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingQuantiles keeps one bounded t-digest per key and its " +
+       "running p50/p95 track the values seen so far") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = EventStreams.streamingQuantiles(input.toDS(), compression = 100)
+      .toDF("key", "n", "p50", "p95")
+      .writeStream.format("memory").queryName("sq_test")
+      .outputMode("update").start()
+    try {
+      val rnd = new scala.util.Random(9)
+      val batch1 = Array.fill(2000)(rnd.nextDouble() * 100)
+      input.addData(batch1.map(("lat", _)).toSeq: _*)
+      q.processAllAvailable()
+      val batch2 = Array.fill(2000)(rnd.nextDouble() * 100 + 50) // shifted
+      input.addData(batch2.map(("lat", _)).toSeq: _*)
+      input.addData(("other", 1.0), ("other", 2.0), ("other", 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT key, n, p50, p95 FROM sq_test
+          |WHERE n = (SELECT max(n) FROM sq_test s2
+          |           WHERE s2.key = sq_test.key)""".stripMargin)
+        .as[(String, Long, Double, Double)].collect()
+        .map(r => r._1 -> r).toMap
+      // state accumulated ACROSS triggers: n covers both batches
+      assert(rows("lat")._2 === 4000L)
+      val all = (batch1 ++ batch2).sorted
+      def rankOf(v: Double) = all.count(_ <= v).toDouble / all.length
+      assert(math.abs(rankOf(rows("lat")._3) - 0.5) <= 0.02,
+        s"p50 drifted: ${rows("lat")._3}")
+      assert(math.abs(rankOf(rows("lat")._4) - 0.95) <= 0.02,
+        s"p95 drifted: ${rows("lat")._4}")
+      // tiny key: exact
+      assert(rows("other")._2 === 3L && rows("other")._3 === 2.0)
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow drains the backlog in rate-limited " +
        "micro-batches and then stops on its own") {
     // the production catch-up pattern: process everything currently in
