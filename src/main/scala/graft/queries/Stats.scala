@@ -283,6 +283,56 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "profile_key_skew" -> ((s, d) => {
+      // P9: join-key skew profiler — the diagnostic that decides
+      // between a plain shuffle join, AQE skew split, and
+      // Skew.saltedJoin BEFORE the job runs. Per candidate key:
+      // cardinality, the heaviest key's share, and the max/avg skew
+      // factor (≥ ~8 means one reducer eats the key). Two aggregates
+      // per key column over one scan each; exact integers plus one
+      // shaped double division.
+      def profile(tbl: DataFrame, keyCol: String) = {
+        val cnts = tbl.groupBy(col(keyCol).as("k"))
+          .agg(count(lit(1)).as("c"))
+        cnts.agg(
+            lit(keyCol).as("key_col"),
+            sum(col("c")).as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max(col("c")).as("max_cnt"))
+          .select(col("key_col"), col("n_rows"), col("n_keys"),
+            col("max_cnt"),
+            round(lit(1000.0) * col("max_cnt").cast("double")
+              / (col("n_rows").cast("double") / col("n_keys").cast("double")),
+              0).cast("long").as("skew_fp_e3"))
+      }
+      val li = t(s, d, "lineitem")
+      profile(li, "l_suppkey")
+        .unionByName(profile(li, "l_partkey"))
+        .unionByName(profile(li, "l_orderkey"))
+        .orderBy("key_col")
+    }),
+    "profile_null_report" -> ((s, d) => {
+      // P10: column-completeness report — per column of the events
+      // table: nulls, fill rate. ONE scan: count(col) counts only
+      // non-nulls, so the whole report is a single aggregate row
+      // unpivoted to (column, n_null, fill_fp_e6) — never one scan
+      // per column (at 100 TB a per-column loop is k full scans).
+      val ev = Tables.events(s, d)
+      val agged = ev.agg(
+        count(lit(1)).as("n"),
+        count(col("ts")).as("c_ts"),
+        count(col("user_id")).as("c_user_id"),
+        count(col("event_type")).as("c_event_type"),
+        count(col("value")).as("c_value"),
+        count(col("props")).as("c_props"))
+      val cols = Seq("ts", "user_id", "event_type", "value", "props")
+      val stacked = cols.map(c =>
+        agged.select(lit(c).as("column_name"),
+          (col("n") - col(s"c_$c")).as("n_null"),
+          round(lit(1000000.0) * col(s"c_$c").cast("double")
+            / col("n").cast("double"), 0).cast("long").as("fill_fp_e6")))
+      stacked.reduce(_ unionByName _).orderBy("column_name")
+    }),
     "split_train_val_test" -> ((s, d) => {
       // C5: deterministic 80/10/10 train/val/test split — the one
       // pipeline op every training run needs. The split key is a pure
@@ -496,6 +546,42 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "profile_key_skew" ->
+      """WITH p AS (
+        |  SELECT 'l_orderkey' AS key_col, count(*) AS c
+        |  FROM lineitem GROUP BY l_orderkey
+        |  UNION ALL
+        |  SELECT 'l_partkey', count(*) FROM lineitem GROUP BY l_partkey
+        |  UNION ALL
+        |  SELECT 'l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey)
+        |SELECT key_col,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys,
+        |  CAST(max(c) AS BIGINT) AS max_cnt,
+        |  CAST(round(1000.0 * CAST(max(c) AS DOUBLE)
+        |    / (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)))
+        |    AS BIGINT) AS skew_fp_e3
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "profile_null_report" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n, count(ts) AS c_ts,
+        |    count(user_id) AS c_user_id,
+        |    count(event_type) AS c_event_type,
+        |    count(value) AS c_value, count(props) AS c_props
+        |  FROM events),
+        |u AS (
+        |  SELECT n, column_name,
+        |    CASE column_name
+        |      WHEN 'ts' THEN c_ts WHEN 'user_id' THEN c_user_id
+        |      WHEN 'event_type' THEN c_event_type
+        |      WHEN 'value' THEN c_value ELSE c_props END AS c
+        |  FROM a, (VALUES ('ts'), ('user_id'), ('event_type'), ('value'),
+        |                  ('props')) AS v(column_name))
+        |SELECT column_name,
+        |  CAST(n - c AS BIGINT) AS n_null,
+        |  CAST(round(1000000.0 * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |    AS BIGINT) AS fill_fp_e6
+        |FROM u ORDER BY column_name""".stripMargin,
     "split_train_val_test" ->
       """WITH s AS (
         |  SELECT source,
