@@ -33,7 +33,11 @@ object Bench {
     // bucketed write — the pay-once layout cost), and the
     // salt-rewritten skew join
     "graph_clustering_coeff",
-    "bucketed_join_colocated", "join_skew_salted")
+    "bucketed_join_colocated", "join_skew_salted",
+    // round-6 addition: the adjacency-self-join similarity query — a
+    // second wedge-join plan shape (middle-node key, not the
+    // triangle-closing probe) plus a data-sized top-k
+    "graph_common_neighbors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

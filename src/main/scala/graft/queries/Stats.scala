@@ -283,6 +283,55 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "interpolate_linear_days" -> ((s, d) => {
+      // W24: the third member of the gap-fill family — day spine (N4)
+      // fills with zeros, LOCF (W17) carries forward, THIS
+      // interpolates linearly between the flanking known days (the
+      // sensor/finance resample). Known daily sums are exact cents;
+      // the two flanking values come from one ordered window pair
+      // (LOCF frame + its mirror); the interpolated value is one
+      // shaped double expression emitted fixed-point e4. Leading/
+      // trailing gaps (no flank on one side) stay NULL — explicit,
+      // not extrapolated. The unpartitioned window is over the DAY
+      // SPINE (≤ tens of thousands of rows at any data scale — the
+      // fact table was already aggregated away), so the single
+      // partition it implies is spine-sized, never corpus-sized; with
+      // many series, partition the windows by series key.
+      val daily = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"))
+        .localCheckpoint(false)
+      val spine = daily
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+      val wPrev = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.orderBy(col("day"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val joined = spine.join(daily, Seq("day"), "left")
+        .withColumn("prev_x", last(col("x"), ignoreNulls = true).over(wPrev))
+        .withColumn("prev_day",
+          last(when(col("x").isNotNull, col("day")), ignoreNulls = true)
+            .over(wPrev))
+        .withColumn("next_x", first(col("x"), ignoreNulls = true).over(wNext))
+        .withColumn("next_day",
+          first(when(col("x").isNotNull, col("day")), ignoreNulls = true)
+            .over(wNext))
+      joined.select(col("day"), col("x").isNotNull.as("known"),
+          when(col("x").isNotNull,
+            round(lit(10000.0) * col("x").cast("double"), 0).cast("long"))
+          .otherwise(
+            round(lit(10000.0) *
+              (col("prev_x").cast("double") +
+                ((col("next_x") - col("prev_x"))
+                  * datediff(col("day"), col("prev_day"))).cast("double")
+                / datediff(col("next_day"), col("prev_day")).cast("double")),
+              0).cast("long"))
+          .as("value_fp_e4"))
+        .orderBy("day")
+    }),
     "profile_key_skew" -> ((s, d) => {
       // P9: join-key skew profiler — the diagnostic that decides
       // between a plain shuffle join, AQE skew split, and
@@ -546,6 +595,42 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "interpolate_linear_days" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(min(day), max(day),
+        |                                INTERVAL 1 DAY)) AS day
+        |  FROM daily),
+        |j AS (
+        |  SELECT CAST(s.day AS DATE) AS day, d.x,
+        |    last_value(d.x IGNORE NULLS) OVER
+        |      (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND 1 PRECEDING) AS prev_x,
+        |    last_value(CASE WHEN d.x IS NOT NULL
+        |               THEN CAST(s.day AS DATE) END IGNORE NULLS) OVER
+        |      (ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND 1 PRECEDING) AS prev_day,
+        |    first_value(d.x IGNORE NULLS) OVER
+        |      (ORDER BY s.day ROWS BETWEEN 1 FOLLOWING
+        |       AND UNBOUNDED FOLLOWING) AS next_x,
+        |    first_value(CASE WHEN d.x IS NOT NULL
+        |                THEN CAST(s.day AS DATE) END IGNORE NULLS) OVER
+        |      (ORDER BY s.day ROWS BETWEEN 1 FOLLOWING
+        |       AND UNBOUNDED FOLLOWING) AS next_day
+        |  FROM spine s LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day)
+        |SELECT day, x IS NOT NULL AS known,
+        |  CASE WHEN x IS NOT NULL
+        |    THEN CAST(round(10000.0 * CAST(x AS DOUBLE)) AS BIGINT)
+        |    ELSE CAST(round(10000.0 *
+        |      (CAST(prev_x AS DOUBLE) +
+        |        CAST((next_x - prev_x)
+        |             * date_diff('day', prev_day, day) AS DOUBLE)
+        |        / CAST(date_diff('day', prev_day, next_day) AS DOUBLE)))
+        |      AS BIGINT) END AS value_fp_e4
+        |FROM j ORDER BY day""".stripMargin,
     "profile_key_skew" ->
       """WITH p AS (
         |  SELECT 'l_orderkey' AS key_col, count(*) AS c

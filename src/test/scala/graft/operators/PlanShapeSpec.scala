@@ -261,6 +261,20 @@ class PlanShapeSpec extends SparkSpec {
       s"count frames must be the materialized scan sources:\n$p")
   }
 
+  test("graph_common_neighbors: adjacency and degrees read materialized " +
+       "frames — the pp self-join never re-evaluates, pairs stay " +
+       "equi-joined") {
+    val p = plan("graph_common_neighbors")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 0,
+      s"the lineitem scan must live behind the checkpoint, got $scans:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"canonical edges + degrees must be materialized scan sources:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"the wedge join must be an equi-join on the middle node:\n$p")
+  }
+
   test("graph_clustering_coeff: the pp self-join is evaluated once — " +
        "degree, orientation and the final join all read materialized " +
        "frames") {
