@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by distributed peeling.
+  *
+  * The k-core is the maximal subgraph in which every node has degree
+  * ≥ k — the standard graph-density signal (spam rings and boilerplate
+  * clusters in a link/co-occurrence graph live in high cores; isolated
+  * long-tail content does not). Matula & Beck 1983 give the sequential
+  * peel; this is the bulk-synchronous formulation: each round drops
+  * EVERY node currently under-degree at once, which converges to the
+  * same fixpoint (peeling is confluent — removal order cannot save a
+  * node).
+  *
+  * Scale shape per round: one edge-sized degree aggregate (single
+  * explode scan), one node-sized survivor filter, two hash semi-joins
+  * to restrict the edge list, then a localCheckpoint so the next
+  * round's plan starts from materialized edges instead of a growing
+  * self-referenced tree (the Components/PageRank discipline). The only
+  * driver-side values are the per-round edge counts (1-row actions)
+  * used for the convergence test; rounds are O(peeling depth), which
+  * is ≤ max coreness, not O(nodes).
+  */
+object KCore {
+
+  /** Nodes of the k-core of a canonical undirected edge list
+    * (`u` < `v`, deduped, loop-free — [[Triangles.orientById]] shape).
+    * Returns a single-column `node` frame; empty when the k-core is.
+    */
+  def nodes(canonEdges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var edges = canonEdges.localCheckpoint()
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0L
+    while (!converged) {
+      val survivors = Triangles.degrees(edges)
+        .where(col("deg") >= k)
+        .select(col("node"))
+        .localCheckpoint() // feeds BOTH semi-joins below
+      val pruned = edges
+        .join(survivors.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(survivors.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val prunedCount = pruned.count()
+      converged = prunedCount == edgeCount
+      edges = pruned
+      edgeCount = prunedCount
+      if (edgeCount == 0L) converged = true
+    }
+    Triangles.degrees(edges).where(col("deg") >= k).select(col("node"))
+  }
+
+  /** Coreness (max k with the node in the k-core) for every node, by
+    * running the peel at increasing k and recording the last level at
+    * which each node survived. O(max-coreness) peels — fine for the
+    * small maximum corenesses of co-occurrence graphs; for deep cores
+    * use the k-core membership test directly at the k of interest.
+    */
+  def coreness(canonEdges: DataFrame, maxK: Int): DataFrame = {
+    require(maxK >= 1, s"maxK must be >= 1, got $maxK")
+    val all = Triangles.degrees(canonEdges.localCheckpoint())
+      .select(col("node"), lit(0).as("coreness"))
+    (1 to maxK).foldLeft(all) { (acc, k) =>
+      val inCore = nodes(canonEdges, k)
+        .select(col("node"), lit(k).as("k"))
+      acc.join(inCore, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("k"), col("coreness")).as("coreness"))
+    }
+  }
+}

@@ -162,6 +162,24 @@ object Analytics {
             / (col("deg") * (col("deg") - 1)).cast("double")).as("cc"))
         .orderBy("node")
     }),
+    "graph_kcore" -> ((s, d) => {
+      // G9: 3-core of the co-purchase graph (operators/KCore,
+      // bulk-synchronous peeling) — the graph-density curation signal:
+      // high cores are boilerplate/spam rings, core-less nodes are
+      // long tail. Iterative peeling has no DuckDB-SQL oracle
+      // (aggregate-in-recursion), so this row is spec-verified
+      // (KCoreSpec: closed forms, cascading peel, sequential-reference
+      // agreement) and the driver records the rows-only check here.
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val raw = pp.as("a")
+        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      graft.operators.KCore.nodes(
+          graft.operators.Triangles.orientById(raw), 3)
+        .orderBy("node")
+    }),
     "graph_degree_topk" -> ((s, d) => {
       // G6: top-20 hub parts by co-purchase degree (distinct
       // neighbours in the same graph as graph_triangle_count). One
