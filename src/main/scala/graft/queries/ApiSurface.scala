@@ -147,6 +147,24 @@ object ApiSurface {
           |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
           |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin)
     }),
+    "sql_pivot_syntax" -> ((s, d) => {
+      // SQL PIVOT clause through the parser (the R4 dynamic-pivot's
+      // SQL-text twin): status → columns with an exact decimal
+      // revenue aggregate. Catalyst rewrites PIVOT into one
+      // conditional aggregate pass — the same plan the CASE-expression
+      // oracle describes, which is the point: syntax sugar, identical
+      // execution. Every (priority, status) combo is populated in
+      // this data, so no null-vs-zero asymmetry.
+      t(s, d, "orders").createOrReplaceTempView("pv_orders")
+      s.sql(
+        """SELECT o_orderpriority, f AS rev_f, o AS rev_o, p AS rev_p
+          |FROM (SELECT o_orderpriority, o_orderstatus,
+          |        CAST(o_totalprice AS DECIMAL(12,2)) AS tp
+          |      FROM pv_orders)
+          |PIVOT (CAST(sum(tp) AS DOUBLE)
+          |       FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
     "sql_disjunctive_pushdown" -> ((s, d) => {
       // TPC-H Q19 shape: an OR of conjunct groups. Catalyst pushes the
       // common p_partkey join AND extracts the disjunction's shared
@@ -207,6 +225,18 @@ object ApiSurface {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+    "sql_pivot_syntax" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |           THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+        |       AS DOUBLE) AS rev_f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |           THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+        |       AS DOUBLE) AS rev_o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |           THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+        |       AS DOUBLE) AS rev_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "sql_disjunctive_pushdown" ->
       """SELECT count(*) AS n_lines,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))

@@ -344,6 +344,39 @@ object TextDedup {
             .as("keep"))
         .orderBy("doc_id")
     }),
+    "text_gopher_quality" -> ((s, d) => {
+      // T18: the Gopher QUALITY rules (Rae et al. 2021 Table A1) —
+      // the companion gate to text_gopher_repetition's repetition
+      // rules: word count in [50, 100k], mean word length in [3, 10],
+      // ≥ 80% of words contain an alphabetic character, and ≥ 2
+      // stopword hits (the/and markers, the replace-length trick
+      // shared verbatim with the oracle). Line-shape rules (bullet /
+      // ellipsis starts) are inapplicable to this single-line corpus
+      // and documented out. All metrics are exact integers or one
+      // shaped fixed-point division; the whole gate is a map-side
+      // projection — zero shuffle before the output sort.
+      val w = tokens(col("text"))
+      val wordCnt = size(w).cast("long")
+      val charSum = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+      val alphaCnt = size(filter(w, x => x.rlike("[A-Za-z]"))).cast("long")
+      val stopHits = (markerCount(col("text"), "the") +
+        markerCount(col("text"), "and")).cast("long")
+      t(s, d, "documents")
+        .select(col("doc_id"), wordCnt.as("word_cnt"),
+          round(lit(1000.0) * charSum.cast("double")
+            / wordCnt.cast("double"), 0).cast("long")
+            .as("mean_word_len_fp_e3"),
+          round(lit(1000000.0) * alphaCnt.cast("double")
+            / wordCnt.cast("double"), 0).cast("long")
+            .as("alpha_frac_fp_e6"),
+          stopHits.as("stop_hits"))
+        .withColumn("keep",
+          col("word_cnt").between(50L, 100000L) &&
+          col("mean_word_len_fp_e3").between(3000L, 10000L) &&
+          col("alpha_frac_fp_e6") >= 800000L &&
+          col("stop_hits") >= 2L)
+        .orderBy("doc_id")
+    }),
     "text_pii_redact" -> ((s, d) => {
       // PII scrub — the masking rewrite pass of a training-data
       // pipeline: e-mail / IPv4 / SSN-shaped spans → typed placeholder
@@ -955,6 +988,32 @@ object TextDedup {
         |  CAST(len(kept) AS INT) AS n_kept,
         |  md5(array_to_string(kept, ' ')) AS norm_md5
         |FROM n ORDER BY doc_id""".stripMargin,
+    "text_gopher_quality" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS word_cnt,
+         |    CAST(round(1000.0 *
+         |      CAST(list_aggregate(list_transform(ws, x -> length(x)),
+         |                          'sum') AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE)) AS BIGINT)
+         |      AS mean_word_len_fp_e3,
+         |    CAST(round(1000000.0 *
+         |      CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+         |           AS DOUBLE)
+         |      / CAST(len(ws) AS DOUBLE)) AS BIGINT) AS alpha_frac_fp_e6,
+         |    CAST(${markerCountSql("the")} + ${markerCountSql("and")}
+         |         AS BIGINT) AS stop_hits
+         |  FROM w)
+         |SELECT doc_id, word_cnt, mean_word_len_fp_e3, alpha_frac_fp_e6,
+         |  stop_hits,
+         |  (word_cnt BETWEEN 50 AND 100000
+         |   AND mean_word_len_fp_e3 BETWEEN 3000 AND 10000
+         |   AND alpha_frac_fp_e6 >= 800000
+         |   AND stop_hits >= 2) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
     "text_gopher_repetition" ->
       """WITH w AS (SELECT doc_id, n_chars, string_split(text, ' ') AS ws
         |           FROM documents),
