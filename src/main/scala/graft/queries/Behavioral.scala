@@ -118,6 +118,30 @@ object Behavioral {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_index")
     }),
+    "cohort_ltv_cumulative" -> ((s, d) => {
+      // B6: cohort LTV matrix — cumulative purchase revenue per
+      // first-event-week cohort at each week offset, the
+      // payback-period readout next to cohort_retention_weeks' user
+      // counts. Weekly revenue collapses to the (cohort, week_index)
+      // grid first (exact cents), then ONE ordered window turns the
+      // grid into running LTV — the running sum is over the tiny
+      // cohort×week grid, never the raw stream.
+      val ev = Tables.events(s, d)
+      val grid = ev.withColumn("cohort_week",
+          date_trunc("week", min(col("ts")).over(byUser)).cast("date"))
+        .withColumn("week_index",
+          (datediff(date_trunc("week", col("ts")).cast("date"),
+                    col("cohort_week")) / lit(7)).cast("int"))
+        .groupBy(col("cohort_week"), col("week_index"))
+        .agg(sum(when(col("event_type") === "purchase",
+            round(col("value") * 100, 0).cast("long")).otherwise(0L))
+          .as("rev_cents"))
+      val wCum = Window.partitionBy(col("cohort_week"))
+        .orderBy(col("week_index"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.withColumn("cum_rev_cents", sum(col("rev_cents")).over(wCum))
+        .orderBy("cohort_week", "week_index")
+    }),
     "events_session_window_fn" -> ((s, d) =>
       // Spark's NATIVE session_window() (vs the manual gaps-and-islands
       // of events_sessionize): events merge while the gap to the
@@ -255,6 +279,25 @@ object Behavioral {
          |       CAST(wsum_cents AS DOUBLE) / CAST(total_dur_us AS DOUBLE)
          |         / 100.0 AS time_weighted_value
          |FROM g ORDER BY 1""".stripMargin,
+    "cohort_ltv_cumulative" ->
+      s"""WITH $evSql,
+         |x AS (SELECT user_id, event_type, value,
+         |        CAST(date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+         |          AS DATE) AS cohort_week,
+         |        CAST(date_trunc('week', ts) AS DATE) AS week
+         |      FROM ev),
+         |g AS (SELECT cohort_week,
+         |        CAST(date_diff('day', cohort_week, week) // 7 AS INT)
+         |          AS week_index,
+         |        CAST(sum(CASE WHEN event_type = 'purchase'
+         |                 THEN CAST(round(value * 100) AS BIGINT)
+         |                 ELSE 0 END) AS BIGINT) AS rev_cents
+         |      FROM x GROUP BY 1, 2)
+         |SELECT cohort_week, week_index, rev_cents,
+         |  CAST(sum(rev_cents) OVER (PARTITION BY cohort_week
+         |    ORDER BY week_index ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS cum_rev_cents
+         |FROM g ORDER BY 1, 2""".stripMargin,
     "cohort_retention_weeks" ->
       s"""WITH $evSql,
          |x AS (SELECT user_id,
