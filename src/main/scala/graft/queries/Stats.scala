@@ -283,6 +283,62 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "window_rolling_slope" -> ((s, d) => {
+      // W25: rolling 7-event OLS slope of value vs time per event
+      // type — the windowed trend detector. Time is MINUTES since a
+      // fixed epoch (small exact ints: centering the regressor keeps
+      // nΣxx − (Σx)² inside bigint; raw epoch seconds would overflow
+      // at frame size 7), values exact cents; all five frame sums are
+      // order-independent integers and the slope is one shaped double
+      // division fixed-pointed e6. Degenerate frames (fewer than 2
+      // points or zero time variance) emit NULL explicitly.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      val tMin = ((unix_timestamp(col("ts"))
+        - unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp")))
+        / 60L).cast("long")
+      val base = Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          tMin.as("x"), round(col("value") * 100, 0).cast("long").as("y"))
+      base
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("y")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .select(col("event_id"), col("event_type"),
+          when(col("n") >= 2 &&
+               col("n") * col("sxx") - col("sx") * col("sx") =!= 0L,
+            round(lit(1000000.0) *
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+              0).cast("long"))
+            .as("slope_fp_e6"))
+        .orderBy("event_id")
+    }),
+    "profile_selfjoin_size_f2" -> ((s, d) => {
+      // P11: join-size estimation via the second frequency moment —
+      // the self-join on l_suppkey produces exactly F₂ = Σₖ c(k)²
+      // rows, so the per-key count aggregate PREDICTS the join's
+      // output size without running it (the cardinality-estimation
+      // primitive query planners sketch with AMS/CountSketch; exact
+      // here, the sketch is the 100 TB substitution). The oracle
+      // carries the identity itself: estimate ≡ executed join count.
+      val cnts = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds the F2 aggregate AND the verify join
+      val f2 = cnts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        sum(col("c") * col("c")).as("f2_est"))
+      val actual = cnts.as("a")
+        .join(cnts.as("b"), col("a.l_suppkey") === col("b.l_suppkey"))
+        .agg(sum(col("a.c") * col("b.c")).as("actual"))
+      f2.crossJoin(actual)
+        .select(col("n_keys"), col("n_rows"), col("f2_est"),
+          (col("f2_est") === col("actual")).as("estimate_exact"))
+    }),
     "interpolate_linear_days" -> ((s, d) => {
       // W24: the third member of the gap-fill family — day spine (N4)
       // fills with zeros, LOCF (W17) carries forward, THIS
@@ -595,6 +651,42 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "window_rolling_slope" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00'))
+        |               / 60) AS BIGINT) AS x,
+        |    CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |f AS (
+        |  SELECT event_id, event_type,
+        |    count(*) OVER w AS n,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type,
+        |  CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+        |    THEN CAST(round(1000000.0 *
+        |      CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+        |  END AS slope_fp_e6
+        |FROM f ORDER BY event_id""".stripMargin,
+    "profile_selfjoin_size_f2" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |f AS (
+        |  SELECT count(*) AS n_keys,
+        |    CAST(sum(c) AS BIGINT) AS n_rows,
+        |    CAST(sum(c * c) AS BIGINT) AS f2_est
+        |  FROM c),
+        |a AS (
+        |  SELECT CAST(sum(x.c * y.c) AS BIGINT) AS actual
+        |  FROM c x JOIN c y ON x.l_suppkey = y.l_suppkey)
+        |SELECT n_keys, n_rows, f2_est,
+        |  f2_est = actual AS estimate_exact
+        |FROM f, a""".stripMargin,
     "interpolate_linear_days" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,
