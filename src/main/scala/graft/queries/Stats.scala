@@ -339,6 +339,65 @@ object Stats {
         .select(col("n_keys"), col("n_rows"), col("f2_est"),
           (col("f2_est") === col("actual")).as("estimate_exact"))
     }),
+    "assoc_rules_pairs" -> ((s, d) => {
+      // A34: market-basket association rules at the pair level —
+      // support, confidence, and lift for co-purchased parts (the
+      // A-priori first rung; deeper itemsets iterate the same
+      // candidate-join + min-support prune). The min-support filter
+      // IS the a-priori trick: it prunes the pair candidates before
+      // the heavy joins back to item supports. All counts exact;
+      // confidence/lift are shaped divisions fixed-pointed e6;
+      // deterministic top-20 by (lift, antecedent, consequent).
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint() // basket list feeds pairs AND item supports
+      val nOrders = pp.select(col("ok")).distinct().count()
+      val item = pp.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
+      val pair = pp.as("a")
+        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("supp_uv"))
+        .where(col("supp_uv") >= 5)
+      pair
+        .join(item.select(col("pk").as("u"), col("supp").as("supp_u")), "u")
+        .join(item.select(col("pk").as("v"), col("supp").as("supp_v")), "v")
+        .select(col("u"), col("v"), col("supp_uv"), col("supp_u"),
+          col("supp_v"),
+          round(lit(1000000.0) * col("supp_uv").cast("double")
+            / col("supp_u").cast("double"), 0).cast("long")
+            .as("conf_fp_e6"),
+          round(lit(1000000.0) * lit(nOrders) * col("supp_uv").cast("double")
+            / (col("supp_u") * col("supp_v")).cast("double"), 0).cast("long")
+            .as("lift_fp_e6"))
+        .orderBy(col("lift_fp_e6").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+    "sketch_ams_f2" -> ((s, d) => {
+      // K9: AMS/tug-of-war sketch of the second frequency moment —
+      // the O(1)-space substitute for P11's exact Σc² at 100 TB
+      // (Alon–Matias–Szegedy 1996). Each estimator j is (Σₖ sⱼ(k)·
+      // c(k))² with ±1 signs derived from salted md5 (engine-portable,
+      // no RNG), so all 8 estimates are DETERMINISTIC integers the
+      // oracle reproduces bit-for-bit — the estimator's unbiasedness
+      // is a theorem, its arithmetic is what's checked. At stream
+      // scale the sign multiply folds into the per-key partial
+      // aggregate: 8 longs of state, mergeable.
+      val cnts = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+      val withJ = cnts.select(col("l_suppkey"), col("c"),
+        explode(sequence(lit(0), lit(7))).as("j"))
+      val sign = when(
+        conv(substring(md5(concat(col("j").cast("string"), lit("|"),
+          col("l_suppkey").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 2 === 0L, 1L).otherwise(-1L)
+      val exact = cnts.agg(sum(col("c") * col("c")).as("f2_exact"))
+      withJ.groupBy(col("j"))
+        .agg(sum(sign * col("c")).as("z"))
+        .select(col("j"), (col("z") * col("z")).as("est"))
+        .crossJoin(exact)
+        .orderBy("j")
+    }),
     "interpolate_linear_days" -> ((s, d) => {
       // W24: the third member of the gap-fill family — day spine (N4)
       // fills with zeros, LOCF (W17) carries forward, THIS
@@ -687,6 +746,41 @@ object Stats {
         |SELECT n_keys, n_rows, f2_est,
         |  f2_est = actual AS estimate_exact
         |FROM f, a""".stripMargin,
+    "assoc_rules_pairs" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |n AS (SELECT count(DISTINCT ok) AS n_orders FROM pp),
+        |item AS (SELECT pk, count(*) AS supp FROM pp GROUP BY 1),
+        |pair AS (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS supp_uv
+        |  FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT u, v,
+        |  CAST(supp_uv AS BIGINT) AS supp_uv,
+        |  CAST(iu.supp AS BIGINT) AS supp_u,
+        |  CAST(iv.supp AS BIGINT) AS supp_v,
+        |  CAST(round(1000000.0 * CAST(supp_uv AS DOUBLE)
+        |    / CAST(iu.supp AS DOUBLE)) AS BIGINT) AS conf_fp_e6,
+        |  CAST(round(1000000.0 * n_orders * CAST(supp_uv AS DOUBLE)
+        |    / CAST(iu.supp * iv.supp AS DOUBLE)) AS BIGINT) AS lift_fp_e6
+        |FROM pair
+        |JOIN item iu ON pair.u = iu.pk
+        |JOIN item iv ON pair.v = iv.pk
+        |CROSS JOIN n
+        |ORDER BY lift_fp_e6 DESC, u, v LIMIT 20""".stripMargin,
+    "sketch_ams_f2" ->
+      """WITH c AS (
+        |  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |f AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM c),
+        |z AS (
+        |  SELECT CAST(j AS INT) AS j,
+        |    CAST(sum(CASE WHEN CAST(concat('0x',
+        |        substr(md5(concat(CAST(j AS VARCHAR), '|',
+        |                          CAST(l_suppkey AS VARCHAR))), 1, 15))
+        |        AS BIGINT) % 2 = 0 THEN c ELSE -c END) AS BIGINT) AS zz
+        |  FROM c, UNNEST(range(8)) AS u(j) GROUP BY 1)
+        |SELECT j, CAST(zz * zz AS BIGINT) AS est, f2_exact
+        |FROM z, f ORDER BY j""".stripMargin,
     "interpolate_linear_days" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,
