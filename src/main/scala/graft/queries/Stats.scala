@@ -339,6 +339,43 @@ object Stats {
         .select(col("n_keys"), col("n_rows"), col("f2_est"),
           (col("f2_est") === col("actual")).as("estimate_exact"))
     }),
+    "quantile_normalize_sources" -> ((s, d) => {
+      // C6: cross-source score calibration — map each doc's quality
+      // proxy (n_chars) to the GLOBAL value at its within-source
+      // quantile, so a threshold means the same thing for every
+      // source (per-source scorers drift; quantile matching is the
+      // standard fix). ENTIRELY integer: within-source rank rn of ns,
+      // target global index ⌈N·rn/ns⌉ via the (a+b−1)/b trick (exact
+      // under 2^53), one join against the globally-ranked values —
+      // no doubles anywhere. The global row_number here is an
+      // unpartitioned window (fine at verify scale); at 100 TB swap
+      // it for the distributed global rank: range-partitioned sort +
+      // per-partition offsets (Packing.withRunningOffset — the
+      // sample_weighted_systematic machinery), identical output.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .localCheckpoint() // feeds the per-source AND global rankings
+      val wS = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars"), col("doc_id"))
+      val wG = Window.orderBy(col("n_chars"), col("doc_id"))
+      val n = docs.count()
+      val ranked = docs
+        .withColumn("rn", row_number().over(wS).cast("long"))
+        .withColumn("ns", count(lit(1)).over(
+          Window.partitionBy(col("source"))))
+        .withColumn("gidx",
+          floor((lit(n) * col("rn") + col("ns") - 1)
+            .cast("double") / col("ns").cast("double")).cast("long"))
+      val globalVals = docs
+        .select(col("n_chars").as("cal_n_chars"), col("doc_id").as("gd"))
+        .withColumn("gidx", row_number().over(
+          Window.orderBy(col("cal_n_chars"), col("gd"))).cast("long"))
+        .select(col("gidx"), col("cal_n_chars"))
+      ranked.join(globalVals, "gidx")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("cal_n_chars"))
+        .orderBy("doc_id")
+    }),
     "assoc_rules_pairs" -> ((s, d) => {
       // A34: market-basket association rules at the pair level —
       // support, confidence, and lift for co-purchased parts (the
@@ -746,6 +783,25 @@ object Stats {
         |SELECT n_keys, n_rows, f2_est,
         |  f2_est = actual AS estimate_exact
         |FROM f, a""".stripMargin,
+    "quantile_normalize_sources" ->
+      """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+        |n AS (SELECT count(*) AS n FROM d),
+        |r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS ns
+        |  FROM d),
+        |g AS (
+        |  SELECT n_chars AS cal_n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS gidx
+        |  FROM d)
+        |SELECT r.doc_id, r.source, r.n_chars, g.cal_n_chars
+        |FROM r, n
+        |JOIN g ON g.gidx = CAST(floor(
+        |  CAST(n.n * r.rn + r.ns - 1 AS DOUBLE) / CAST(r.ns AS DOUBLE))
+        |  AS BIGINT)
+        |ORDER BY r.doc_id""".stripMargin,
     "assoc_rules_pairs" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
