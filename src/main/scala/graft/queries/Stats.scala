@@ -339,6 +339,32 @@ object Stats {
         .select(col("n_keys"), col("n_rows"), col("f2_est"),
           (col("f2_est") === col("actual")).as("estimate_exact"))
     }),
+    "table_diff_audit" -> ((s, d) => {
+      // P12: snapshot diff — the release-regression audit (the
+      // relational core of gdp_compare_with_old_data, generalized):
+      // classify every key as added / removed / changed between two
+      // deterministic derivations of orders, via ONE full outer join
+      // on the key; unchanged rows are filtered out so the report is
+      // delta-sized. Values compared in exact cents.
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey").as("k"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      val old = base.where(col("k") % 11 =!= 0)
+      val neu = base.where(col("k") % 13 =!= 0)
+        .select(col("k"),
+          (col("cents") + when(col("k") % 5 === 0, 1L).otherwise(0L))
+            .as("cents"))
+      old.select(col("k"), col("cents").as("old_cents"))
+        .join(neu.select(col("k"), col("cents").as("new_cents")),
+          Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("old_cents").isNull, "added")
+            .when(col("new_cents").isNull, "removed")
+            .when(col("old_cents") =!= col("new_cents"), "changed"))
+        .where(col("status").isNotNull)
+        .select(col("k"), col("status"), col("old_cents"), col("new_cents"))
+        .orderBy("k")
+    }),
     "quantile_normalize_sources" -> ((s, d) => {
       // C6: cross-source score calibration — map each doc's quality
       // proxy (n_chars) to the GLOBAL value at its within-source
@@ -783,6 +809,23 @@ object Stats {
         |SELECT n_keys, n_rows, f2_est,
         |  f2_est = actual AS estimate_exact
         |FROM f, a""".stripMargin,
+    "table_diff_audit" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |old AS (SELECT k, cents AS old_cents FROM base WHERE k % 11 <> 0),
+        |neu AS (SELECT k, cents + CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END
+        |          AS new_cents
+        |        FROM base WHERE k % 13 <> 0),
+        |j AS (
+        |  SELECT coalesce(old.k, neu.k) AS k, old_cents, new_cents,
+        |    CASE WHEN old_cents IS NULL THEN 'added'
+        |         WHEN new_cents IS NULL THEN 'removed'
+        |         WHEN old_cents <> new_cents THEN 'changed' END AS status
+        |  FROM old FULL OUTER JOIN neu ON old.k = neu.k)
+        |SELECT k, status, old_cents, CAST(new_cents AS BIGINT) AS new_cents
+        |FROM j WHERE status IS NOT NULL ORDER BY k""".stripMargin,
     "quantile_normalize_sources" ->
       """WITH d AS (SELECT doc_id, source, n_chars FROM documents),
         |n AS (SELECT count(*) AS n FROM d),

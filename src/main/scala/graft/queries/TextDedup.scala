@@ -344,6 +344,27 @@ object TextDedup {
             .as("keep"))
         .orderBy("doc_id")
     }),
+    "dedup_incremental" -> ((s, d) => {
+      // C7: incremental ingestion dedup — new documents checked
+      // against the ALREADY-INGESTED corpus's fingerprint set, never
+      // re-deduping the whole corpus (at 100 TB the prior corpus is
+      // petabytes; its md5 fingerprint set is a thin index you keep).
+      // Split is deterministic (doc_id mod 3 = the "new" batch); the
+      // check is a left-semi-shaped left join on the exact-dedup
+      // fingerprint (md5 of normalized text — the Dedup.exact key),
+      // so only fingerprints cross the wire, never text. Output: the
+      // new batch with its verdict + the blocking fingerprint.
+      val docs = t(s, d, "documents")
+      val fp = md5(lower(trim(col("text"))))
+      val prior = docs.where(col("doc_id") % 3 =!= 0)
+        .select(fp.as("fp")).distinct()
+      docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), fp.as("fp"))
+        .join(prior.withColumn("dup", lit(true)), Seq("fp"), "left")
+        .select(col("doc_id"), col("fp"),
+          coalesce(col("dup"), lit(false)).as("already_ingested"))
+        .orderBy("doc_id")
+    }),
     "text_gopher_quality" -> ((s, d) => {
       // T18: the Gopher QUALITY rules (Rae et al. 2021 Table A1) —
       // the companion gate to text_gopher_repetition's repetition
@@ -988,6 +1009,17 @@ object TextDedup {
         |  CAST(len(kept) AS INT) AS n_kept,
         |  md5(array_to_string(kept, ' ')) AS norm_md5
         |FROM n ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH prior AS (
+        |  SELECT DISTINCT md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |newer AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fp
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT n.doc_id, n.fp,
+        |  p.fp IS NOT NULL AS already_ingested
+        |FROM newer n LEFT JOIN prior p ON n.fp = p.fp
+        |ORDER BY n.doc_id""".stripMargin,
     "text_gopher_quality" ->
       s"""WITH w AS (
          |  SELECT doc_id, text, string_split(text, ' ') AS ws
