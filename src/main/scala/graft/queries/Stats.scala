@@ -339,6 +339,49 @@ object Stats {
         .select(col("n_keys"), col("n_rows"), col("f2_est"),
           (col("f2_est") === col("actual")).as("estimate_exact"))
     }),
+    "graph_common_neighbors_capped" -> ((s, d) => {
+      // G8b: the SCALE path for neighborhood similarity — identical to
+      // graph_common_neighbors but middles are capped at degree ≤ 32
+      // BEFORE the wedge join. Rationale: exact all-pairs common
+      // neighbors is inherently Σ_mid (deg choose 2) — a hub shared
+      // by everyone generates most of the wedges while carrying
+      // almost no similarity signal (its Jaccard contribution is
+      // 1/union for every pair). The cap is part of the operator's
+      // DEFINITION (the oracle applies the same cap), so the result
+      // is still exact for the capped semantics. At sf0.1 this is the
+      // difference between ~90 s (uncapped, Σdeg² wedge rows) and
+      // seconds; at 100 TB it is the difference between feasible and
+      // not (the fully-exact variant stays available as
+      // graph_common_neighbors, correctness-gated).
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val raw = pp.as("a")
+        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      val canon = graft.operators.Triangles.orientById(raw).localCheckpoint()
+      val deg = graft.operators.Triangles.degrees(canon).localCheckpoint()
+      val lowMid = deg.where(col("deg") <= 32)
+        .select(col("node").as("nbr"))
+      val adj = canon.select(col("u").as("node"), col("v").as("nbr"))
+        .union(canon.select(col("v").as("node"), col("u").as("nbr")))
+        .join(lowMid, Seq("nbr"), "left_semi")
+      val common = adj.as("x")
+        .join(adj.as("y"),
+          col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+        .groupBy(col("x.node").as("u"), col("y.node").as("v"))
+        .agg(count(lit(1)).as("common"))
+        .where(col("common") >= 2)
+      common
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(col("u"), col("v"), col("common"),
+          (col("common").cast("double") /
+            (col("du") + col("dv") - col("common")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("jaccard").desc, col("u"), col("v"))
+        .limit(50)
+    }),
     "table_diff_audit" -> ((s, d) => {
       // P12: snapshot diff — the release-regression audit (the
       // relational core of gdp_compare_with_old_data, generalized):
@@ -809,6 +852,26 @@ object Stats {
         |SELECT n_keys, n_rows, f2_est,
         |  f2_est = actual AS estimate_exact
         |FROM f, a""".stripMargin,
+    "graph_common_neighbors_capped" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj0 AS (SELECT u AS node, v AS nbr FROM e
+        |         UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT node, count(*) AS deg FROM adj0 GROUP BY 1),
+        |adj AS (SELECT a.node, a.nbr FROM adj0 a
+        |        JOIN deg dm ON a.nbr = dm.node AND dm.deg <= 32),
+        |cm AS (
+        |  SELECT x.node AS u, y.node AS v, count(*) AS common
+        |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT cm.u, cm.v, cm.common,
+        |  CAST(cm.common AS DOUBLE)
+        |    / CAST(du.deg + dv.deg - cm.common AS DOUBLE) AS jaccard
+        |FROM cm JOIN deg du ON cm.u = du.node
+        |        JOIN deg dv ON cm.v = dv.node
+        |ORDER BY jaccard DESC, cm.u, cm.v LIMIT 50""".stripMargin,
     "table_diff_audit" ->
       """WITH base AS (
         |  SELECT o_orderkey AS k,
