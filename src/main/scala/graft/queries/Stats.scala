@@ -339,6 +339,28 @@ object Stats {
         .select(col("n_keys"), col("n_rows"), col("f2_est"),
           (col("f2_est") === col("actual")).as("estimate_exact"))
     }),
+    "agg_topk_heap" -> ((s, d) => {
+      // A35: per-group top-k as a bounded-heap aggregate
+      // (operators/TopK) instead of the window sort — the window form
+      // sorts every group's FULL row set to keep 3 rows; the heap
+      // holds 3 rows of state per group, bounds map-side partials at
+      // k before the shuffle, and merges k∪k. Total (score desc, id
+      // asc) order makes the result hash-identical to the window
+      // oracle. No Window, no per-group sort anywhere in the plan
+      // (pinned in PlanShapeSpec).
+      val tk = graft.operators.TopK.topKUdaf(3)
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), cents.as("cents"),
+          col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(tk(col("cents"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("o_orderpriority"), (col("pos") + 1).as("rk"),
+          col("e._1").as("cents"), col("e._2").as("o_orderkey"))
+        .orderBy("o_orderpriority", "rk")
+    }),
     "graph_common_neighbors_capped" -> ((s, d) => {
       // G8b: the SCALE path for neighborhood similarity — identical to
       // graph_common_neighbors but middles are capped at degree ≤ 32
@@ -852,6 +874,17 @@ object Stats {
         |SELECT n_keys, n_rows, f2_est,
         |  f2_est = actual AS estimate_exact
         |FROM f, a""".stripMargin,
+    "agg_topk_heap" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+        |    o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT) DESC,
+        |               o_orderkey) AS rk
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(rk AS INT) AS rk, cents, o_orderkey
+        |FROM r WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
     "graph_common_neighbors_capped" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),

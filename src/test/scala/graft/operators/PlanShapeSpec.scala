@@ -261,6 +261,16 @@ class PlanShapeSpec extends SparkSpec {
       s"count frames must be the materialized scan sources:\n$p")
   }
 
+  test("agg_topk_heap: per-group top-k is a bounded-heap aggregate — " +
+       "no Window, no per-group sort before the aggregate") {
+    val p = plan("agg_topk_heap")
+    assert(!p.contains("Window"),
+      s"heap top-k must not plan a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+           p.contains("HashAggregate"),
+      s"expected the two-phase aggregate:\n$p")
+  }
+
   test("graph_common_neighbors: adjacency and degrees read materialized " +
        "frames — the pp self-join never re-evaluates, pairs stay " +
        "equi-joined") {
