@@ -356,6 +356,45 @@ class EventStreamsSpec extends SparkSpec {
     } finally if (q.isActive) q.stop()
   }
 
+  test("checkpointed restart resumes from recorded offsets — already-" +
+       "committed files are not reprocessed") {
+    // the operational contract that makes streaming restartable: the
+    // checkpoint records which source files are committed, so a new
+    // run with the SAME checkpoint picks up only the backlog. A
+    // reprocessing bug triples the count here; a lost-offset bug
+    // halves it.
+    val dir = sf("sf0.001")
+    val staged = java.nio.file.Files.createTempDirectory("ckpt_src")
+    val sink = java.nio.file.Files.createTempDirectory("ckpt_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_meta").toString
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val n = raw.count()
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(raw.schema)
+        .parquet(staged.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val q = stream.writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "query did not self-terminate")
+    }
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("batch1.parquet"))
+    drain()
+    assert(spark.read.parquet(sink).count() === n)
+    // backlog lands while the query is DOWN; restart must process
+    // exactly the new file
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("batch2.parquet"))
+    drain()
+    assert(spark.read.parquet(sink).count() === 2 * n,
+      "restart must process only the backlog: 3n = batch1 reprocessed, " +
+        "n = offsets lost")
+  }
+
   test("transformWithState (state v2, RocksDB) accumulates per-user " +
        "running totals across micro-batches") {
     implicit val sq = spark.sqlContext
