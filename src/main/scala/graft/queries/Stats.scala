@@ -283,6 +283,32 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "anomaly_rolling_zscore" -> ((s, d) => {
+      // A36: streaming-shaped anomaly detection — each event scored
+      // against the PRECEDING 20 events of its type (never itself:
+      // self-inclusion dilutes the very spike being tested). The
+      // z-test is evaluated in cross-multiplied integer form,
+      // (n·x − S₁)² vs 4·(n·S₂ − S₁²) — the anomaly_zscore_exact
+      // recipe moved onto a sliding frame: zero floats, zero
+      // libm, engine-exact booleans.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-20, -1)
+      Tables.events(s, d)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          round(col("value") * 100, 0).cast("long").as("x"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("s1", sum(col("x")).over(w))
+        .withColumn("s2", sum(col("x") * col("x")).over(w))
+        .where(col("n") >= 5) // too little history → no verdict
+        .select(col("event_id"), col("event_type"), col("x"),
+          col("n"),
+          ((col("n") * col("x") - col("s1")) *
+           (col("n") * col("x") - col("s1")) >
+            lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")) &&
+           col("n") * col("x") > col("s1")).as("is_spike"))
+        .orderBy("event_id")
+    }),
     "window_rolling_slope" -> ((s, d) => {
       // W25: rolling 7-event OLS slope of value vs time per event
       // type — the windowed trend detector. Time is MINUTES since a
@@ -838,6 +864,23 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "anomaly_rolling_zscore" ->
+      """WITH v AS (
+        |  SELECT event_id, event_type, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |f AS (
+        |  SELECT event_id, event_type, x,
+        |    count(*) OVER w AS n,
+        |    sum(x) OVER w AS s1,
+        |    sum(x * x) OVER w AS s2
+        |  FROM v
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+        |               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, event_type, x, n,
+        |  ((n * x - s1) * (n * x - s1) > 4 * (n * s2 - s1 * s1)
+        |   AND n * x > s1) AS is_spike
+        |FROM f WHERE n >= 5 ORDER BY event_id""".stripMargin,
     "window_rolling_slope" ->
       """WITH v AS (
         |  SELECT event_id, event_type, ts,

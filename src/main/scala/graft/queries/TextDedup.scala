@@ -344,6 +344,31 @@ object TextDedup {
             .as("keep"))
         .orderBy("doc_id")
     }),
+    "text_readability_fk" -> ((s, d) => {
+      // T19: Flesch–Kincaid grade estimate — the readability control
+      // knob for curriculum/quality binning. Words and sentences from
+      // the shared engine-portable splits; syllables approximated by
+      // vowel-group runs (the standard regex proxy). All three counts
+      // are exact integers; the grade is ONE shaped double expression
+      // fixed-pointed e3. Map-side projection, zero shuffle.
+      val words = size(tokens(col("text"))).cast("long")
+      val sents = size(filter(split(col("text"), "[.!?] +"),
+        x => length(x) > 0)).cast("long")
+      val syll = size(regexp_extract_all(col("text"),
+        lit("[aeiouyAEIOUY]+"), lit(0))).cast("long")
+      t(s, d, "documents")
+        .select(col("doc_id"), words.as("n_words"), sents.as("n_sents"),
+          syll.as("n_syll"))
+        .select(col("doc_id"), col("n_words"), col("n_sents"),
+          col("n_syll"),
+          round(lit(1000.0) *
+            (lit(0.39) * col("n_words").cast("double")
+               / col("n_sents").cast("double") +
+             lit(11.8) * col("n_syll").cast("double")
+               / col("n_words").cast("double") - lit(15.59)), 0)
+            .cast("long").as("fk_grade_fp_e3"))
+        .orderBy("doc_id")
+    }),
     "dedup_incremental" -> ((s, d) => {
       // C7: incremental ingestion dedup — new documents checked
       // against the ALREADY-INGESTED corpus's fingerprint set, never
@@ -1009,6 +1034,21 @@ object TextDedup {
         |  CAST(len(kept) AS INT) AS n_kept,
         |  md5(array_to_string(kept, ' ')) AS norm_md5
         |FROM n ORDER BY doc_id""".stripMargin,
+    "text_readability_fk" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(regexp_split_to_array(text, '[.!?] +'),
+        |                         x -> length(x) > 0)) AS BIGINT) AS n_sents,
+        |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+        |      AS BIGINT) AS n_syll
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sents, n_syll,
+        |  CAST(round(1000.0 *
+        |    (0.39 * CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE) +
+        |     11.8 * CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |     - 15.59)) AS BIGINT) AS fk_grade_fp_e3
+        |FROM m ORDER BY doc_id""".stripMargin,
     "dedup_incremental" ->
       """WITH prior AS (
         |  SELECT DISTINCT md5(lower(trim(text))) AS fp
