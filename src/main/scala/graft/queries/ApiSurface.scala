@@ -76,6 +76,48 @@ object ApiSurface {
           |GROUP BY supp_nation, cust_nation, l_year
           |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
     }),
+    "sql_tpch_q8" -> ((s, d) => {
+      // TPC-H Q8 (national market share): the deepest join tree in the
+      // suite — 8 relations, nation twice (customer-region gate vs
+      // supplier-nation attribution), two scan-pruned filters (region
+      // name, part type) that Catalyst pushes before any join, and a
+      // conditional-share aggregate per year. Numerator and
+      // denominator are the SAME exact decimal sum expression, so the
+      // double division is engine-identical.
+      t(s, d, "part").createOrReplaceTempView("q8_part")
+      t(s, d, "supplier").createOrReplaceTempView("q8_supplier")
+      t(s, d, "lineitem").createOrReplaceTempView("q8_lineitem")
+      t(s, d, "orders").createOrReplaceTempView("q8_orders")
+      t(s, d, "customer").createOrReplaceTempView("q8_customer")
+      t(s, d, "nation").createOrReplaceTempView("q8_nation")
+      t(s, d, "region").createOrReplaceTempView("q8_region")
+      s.sql(
+        """SELECT o_year,
+          |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+          |           ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+          |    / CAST(sum(volume) AS DOUBLE) AS mkt_share
+          |FROM (
+          |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |    CAST(l_extendedprice AS DECIMAL(12,2))
+          |      * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS volume,
+          |    n2.n_name AS nation
+          |  FROM q8_part, q8_supplier, q8_lineitem, q8_orders,
+          |       q8_customer, q8_nation n1, q8_nation n2, q8_region
+          |  WHERE p_partkey = l_partkey
+          |    AND s_suppkey = l_suppkey
+          |    AND l_orderkey = o_orderkey
+          |    AND o_custkey = c_custkey
+          |    AND c_nationkey = n1.n_nationkey
+          |    AND n1.n_regionkey = r_regionkey
+          |    AND r_name = 'AMERICA'
+          |    AND s_nationkey = n2.n_nationkey
+          |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          |    AND p_type = 'ECONOMY'
+          |) all_nations
+          |GROUP BY o_year
+          |ORDER BY o_year""".stripMargin)
+    }),
     "sql_tpch_q18" -> ((s, d) => {
       // TPC-H Q18 (large-volume customers): HAVING-filtered IN
       // subquery over the fact table itself + 3-way join + top-100.
@@ -271,6 +313,32 @@ object ApiSurface {
         |) shipping
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "sql_tpch_q8" ->
+      """SELECT o_year,
+        |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume
+        |           ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * CAST(1.0 - l_discount AS DECIMAL(4,2)) AS volume,
+        |    n2.n_name AS nation
+        |  FROM part, supplier, lineitem, orders, customer,
+        |       nation n1, nation n2, region
+        |  WHERE p_partkey = l_partkey
+        |    AND s_suppkey = l_suppkey
+        |    AND l_orderkey = o_orderkey
+        |    AND o_custkey = c_custkey
+        |    AND c_nationkey = n1.n_nationkey
+        |    AND n1.n_regionkey = r_regionkey
+        |    AND r_name = 'AMERICA'
+        |    AND s_nationkey = n2.n_nationkey
+        |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        |    AND p_type = 'ECONOMY'
+        |) all_nations
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
     "sql_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty

@@ -283,6 +283,36 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "entity_resolution_e2e" -> ((s, d) => {
+      // C8: end-to-end entity resolution — the three-stage composition
+      // every record-linkage pipeline runs, each stage an operator
+      // already in the catalog: (1) BLOCK on (brand, size) so the
+      // candidate space is Σ|block|² instead of n²; (2) SCORE block
+      // pairs with the native Damerau–Levenshtein (≤ 2 edits =
+      // same entity — typo-class matching); (3) CLUSTER matches with
+      // Components.connected (hash-min propagation) and canonicalize
+      // to the min part key. Singletons (no match edge) keep
+      // themselves as canonical via the left join + coalesce.
+      graft.functions.expressions.DamerauLevenshtein.register(s)
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_name"))
+      val pairs = p.as("a")
+        .join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_size") === col("b.p_size") &&
+          col("a.p_partkey") < col("b.p_partkey") &&
+          call_function("graft_damerau_levenshtein",
+            col("a.p_name"), col("b.p_name")) <= 2)
+        .select(col("a.p_partkey").as("x"), col("b.p_partkey").as("y"))
+      val clusters = graft.operators.Components.connected(pairs, "x", "y")
+      p.join(clusters.select(col("node").as("p_partkey"),
+              col("component")), Seq("p_partkey"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("component"), col("p_partkey"))
+            .as("canonical_key"))
+        .orderBy("p_partkey")
+    }),
     "anomaly_rolling_zscore" -> ((s, d) => {
       // A36: streaming-shaped anomaly detection — each event scored
       // against the PRECEDING 20 events of its type (never itself:
@@ -864,6 +894,27 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "entity_resolution_e2e" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT p_partkey, p_brand, p_size, p_name FROM part),
+        |pairs AS (
+        |  SELECT a.p_partkey AS x, b.p_partkey AS y
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |   AND a.p_partkey < b.p_partkey
+        |   AND damerau_levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (SELECT x AS a, y AS b FROM pairs
+        |          UNION SELECT y, x FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+        |cl AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
+        |SELECT p.p_partkey,
+        |  CAST(coalesce(cl.component, p.p_partkey) AS BIGINT)
+        |    AS canonical_key
+        |FROM p LEFT JOIN cl ON p.p_partkey = cl.node
+        |ORDER BY p.p_partkey""".stripMargin,
     "anomaly_rolling_zscore" ->
       """WITH v AS (
         |  SELECT event_id, event_type, ts,

@@ -34,6 +34,35 @@ class OperationalSpec extends SparkSpec {
     assert(plain.columns.length <= 3)
   }
 
+  test("ignoreCorruptFiles: a truncated parquet survives the scan as a " +
+       "documented data loss instead of killing the job") {
+    val dir = java.nio.file.Files.createTempDirectory("corrupt").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(1).write.mode("append").parquet(dir)
+    // a half-written file (crashed writer, partial upload): bytes that
+    // start like parquet but have no footer
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-corrupt.parquet"),
+      "PAR1garbage-no-footer".getBytes("UTF-8"))
+    // default: the job FAILS — corruption is loud
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+    // opted in: the good files' rows survive, the bad file is skipped
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try {
+      val got = spark.read.parquet(dir).select("id")
+        .as[Long].collect().sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", v)
+        case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+      }
+    }
+  }
+
   test("dynamic partition overwrite replaces ONLY the partitions in " +
        "the incoming batch — the incremental-backfill write mode") {
     val dir = java.nio.file.Files.createTempDirectory("dynpart").toString
