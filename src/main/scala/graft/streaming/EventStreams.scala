@@ -152,6 +152,36 @@ object EventStreams {
         col("purchase_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** FULL OUTER stream-stream interval join — completes the join-mode
+    * matrix (inner / left-outer / full-outer): clicks with no
+    * purchase AND purchases with no click both survive with nulls on
+    * the missing side (the reconciliation query: "what failed to
+    * match, in either direction"). Outer rows on each side emit only
+    * once that side's watermark proves no match can still arrive;
+    * the two-sided time bound keeps state horizon-bounded exactly as
+    * in [[intervalJoin]].
+    */
+  def intervalJoinFullOuter(clicks: DataFrame, purchases: DataFrame,
+                            maxDelay: String = "5 minutes",
+                            horizon: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", horizon)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", horizon)
+    c.join(p, expr(
+        s"""c_user_id = p_user_id AND
+           |purchase_ts >= click_ts AND
+           |purchase_ts <= click_ts + interval $maxDelay""".stripMargin),
+        "full_outer")
+      .select(coalesce(col("c_user_id"), col("p_user_id")).as("user_id"),
+        col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming heavy hitters with BOUNDED state: Misra–Gries sketches
     * in `flatMapGroupsWithState`, one sketch per hash shard. State is
     * O(shards × capacity) regardless of vocabulary size — the naive

@@ -266,6 +266,59 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinFullOuter emits unmatched rows from BOTH sides " +
+       "once watermarks finalize them") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventStreams.intervalJoinFullOuter(cdf, pdf).writeStream
+      .format("memory").queryName("foj_test").outputMode("append").start()
+    try {
+      // user 1 matches; user 2 clicks and never buys; user 3 buys with
+      // no click — the reconciliation must surface all three
+      clicks.addData((1L, ts(0), 100L), (2L, ts(0), 101L))
+      purchases.addData((1L, ts(3), 200L), (3L, ts(2), 201L))
+      q.processAllAvailable()
+      clicks.addData((9L, ts(600), 900L))
+      purchases.addData((9L, ts(600), 901L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, click_id, purchase_id FROM foj_test " +
+        "WHERE user_id <= 3 ORDER BY user_id")
+        .as[(Long, Option[Long], Option[Long])].collect().toSeq
+      assert(got === Seq((1L, Some(100L), Some(200L)),
+        (2L, Some(101L), None), (3L, None, Some(201L))))
+    } finally q.stop()
+  }
+
+  test("late events beyond the watermark are DROPPED and the drop is " +
+       "observable in the query's state-operator metrics") {
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(df).writeStream
+      .format("memory").queryName("late_test").outputMode("update").start()
+    try {
+      // watermark = max(ts) - 2h; an event 3h older than the max is late
+      input.addData((ts(300), "click", 1.0))
+      q.processAllAvailable()
+      input.addData((ts(60), "click", 1.0)) // 4h behind → beyond watermark
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped >= 1,
+        s"late row must be dropped AND counted; progress: ${q.lastProgress}")
+      // and it must not have contaminated the aggregate
+      val hours = spark.sql(
+        "SELECT window_start FROM late_test").as[Timestamp].collect().toSet
+      assert(!hours.contains(Timestamp.valueOf("2024-01-01 01:00:00")),
+        "the late event's window must not appear")
+    } finally q.stop()
+  }
+
   test("streamingHeavyHitters keeps bounded MG state per shard and its " +
        "emissions cover every frequent word across triggers") {
     implicit val sq = spark.sqlContext
