@@ -283,6 +283,51 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "stats_survival_nelson_aalen" -> ((s, d) => {
+      // A37: survival analysis — Nelson–Aalen cumulative hazard of
+      // signup→first-purchase conversion, with users who never buy
+      // RIGHT-CENSORED at their last observed event (dropping them
+      // would bias conversion fast; survival machinery exists exactly
+      // to keep them). Per-user times from one user-partitioned
+      // window pass; the risk table is distinct-time-sized, so its
+      // unpartitioned windows are tiny at any data scale. Each
+      // hazard increment d/n is fixed-pointed e6 BEFORE the ordered
+      // cumsum — integer arithmetic end to end (the charlm recipe;
+      // the KM product would need the same trick in log space).
+      val byU = Window.partitionBy(col("user_id"))
+      val ev = Tables.events(s, d)
+        .withColumn("signup",
+          min(when(col("event_type") === "signup", col("ts"))).over(byU))
+        .withColumn("death",
+          min(when(col("event_type") === "purchase" &&
+                   col("ts") >= col("signup"), col("ts"))).over(byU))
+        .withColumn("lastts", max(col("ts")).over(byU))
+      val users = ev.where(col("signup").isNotNull)
+        .select(col("user_id"), col("signup"), col("death"), col("lastts"))
+        .distinct()
+        .select(col("user_id"),
+          floor((unix_timestamp(coalesce(col("death"), col("lastts")))
+            - unix_timestamp(col("signup"))).cast("double") / 60.0)
+            .cast("long").as("t_min"),
+          col("death").isNotNull.as("event"))
+      val times = users.groupBy(col("t_min"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("event"), 1L).otherwise(0L)).as("d"))
+      val wOrd = Window.orderBy(col("t_min"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("t_min"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      times
+        .withColumn("n_risk",
+          sum(col("cnt")).over(wAll) - sum(col("cnt")).over(wOrd) + col("cnt"))
+        .where(col("d") > 0)
+        .withColumn("term",
+          round(lit(1000000.0) * col("d").cast("double")
+            / col("n_risk").cast("double"), 0).cast("long"))
+        .withColumn("cumhaz_fp_e6", sum(col("term")).over(wOrd))
+        .select(col("t_min"), col("n_risk"), col("d"), col("cumhaz_fp_e6"))
+        .orderBy("t_min")
+    }),
     "entity_resolution_e2e" -> ((s, d) => {
       // C8: end-to-end entity resolution — the three-stage composition
       // every record-linkage pipeline runs, each stage an operator
@@ -894,6 +939,43 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stats_survival_nelson_aalen" ->
+      """WITH s1 AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS signup,
+        |    max(ts) AS lastts
+        |  FROM events GROUP BY 1),
+        |d1 AS (
+        |  SELECT e.user_id, min(e.ts) AS death
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s1.signup
+        |  GROUP BY 1),
+        |users AS (
+        |  SELECT s1.user_id,
+        |    CAST(floor((floor(epoch(coalesce(death, lastts)))
+        |                - floor(epoch(signup))) / 60.0) AS BIGINT) AS t_min,
+        |    death IS NOT NULL AS event
+        |  FROM s1 LEFT JOIN d1 ON s1.user_id = d1.user_id
+        |  WHERE signup IS NOT NULL),
+        |times AS (
+        |  SELECT t_min, count(*) AS cnt,
+        |    sum(CASE WHEN event THEN 1 ELSE 0 END) AS d
+        |  FROM users GROUP BY 1),
+        |r AS (
+        |  SELECT t_min, d,
+        |    sum(cnt) OVER () - sum(cnt) OVER
+        |      (ORDER BY t_min ROWS UNBOUNDED PRECEDING) + cnt AS n_risk
+        |  FROM times),
+        |f AS (
+        |  SELECT t_min, n_risk, d,
+        |    CAST(round(1000000.0 * CAST(d AS DOUBLE)
+        |      / CAST(n_risk AS DOUBLE)) AS BIGINT) AS term
+        |  FROM r WHERE d > 0)
+        |SELECT t_min, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS d,
+        |  CAST(sum(term) OVER (ORDER BY t_min ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cumhaz_fp_e6
+        |FROM f ORDER BY t_min""".stripMargin,
     "entity_resolution_e2e" ->
       """WITH RECURSIVE p AS (
         |  SELECT p_partkey, p_brand, p_size, p_name FROM part),
