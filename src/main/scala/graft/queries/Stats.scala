@@ -283,6 +283,58 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "stats_two_proportion_z" -> ((s, d) => {
+      // A38: two-proportion z-test — the A/B-test readout: does each
+      // market segment's URGENT-order rate differ from the pooled
+      // rest? Counts are exact; the pooled-variance z statistic is
+      // ONE shaped double expression over five integers, emitted
+      // fixed-point e6. The "rest" side is this-segment subtracted
+      // from 1-row broadcast totals — no second scan.
+      val o = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("hit"))
+      val seg = o.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n1"), sum(col("hit")).as("x1"))
+      val tot = o.agg(count(lit(1)).as("nt"), sum(col("hit")).as("xt"))
+      seg.crossJoin(tot)
+        .select(col("c_mktsegment"), col("n1"), col("x1"),
+          (col("nt") - col("n1")).as("n2"),
+          (col("xt") - col("x1")).as("x2"))
+        .select(col("c_mktsegment"), col("n1"), col("x1"), col("n2"),
+          col("x2"),
+          round(lit(1000000.0) *
+            (col("x1").cast("double") / col("n1").cast("double")
+              - col("x2").cast("double") / col("n2").cast("double")) /
+            sqrt((col("x1") + col("x2")).cast("double")
+                   / (col("n1") + col("n2")).cast("double")
+                 * (lit(1.0) - (col("x1") + col("x2")).cast("double")
+                     / (col("n1") + col("n2")).cast("double"))
+                 * (lit(1.0) / col("n1").cast("double")
+                    + lit(1.0) / col("n2").cast("double"))),
+            0).cast("long").as("z_fp_e6"))
+        .orderBy("c_mktsegment")
+    }),
+    "integrity_partition_checksums" -> ((s, d) => {
+      // P13: order-independent content fingerprints per source — the
+      // replication/migration integrity check: XOR of per-row 60-bit
+      // md5 hashes is invariant to row order and partitioning, so two
+      // copies of a dataset compare by k tiny rows instead of a
+      // row-level diff. Rows hash over (id | content) so duplicate
+      // content can't XOR-cancel in pairs. One scan, one aggregate.
+      import graft.functions.TextFns.hash60
+      t(s, d, "documents")
+        .select(col("source"),
+          hash60(concat(col("doc_id").cast("string"), lit("|"),
+            col("text"))).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("content_xor"))
+        .orderBy("source")
+    }),
     "stats_survival_nelson_aalen" -> ((s, d) => {
       // A37: survival analysis — Nelson–Aalen cumulative hazard of
       // signup→first-purchase conversion, with users who never buy
@@ -939,6 +991,39 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stats_two_proportion_z" ->
+      """WITH o AS (
+        |  SELECT c_mktsegment,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |      AS hit
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |seg AS (
+        |  SELECT c_mktsegment, count(*) AS n1,
+        |    CAST(sum(hit) AS BIGINT) AS x1
+        |  FROM o GROUP BY 1),
+        |tot AS (SELECT count(*) AS nt, CAST(sum(hit) AS BIGINT) AS xt
+        |        FROM o)
+        |SELECT c_mktsegment, n1, x1,
+        |  CAST(nt - n1 AS BIGINT) AS n2,
+        |  CAST(xt - x1 AS BIGINT) AS x2,
+        |  CAST(round(1000000.0 *
+        |    (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+        |      - CAST(xt - x1 AS DOUBLE) / CAST(nt - n1 AS DOUBLE)) /
+        |    sqrt(CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE)
+        |         * (1.0 - CAST(xt AS DOUBLE) / CAST(nt AS DOUBLE))
+        |         * (1.0 / CAST(n1 AS DOUBLE)
+        |            + 1.0 / CAST(nt - n1 AS DOUBLE)))) AS BIGINT)
+        |    AS z_fp_e6
+        |FROM seg, tot ORDER BY c_mktsegment""".stripMargin,
+    "integrity_partition_checksums" ->
+      """WITH h AS (
+        |  SELECT source,
+        |    CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+        |      '|', text)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n_rows,
+        |  CAST(bit_xor(h) AS BIGINT) AS content_xor
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
     "stats_survival_nelson_aalen" ->
       """WITH s1 AS (
         |  SELECT user_id,
