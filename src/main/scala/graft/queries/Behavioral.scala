@@ -118,6 +118,36 @@ object Behavioral {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_index")
     }),
+    "events_bounce_rate" -> ((s, d) => {
+      // B7: daily bounce rate — share of sessions (30-minute-gap
+      // islands, the events_sessionize semantics) containing exactly
+      // one event, keyed by the day the session STARTED. One user
+      // exchange builds sessions (lag + running island id over the
+      // same sort), the session frame is session-count-sized, and
+      // the rate is one shaped division fixed-pointed e6.
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("gap_s",
+          unix_timestamp(col("ts"))
+            - unix_timestamp(lag(col("ts"), 1).over(wU)))
+        .withColumn("ns",
+          when(col("gap_s").isNull || col("gap_s") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("ns")).over(
+          wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"))
+      sess.groupBy(col("start_ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+            .as("n_bounced"))
+        .select(col("day"), col("n_sessions"), col("n_bounced"),
+          round(lit(1000000.0) * col("n_bounced").cast("double")
+            / col("n_sessions").cast("double"), 0).cast("long")
+            .as("bounce_fp_e6"))
+        .orderBy("day")
+    }),
     "cohort_ltv_cumulative" -> ((s, d) => {
       // B6: cohort LTV matrix — cumulative purchase revenue per
       // first-event-week cohort at each week offset, the
@@ -279,6 +309,34 @@ object Behavioral {
          |       CAST(wsum_cents AS DOUBLE) / CAST(total_dur_us AS DOUBLE)
          |         / 100.0 AS time_weighted_value
          |FROM g ORDER BY 1""".stripMargin,
+    "events_bounce_rate" ->
+      s"""WITH $evSql,
+         |g AS (
+         |  SELECT user_id, ts, event_id,
+         |    CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+         |        (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+         |      OR lag(ts) OVER (PARTITION BY user_id
+         |                       ORDER BY ts, event_id) IS NULL
+         |    THEN 1 ELSE 0 END AS ns
+         |  FROM ev),
+         |s AS (
+         |  SELECT user_id,
+         |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                  ROWS UNBOUNDED PRECEDING) AS sid,
+         |    ts
+         |  FROM g),
+         |sess AS (
+         |  SELECT user_id, sid, count(*) AS n_events,
+         |    min(ts) AS start_ts
+         |  FROM s GROUP BY 1, 2)
+         |SELECT CAST(start_ts AS DATE) AS day,
+         |  count(*) AS n_sessions,
+         |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_bounced,
+         |  CAST(round(1000000.0 *
+         |    CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS bounce_fp_e6
+         |FROM sess GROUP BY 1 ORDER BY 1""".stripMargin,
     "cohort_ltv_cumulative" ->
       s"""WITH $evSql,
          |x AS (SELECT user_id, event_type, value,

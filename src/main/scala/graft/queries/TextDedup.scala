@@ -344,6 +344,40 @@ object TextDedup {
             .as("keep"))
         .orderBy("doc_id")
     }),
+    "text_novelty_ngrams" -> ((s, d) => {
+      // T20: n-gram novelty — per document, the fraction of its word
+      // trigram TYPES that occur in NO other document (the
+      // memorization/novelty axis: boilerplate scores ~0, unique
+      // prose ~1). Same one-explode discipline as tfidf: the (doc,
+      // gram) type frame is materialized once and feeds both the
+      // document-frequency aggregate and the per-doc rollup; df is
+      // vocabulary-sized and re-joins broadcast-style. Exact integer
+      // counts; the fraction is one shaped division fixed-pointed e6.
+      val w = tokens(col("text"))
+      val grams = when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", slice(w, i, lit(3)))))
+        .otherwise(array().cast("array<string>"))
+      val dg = t(s, d, "documents")
+        .select(col("doc_id"), explode(grams).as("g"))
+        .distinct() // gram TYPES per doc
+        .localCheckpoint() // feeds df AND the per-doc rollup
+      val df = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val perDoc = dg.join(df, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_types"), lit(0L)).as("n_types"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          when(col("n_types").isNotNull,
+            round(lit(1000000.0) * col("n_novel").cast("double")
+              / col("n_types").cast("double"), 0).cast("long"))
+            .as("novelty_fp_e6"))
+        .orderBy("doc_id")
+    }),
     "text_readability_fk" -> ((s, d) => {
       // T19: Flesch–Kincaid grade estimate — the readability control
       // knob for curriculum/quality binning. Words and sentences from
@@ -1034,6 +1068,27 @@ object TextDedup {
         |  CAST(len(kept) AS INT) AS n_kept,
         |  md5(array_to_string(kept, ' ')) AS norm_md5
         |FROM n ORDER BY doc_id""".stripMargin,
+    "text_novelty_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |dg AS (
+        |  SELECT DISTINCT doc_id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM w, UNNEST(range(1, len(ws) - 1)) AS u(i)),
+        |df AS (SELECT g, count(*) AS df FROM dg GROUP BY 1),
+        |p AS (
+        |  SELECT doc_id, count(*) AS n_types,
+        |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM dg JOIN df ON dg.g = df.g GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_types, 0) AS BIGINT) AS n_types,
+        |  CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+        |  CASE WHEN n_types IS NOT NULL
+        |    THEN CAST(round(1000000.0 * CAST(n_novel AS DOUBLE)
+        |      / CAST(n_types AS DOUBLE)) AS BIGINT) END AS novelty_fp_e6
+        |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "text_readability_fk" ->
       """WITH m AS (
         |  SELECT doc_id,
