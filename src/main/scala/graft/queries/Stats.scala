@@ -283,6 +283,39 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "abc_pareto_classes" -> ((s, d) => {
+      // A39: ABC/Pareto classification — customers ranked by revenue,
+      // classed A/B/C at 70%/90% cumulative share. The class test is
+      // CROSS-MULTIPLIED integer arithmetic (cum·100 ≤ 70·total on
+      // exact cents — the zscore-exact trick applied to running
+      // shares), so boundaries cannot drift between engines. One
+      // customer-sized window after the revenue aggregate; per-class
+      // rollup emits counts and share fixed-point e6.
+      val rev = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"))
+      val wCum = Window.orderBy(col("cents").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy(col("cents").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      rev
+        .withColumn("cum", sum(col("cents")).over(wCum))
+        .withColumn("total", sum(col("cents")).over(wAll))
+        .withColumn("cls",
+          when(col("cum") * 100 <= col("total") * 70, "A")
+            .when(col("cum") * 100 <= col("total") * 90, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("class_cents"),
+          max(col("total")).as("total_cents"))
+        .select(col("cls"), col("n_customers"), col("class_cents"),
+          round(lit(1000000.0) * col("class_cents").cast("double")
+            / col("total_cents").cast("double"), 0).cast("long")
+            .as("share_fp_e6"))
+        .orderBy("cls")
+    }),
     "stats_two_proportion_z" -> ((s, d) => {
       // A38: two-proportion z-test — the A/B-test readout: does each
       // market segment's URGENT-order rate differ from the pooled
@@ -991,6 +1024,29 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "abc_pareto_classes" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT o_custkey, cents,
+        |    sum(cents) OVER (ORDER BY cents DESC, o_custkey
+        |                     ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(cents) OVER () AS total
+        |  FROM rev),
+        |k AS (
+        |  SELECT cents, total,
+        |    CASE WHEN cum * 100 <= total * 70 THEN 'A'
+        |         WHEN cum * 100 <= total * 90 THEN 'B'
+        |         ELSE 'C' END AS cls
+        |  FROM c)
+        |SELECT cls, count(*) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS class_cents,
+        |  CAST(round(1000000.0 * CAST(sum(cents) AS DOUBLE)
+        |    / CAST(max(total) AS DOUBLE)) AS BIGINT) AS share_fp_e6
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "stats_two_proportion_z" ->
       """WITH o AS (
         |  SELECT c_mktsegment,
