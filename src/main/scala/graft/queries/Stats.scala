@@ -283,6 +283,57 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "rfm_segments" -> ((s, d) => {
+      // A40: RFM segmentation — the classic CRM triad: Recency (last
+      // order date), Frequency (order count), Monetary (exact cent
+      // total) per customer, each cut into quintiles by ntile over a
+      // TOTAL order (value, then custkey — ntile needs the total
+      // order or engines tie-break differently), concatenated into
+      // the familiar 3-digit segment code. Three window passes over
+      // the same customer-sized aggregate; rollup by segment.
+      val per = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_dt"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long"))
+            .as("cents"))
+      val wR = Window.orderBy(col("last_dt"), col("o_custkey"))
+      val wF = Window.orderBy(col("freq"), col("o_custkey"))
+      val wM = Window.orderBy(col("cents"), col("o_custkey"))
+      per
+        .withColumn("r", ntile(5).over(wR))
+        .withColumn("f", ntile(5).over(wF))
+        .withColumn("m", ntile(5).over(wM))
+        .withColumn("segment",
+          concat(col("r").cast("string"), col("f").cast("string"),
+            col("m").cast("string")))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("segment_cents"))
+        .orderBy("segment")
+    }),
+    "corpus_vocab_stats" -> ((s, d) => {
+      // T21: corpus vocabulary profile — token count, vocabulary
+      // size, hapax legomena (frequency-1 types: the Heaps'-law
+      // leading edge and the OOV-rate driver for tokenizer design),
+      // and the type-token ratio. One explode, one token-key
+      // aggregate, one roll-up row; ratios fixed-point e6.
+      val tf = t(s, d, "documents")
+        .select(explode(graft.functions.TextFns.tokens(col("text")))
+          .as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      tf.agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("n_tokens"), col("n_types"), col("n_hapax"),
+          round(lit(1000000.0) * col("n_types").cast("double")
+            / col("n_tokens").cast("double"), 0).cast("long")
+            .as("ttr_fp_e6"),
+          round(lit(1000000.0) * col("n_hapax").cast("double")
+            / col("n_types").cast("double"), 0).cast("long")
+            .as("hapax_frac_fp_e6"))
+    }),
     "abc_pareto_classes" -> ((s, d) => {
       // A39: ABC/Pareto classification — customers ranked by revenue,
       // classed A/B/C at 70%/90% cumulative share. The class test is
@@ -1024,6 +1075,39 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_dt,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |q AS (
+        |  SELECT cents,
+        |    ntile(5) OVER (ORDER BY last_dt, o_custkey) AS r,
+        |    ntile(5) OVER (ORDER BY freq, o_custkey) AS f,
+        |    ntile(5) OVER (ORDER BY cents, o_custkey) AS m
+        |  FROM per)
+        |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR)
+        |    || CAST(m AS VARCHAR) AS segment,
+        |  count(*) AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS segment_cents
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+    "corpus_vocab_stats" ->
+      """WITH tf AS (
+        |  SELECT t.tok, count(*) AS c
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        |  GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(round(1000000.0 * CAST(count(*) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE)) AS BIGINT) AS ttr_fp_e6,
+        |  CAST(round(1000000.0 *
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS hapax_frac_fp_e6
+        |FROM tf""".stripMargin,
     "abc_pareto_classes" ->
       """WITH rev AS (
         |  SELECT o_custkey,
