@@ -344,6 +344,29 @@ object TextDedup {
             .as("keep"))
         .orderBy("doc_id")
     }),
+    "tokenizer_fertility_by_lang" -> ((s, d) => {
+      // T22: tokenizer fertility per language — BPE-ish tokens per
+      // whitespace word, the metric that exposes which languages a
+      // tokenizer fragments (fertility ≫ 1 ⇒ that language pays more
+      // compute per word and the mixture is silently skewed). Sums
+      // are exact integers from the native one-pass graft_token_count;
+      // fertility is one shaped division fixed-pointed e6. One scan,
+      // one language-key aggregate.
+      graft.functions.expressions.TokenCount.register(s)
+      t(s, d, "documents")
+        .select(col("lang"),
+          expr("graft_token_count(text)").cast("long").as("bpe"),
+          size(tokens(col("text"))).cast("long").as("ws"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("bpe")).as("bpe_tokens"),
+          sum(col("ws")).as("ws_tokens"))
+        .select(col("lang"), col("n_docs"), col("bpe_tokens"),
+          col("ws_tokens"),
+          round(lit(1000000.0) * col("bpe_tokens").cast("double")
+            / col("ws_tokens").cast("double"), 0).cast("long")
+            .as("fertility_fp_e6"))
+        .orderBy("lang")
+    }),
     "text_novelty_ngrams" -> ((s, d) => {
       // T20: n-gram novelty — per document, the fraction of its word
       // trigram TYPES that occur in NO other document (the
@@ -1068,6 +1091,19 @@ object TextDedup {
         |  CAST(len(kept) AS INT) AS n_kept,
         |  md5(array_to_string(kept, ' ')) AS norm_md5
         |FROM n ORDER BY doc_id""".stripMargin,
+    "tokenizer_fertility_by_lang" ->
+      """WITH m AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(text,
+        |      ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS BIGINT) AS bpe,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ws
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(round(1000000.0 * CAST(sum(bpe) AS DOUBLE)
+        |    / CAST(sum(ws) AS DOUBLE)) AS BIGINT) AS fertility_fp_e6
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_novelty_ngrams" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
