@@ -283,6 +283,63 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "graph_assortativity" -> ((s, d) => {
+      // G10: degree assortativity — Pearson correlation of endpoint
+      // degrees over UNDIRECTED edges (both orientations, the Newman
+      // 2002 definition): positive = hubs attach to hubs, negative =
+      // hub-and-spoke. Degrees are exact bigints from the shared
+      // Triangles.degrees frame; the five sums feed one shaped double
+      // expression fixed-pointed e6. Degree products stay < 2^63 here
+      // (deg ≤ ~200); DECIMAL(38,0) at power-law scale.
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val raw = pp.as("a")
+        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      val canon = graft.operators.Triangles.orientById(raw).localCheckpoint()
+      val deg = graft.operators.Triangles.degrees(canon).localCheckpoint()
+      val both = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
+      both
+        .join(deg.select(col("node").as("u"), col("deg").as("dx")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dy")), "v")
+        .agg(count(lit(1)).as("m2"), sum(col("dx")).as("sx"),
+          sum(col("dy")).as("sy"), sum(col("dx") * col("dx")).as("sxx"),
+          sum(col("dy") * col("dy")).as("syy"),
+          sum(col("dx") * col("dy")).as("sxy"))
+        .select(col("m2"),
+          round(lit(1000000.0) *
+            (col("m2") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("m2") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("m2") * col("syy") - col("sy") * col("sy")).cast("double")),
+            0).cast("long").as("assortativity_fp_e6"))
+    }),
+    "stats_hhi_concentration" -> ((s, d) => {
+      // A41: Herfindahl–Hirschman concentration of revenue across
+      // customers, per market segment — the market-power screen
+      // (10000·Σ share² in the antitrust convention). Σc² needs
+      // DECIMAL(38,0) (customer cents squared overflow bigint); the
+      // index is one shaped division of exact decimals, fixed-point
+      // e2 to match the 0–10000 convention.
+      import org.apache.spark.sql.types.DecimalType
+      def d38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+      val rev = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("c_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+          .as("cents"))
+      rev.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(d38(col("cents"))).as("s1"),
+          sum(d38(col("cents")) * d38(col("cents"))).as("s2"))
+        .select(col("c_mktsegment"), col("n_customers"),
+          round(lit(100.0) * lit(10000.0) * col("s2").cast("double")
+            / (col("s1") * col("s1")).cast("double"), 0).cast("long")
+            .as("hhi_fp_e2"))
+        .orderBy("c_mktsegment")
+    }),
     "rfm_segments" -> ((s, d) => {
       // A40: RFM segmentation — the classic CRM triad: Recency (last
       // order date), Frequency (order count), Monetary (exact cent
@@ -1075,6 +1132,45 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_assortativity" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |            FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |      FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),
+        |adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT u AS node, count(*) AS deg
+        |        FROM adj GROUP BY 1),
+        |j AS (
+        |  SELECT du.deg AS dx, dv.deg AS dy
+        |  FROM adj JOIN deg du ON adj.u = du.node
+        |           JOIN deg dv ON adj.v = dv.node),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m2,
+        |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |    CAST(sum(dy * dy) AS BIGINT) AS syy,
+        |    CAST(sum(dx * dy) AS BIGINT) AS sxy
+        |  FROM j)
+        |SELECT m2,
+        |  CAST(round(1000000.0 *
+        |    CAST(m2 * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)
+        |         * CAST(m2 * syy - sy * sy AS DOUBLE))) AS BIGINT)
+        |    AS assortativity_fp_e6
+        |FROM a""".stripMargin,
+    "stats_hhi_concentration" ->
+      """WITH rev AS (
+        |  SELECT c_mktsegment, c_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(round(100.0 * 10000.0 *
+        |    CAST(sum(cents * cents) AS DOUBLE)
+        |    / CAST(sum(cents) * sum(cents) AS DOUBLE)) AS BIGINT)
+        |    AS hhi_fp_e2
+        |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin,
     "rfm_segments" ->
       """WITH per AS (
         |  SELECT o_custkey, max(o_orderdate) AS last_dt,
