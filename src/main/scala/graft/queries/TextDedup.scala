@@ -344,6 +344,38 @@ object TextDedup {
             .as("keep"))
         .orderBy("doc_id")
     }),
+    "text_zipf_slope" -> ((s, d) => {
+      // T23: Zipf slope of the token frequency distribution — OLS of
+      // ln(freq) on ln(rank) over the top-1000 types (natural text
+      // sits near −1; generated/templated text drifts). Each ln is
+      // FIXED-POINTED e4 per term before any sum (the charlm recipe —
+      // the only libm calls are per-row, rounded identically by both
+      // engines; e4 keeps n·Σx² inside bigint where e6 would
+      // overflow at n=1000), so the five OLS sums are exact integers
+      // and the slope is one shaped division, fixed-point e6. Ranks
+      // are total (count desc, then token).
+      val tf = t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("tok"))
+      val ranked = tf
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 1000)
+        .select(
+          round(lit(10000.0) * log(col("rk").cast("double")), 0)
+            .cast("long").as("lr"),
+          round(lit(10000.0) * log(col("c").cast("double")), 0)
+            .cast("long").as("lf"))
+      ranked.agg(count(lit(1)).as("n"), sum(col("lr")).as("sx"),
+          sum(col("lf")).as("sy"), sum(col("lr") * col("lr")).as("sxx"),
+          sum(col("lr") * col("lf")).as("sxy"))
+        .select(col("n"),
+          round(lit(1000000.0) *
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            0).cast("long").as("zipf_slope_fp_e6"))
+    }),
     "tokenizer_fertility_by_lang" -> ((s, d) => {
       // T22: tokenizer fertility per language — BPE-ish tokens per
       // whitespace word, the metric that exposes which languages a
@@ -1091,6 +1123,31 @@ object TextDedup {
         |  CAST(len(kept) AS INT) AS n_kept,
         |  md5(array_to_string(kept, ' ')) AS norm_md5
         |FROM n ORDER BY doc_id""".stripMargin,
+    "text_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT t.tok, count(*) AS c
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(round(10000.0 * ln(CAST(rk AS DOUBLE))) AS BIGINT)
+        |           AS lr,
+        |         CAST(round(10000.0 * ln(CAST(c AS DOUBLE))) AS BIGINT)
+        |           AS lf
+        |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+        |        FROM tf)
+        |  WHERE rk <= 1000),
+        |a AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lr) AS BIGINT) AS sx, CAST(sum(lf) AS BIGINT) AS sy,
+        |    CAST(sum(lr * lr) AS BIGINT) AS sxx,
+        |    CAST(sum(lr * lf) AS BIGINT) AS sxy
+        |  FROM r)
+        |SELECT n,
+        |  CAST(round(1000000.0 *
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE)) AS BIGINT)
+        |    AS zipf_slope_fp_e6
+        |FROM a""".stripMargin,
     "tokenizer_fertility_by_lang" ->
       """WITH m AS (
         |  SELECT lang,
