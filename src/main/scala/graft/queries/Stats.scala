@@ -283,6 +283,50 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "seasonality_dow_profile" -> ((s, d) => {
+      // A42: day-of-week seasonality index — each weekday's mean
+      // event value over the global mean (the multiplicative seasonal
+      // factor a forecaster divides out). Means never materialize:
+      // the index is (sum_d · n) / (sum · n_d) evaluated from four
+      // exact integers in one shaped expression, fixed-point e6.
+      // Weekday numbering pinned to ISO (1=Mon..7=Sun) on both
+      // engines.
+      val ev = Tables.events(s, d)
+        .select(dayofweek(col("ts")).as("dow_sun1"),
+          round(col("value") * 100, 0).cast("long").as("x"))
+        // Spark dayofweek: 1=Sunday..7=Saturday → ISO 1=Mon..7=Sun
+        .select(((col("dow_sun1") + 5) % 7 + 1).cast("long").as("dow_iso"),
+          col("x"))
+      val perDow = ev.groupBy(col("dow_iso"))
+        .agg(count(lit(1)).as("nd"), sum(col("x")).as("sd"))
+      val tot = ev.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+      perDow.crossJoin(tot)
+        .select(col("dow_iso"), col("nd"), col("sd"),
+          round(lit(1000000.0) *
+            (col("sd") * col("n")).cast("double")
+            / (col("s") * col("nd")).cast("double"), 0).cast("long")
+            .as("seasonal_idx_fp_e6"))
+        .orderBy("dow_iso")
+    }),
+    "agg_geometric_mean" -> ((s, d) => {
+      // A43: geometric mean of order values per priority — the right
+      // average for multiplicative quantities, absent from both
+      // engines' aggregate sets. exp(mean ln x) with each ln
+      // fixed-pointed e6 per row first (charlm recipe), so the sum is
+      // an exact integer and both engines exponentiate the SAME
+      // rational; emitted as cents fixed-point e2.
+      val lx = round(lit(1000000.0) *
+        log(round(col("o_totalprice") * 100, 0)), 0).cast("long")
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), lx.as("lx"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("lx")).as("slx"))
+        .select(col("o_orderpriority"), col("n"),
+          round(lit(100.0) * exp(col("slx").cast("double")
+            / (lit(1000000.0) * col("n").cast("double"))), 0).cast("long")
+            .as("geo_mean_cents_fp_e2"))
+        .orderBy("o_orderpriority")
+    }),
     "graph_assortativity" -> ((s, d) => {
       // G10: degree assortativity — Pearson correlation of endpoint
       // degrees over UNDIRECTED edges (both orientations, the Newman
@@ -1132,6 +1176,31 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "seasonality_dow_profile" ->
+      """WITH v AS (
+        |  SELECT CAST(isodow(ts) AS BIGINT) AS dow_iso,
+        |    CAST(round(value * 100) AS BIGINT) AS x
+        |  FROM events),
+        |p AS (SELECT dow_iso, count(*) AS nd,
+        |        CAST(sum(x) AS BIGINT) AS sd
+        |      FROM v GROUP BY 1),
+        |t AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s FROM v)
+        |SELECT dow_iso, nd, sd,
+        |  CAST(round(1000000.0 * CAST(sd * n AS DOUBLE)
+        |    / CAST(s * nd AS DOUBLE)) AS BIGINT) AS seasonal_idx_fp_e6
+        |FROM p, t ORDER BY dow_iso""".stripMargin,
+    "agg_geometric_mean" ->
+      """WITH l AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(1000000.0 *
+        |      ln(CAST(round(o_totalprice * 100, 0) AS BIGINT)))
+        |      AS BIGINT) AS lx
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(100.0 * exp(CAST(sum(lx) AS DOUBLE)
+        |    / (1000000.0 * CAST(count(*) AS DOUBLE)))) AS BIGINT)
+        |    AS geo_mean_cents_fp_e2
+        |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_assortativity" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),
