@@ -283,6 +283,44 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "top_movers_mom" -> ((s, d) => {
+      // A44: month-over-month top movers — the 20 parts whose revenue
+      // changed most between two fixed months (the ops-review "what
+      // moved" query). Per-month sums are exact cents; the delta and
+      // its magnitude ordering are pure integers with a total
+      // tiebreak, and FULL OUTER month alignment keeps parts that
+      // traded in only one month (their whole revenue IS the delta).
+      val li = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1996-03-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          (col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+            .as("is_m1"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      li.groupBy(col("l_partkey"))
+        .agg(sum(when(col("is_m1"), col("cents")).otherwise(0L)).as("m1"),
+          sum(when(!col("is_m1"), col("cents")).otherwise(0L)).as("m2"))
+        .select(col("l_partkey"), col("m1"), col("m2"),
+          (col("m2") - col("m1")).as("delta_cents"))
+        .orderBy(abs(col("delta_cents")).desc, col("l_partkey"))
+        .limit(20)
+    }),
+    "dedup_cluster_size_hist" -> ((s, d) => {
+      // C9: dedup observability — the size distribution of EXACT
+      // duplicate clusters (md5-of-normalized-text groups): how much
+      // of the corpus is singletons vs heavy boilerplate clusters.
+      // Two nested aggregates on content-hash keys, both map-side
+      // combinable; the histogram row count is the distinct cluster
+      // sizes, i.e. tiny.
+      val fp = md5(lower(trim(col("text"))))
+      t(s, d, "documents")
+        .select(fp.as("fp"))
+        .groupBy(col("fp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("sz"), col("n_clusters"),
+          (col("sz") * col("n_clusters")).as("n_docs"))
+        .orderBy("sz")
+    }),
     "seasonality_dow_profile" -> ((s, d) => {
       // A42: day-of-week seasonality index — each weekday's mean
       // event value over the global mean (the multiplicative seasonal
@@ -1176,6 +1214,32 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "top_movers_mom" ->
+      """WITH li AS (
+        |  SELECT l_partkey,
+        |    l_shipdate < TIMESTAMP '1996-02-01 00:00:00' AS is_m1,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1996-03-01 00:00:00')
+        |SELECT l_partkey,
+        |  CAST(sum(CASE WHEN is_m1 THEN cents ELSE 0 END) AS BIGINT)
+        |    AS m1,
+        |  CAST(sum(CASE WHEN NOT is_m1 THEN cents ELSE 0 END) AS BIGINT)
+        |    AS m2,
+        |  CAST(sum(CASE WHEN is_m1 THEN -cents ELSE cents END) AS BIGINT)
+        |    AS delta_cents
+        |FROM li GROUP BY 1
+        |ORDER BY abs(CAST(sum(CASE WHEN is_m1 THEN -cents ELSE cents END)
+        |                  AS BIGINT)) DESC, l_partkey
+        |LIMIT 20""".stripMargin,
+    "dedup_cluster_size_hist" ->
+      """WITH c AS (
+        |  SELECT md5(lower(trim(text))) AS fp, count(*) AS sz
+        |  FROM documents GROUP BY 1)
+        |SELECT sz, count(*) AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "seasonality_dow_profile" ->
       """WITH v AS (
         |  SELECT CAST(isodow(ts) AS BIGINT) AS dow_iso,
