@@ -283,6 +283,37 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "stats_crosstype_correlation" -> ((s, d) => {
+      // A45: cross-series correlation matrix — pairwise Pearson of
+      // DAILY event counts between every pair of event types (do
+      // errors co-move with clicks?). The daily grid is
+      // days×types-sized, so the pairwise self-join on day is tiny;
+      // counts are exact integers, five sums per pair, one shaped
+      // expression fixed-pointed e6. Upper triangle only (the matrix
+      // is symmetric and the diagonal is 1 by definition).
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // both sides of the pair join
+      daily.as("a")
+        .join(daily.as("b"),
+          col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("t1"),
+          col("b.event_type").as("t2"))
+        .agg(count(lit(1)).as("nd"), sum(col("a.c")).as("sx"),
+          sum(col("b.c")).as("sy"),
+          sum(col("a.c") * col("a.c")).as("sxx"),
+          sum(col("b.c") * col("b.c")).as("syy"),
+          sum(col("a.c") * col("b.c")).as("sxy"))
+        .select(col("t1"), col("t2"), col("nd"),
+          round(lit(1000000.0) *
+            (col("nd") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("nd") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                 (col("nd") * col("syy") - col("sy") * col("sy")).cast("double")),
+            0).cast("long").as("corr_fp_e6"))
+        .orderBy("t1", "t2")
+    }),
     "top_movers_mom" -> ((s, d) => {
       // A44: month-over-month top movers — the 20 parts whose revenue
       // changed most between two fixed months (the ops-review "what
@@ -1214,6 +1245,29 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stats_crosstype_correlation" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT a.event_type AS t1, b.event_type AS t2,
+        |    a.c AS x, b.c AS y
+        |  FROM daily a JOIN daily b
+        |    ON a.day = b.day AND a.event_type < b.event_type),
+        |s AS (
+        |  SELECT t1, t2, count(*) AS nd,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM j GROUP BY 1, 2)
+        |SELECT t1, t2, nd,
+        |  CAST(round(1000000.0 *
+        |    CAST(nd * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(nd * sxx - sx * sx AS DOUBLE)
+        |         * CAST(nd * syy - sy * sy AS DOUBLE))) AS BIGINT)
+        |    AS corr_fp_e6
+        |FROM s ORDER BY t1, t2""".stripMargin,
     "top_movers_mom" ->
       """WITH li AS (
         |  SELECT l_partkey,
