@@ -118,6 +118,56 @@ object Behavioral {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_index")
     }),
+    "conversion_by_channel" -> ((s, d) => {
+      // B8: conversion rate by acquisition channel — users grouped by
+      // their FIRST event type (the acquisition touch), conversion =
+      // ever purchased. One user exchange derives both facts (first
+      // event via a min-struct aggregate — no window needed — and the
+      // purchase flag via a conditional max) in a single pass; the
+      // per-channel rollup is channel-count-sized. Rate fixed-point
+      // e6 from exact counts.
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("first_ev"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+        .select(col("first_ev.event_type").as("channel"), col("converted"))
+      perUser.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("converted")).as("n_converted"))
+        .select(col("channel"), col("n_users"), col("n_converted"),
+          round(lit(1000000.0) * col("n_converted").cast("double")
+            / col("n_users").cast("double"), 0).cast("long")
+            .as("conv_fp_e6"))
+        .orderBy("channel")
+    }),
+    "engagement_stickiness" -> ((s, d) => {
+      // B9: DAU/MAU stickiness per calendar month — mean daily active
+      // users over monthly active users, the habit-formation metric.
+      // Both cardinalities are exact distinct counts on the (day,
+      // user) grid, which collapses map-side before any distinct
+      // shuffle; the ratio is one shaped division fixed-pointed e6
+      // (avg DAU = Σ per-day DAU / days-in-month-with-traffic).
+      val g = Tables.events(s, d)
+        .select(date_trunc("month", col("ts")).cast("date").as("month"),
+          col("ts").cast("date").as("day"), col("user_id"))
+        .distinct()
+        .localCheckpoint() // feeds the DAU and MAU aggregates
+      val dau = g.groupBy(col("month"), col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      val mau = g.groupBy(col("month"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      dau.join(mau, "month")
+        .select(col("month"), col("n_days"), col("sum_dau"), col("mau"),
+          round(lit(1000000.0) * col("sum_dau").cast("double")
+            / (col("n_days") * col("mau")).cast("double"), 0).cast("long")
+            .as("stickiness_fp_e6"))
+        .orderBy("month")
+    }),
     "events_bounce_rate" -> ((s, d) => {
       // B7: daily bounce rate — share of sessions (30-minute-gap
       // islands, the events_sessionize semantics) containing exactly
@@ -309,6 +359,45 @@ object Behavioral {
          |       CAST(wsum_cents AS DOUBLE) / CAST(total_dur_us AS DOUBLE)
          |         / 100.0 AS time_weighted_value
          |FROM g ORDER BY 1""".stripMargin,
+    "conversion_by_channel" ->
+      s"""WITH $evSql,
+         |f AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS rn
+         |  FROM ev),
+         |conv AS (
+         |  SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS converted
+         |  FROM ev GROUP BY 1),
+         |ch AS (SELECT user_id, event_type AS channel FROM f WHERE rn = 1)
+         |SELECT channel, count(*) AS n_users,
+         |  CAST(sum(converted) AS BIGINT) AS n_converted,
+         |  CAST(round(1000000.0 * CAST(sum(converted) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS conv_fp_e6
+         |FROM ch JOIN conv USING (user_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "engagement_stickiness" ->
+      s"""WITH $evSql,
+         |g AS (
+         |  SELECT DISTINCT CAST(date_trunc('month', ts) AS DATE) AS month,
+         |    CAST(ts AS DATE) AS day, user_id
+         |  FROM ev),
+         |dau AS (
+         |  SELECT month, count(*) AS n_days,
+         |    CAST(sum(dau) AS BIGINT) AS sum_dau
+         |  FROM (SELECT month, day, count(DISTINCT user_id) AS dau
+         |        FROM g GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |mau AS (SELECT month, count(DISTINCT user_id) AS mau
+         |        FROM g GROUP BY 1)
+         |SELECT dau.month, n_days, sum_dau, mau,
+         |  CAST(round(1000000.0 * CAST(sum_dau AS DOUBLE)
+         |    / CAST(n_days * mau AS DOUBLE)) AS BIGINT)
+         |    AS stickiness_fp_e6
+         |FROM dau JOIN mau ON dau.month = mau.month
+         |ORDER BY dau.month""".stripMargin,
     "events_bounce_rate" ->
       s"""WITH $evSql,
          |g AS (
