@@ -180,6 +180,24 @@ object Analytics {
           graft.operators.Triangles.orientById(raw), 3)
         .orderBy("node")
     }),
+    "graph_ktruss" -> ((s, d) => {
+      // G11: 4-truss edges of the co-purchase graph (operators/
+      // KTruss) — edge-level cohesion: every surviving edge closes
+      // ≥ 2 triangles, which kills bridges and stars that the k-core
+      // keeps. Iterative support-peeling has no DuckDB-SQL oracle
+      // (aggregate-in-recursion), so this row is spec-verified
+      // (KTrussSpec: closed forms, cascade case, sequential-reference
+      // agreement, truss⊂core nesting); driver records rows-only.
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val raw = pp.as("a")
+        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      graft.operators.KTruss.edges(
+          graft.operators.Triangles.orientById(raw), 4)
+        .orderBy("u", "v")
+    }),
     "graph_degree_topk" -> ((s, d) => {
       // G6: top-20 hub parts by co-purchase degree (distinct
       // neighbours in the same graph as graph_triangle_count). One
