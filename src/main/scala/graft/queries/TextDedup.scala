@@ -458,6 +458,44 @@ object TextDedup {
             .cast("long").as("fk_grade_fp_e3"))
         .orderBy("doc_id")
     }),
+    "dedup_containment" -> ((s, d) => {
+      // C10: asymmetric containment dedup — ordered pairs where ≥ 90%
+      // of doc a's shingles appear in doc b (a is an EXCERPT of b).
+      // Symmetric Jaccard misses exactly this case: a short quote
+      // inside a long document has tiny Jaccard but full containment.
+      // PPJoin-style prefix prunes only the CONTAINED side (|B| is
+      // unconstrained, so b's full posting list is indexed); the
+      // verify is the native sorted-set merge scan, and the threshold
+      // test is integer cross-multiplication (i·10 ≥ 9·|A| — no
+      // float at the decision boundary).
+      graft.functions.expressions.ShingleHashes.register(s)
+      graft.functions.expressions.SortedLongIntersectSize.register(s)
+      val base = t(s, d, "documents")
+        .select(col("doc_id").as("doc"),
+          expr("graft_shingle_hashes(text, 3)").as("sh"))
+        .withColumn("n", size(col("sh")))
+        .where(col("n") >= 5) // containment of a trivial set is noise
+        .localCheckpoint(false)
+      val prefixLen = (col("n") - ceil(lit(0.9) * col("n")) + 1).cast("int")
+      val aPref = base.select(col("doc").as("a"), col("n").as("na"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("h"))
+      val bAll = base.select(col("doc").as("b"), explode(col("sh")).as("h"))
+      val cands = aPref.join(bAll, "h")
+        .where(col("a") =!= col("b"))
+        .select(col("a"), col("b")).distinct()
+      cands
+        .join(base.select(col("doc").as("a"), col("sh").as("sha"),
+          col("n").as("na")), "a")
+        .join(base.select(col("doc").as("b"), col("sh").as("shb")), "b")
+        .withColumn("i",
+          expr("graft_sorted_long_intersect_size(sha, shb)").cast("long"))
+        .where(col("i") * 10 >= col("na") * 9)
+        .select(col("a"), col("b"), col("i"), col("na").cast("long").as("na"),
+          round(lit(1000000.0) * col("i").cast("double")
+            / col("na").cast("double"), 0).cast("long")
+            .as("containment_fp_e6"))
+        .orderBy("a", "b")
+    }),
     "dedup_incremental" -> ((s, d) => {
       // C7: incremental ingestion dedup — new documents checked
       // against the ALREADY-INGESTED corpus's fingerprint set, never
@@ -1197,6 +1235,23 @@ object TextDedup {
         |     11.8 * CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)
         |     - 15.59)) AS BIGINT) AS fk_grade_fp_e3
         |FROM m ORDER BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $shinglesSql,
+         |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1
+         |       HAVING count(*) >= 5),
+         |inter AS (
+         |  SELECT a.doc AS a, b.doc AS b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc <> b.doc
+         |  GROUP BY 1, 2),
+         |p AS (
+         |  SELECT inter.a, inter.b, i, x.n AS na
+         |  FROM inter JOIN sz x ON inter.a = x.doc
+         |             JOIN sz y ON inter.b = y.doc
+         |  WHERE i * 10 >= x.n * 9)
+         |SELECT a, b, CAST(i AS BIGINT) AS i, CAST(na AS BIGINT) AS na,
+         |  CAST(round(1000000.0 * CAST(i AS DOUBLE) / CAST(na AS DOUBLE))
+         |    AS BIGINT) AS containment_fp_e6
+         |FROM p ORDER BY a, b""".stripMargin,
     "dedup_incremental" ->
       """WITH prior AS (
         |  SELECT DISTINCT md5(lower(trim(text))) AS fp
