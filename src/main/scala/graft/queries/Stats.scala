@@ -283,6 +283,61 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "source_language_mixture" -> ((s, d) => {
+      // P14: per-source language mixture + its Shannon entropy — is a
+      // source monolingual (entropy ~0, safe for single-language
+      // mixture weights) or mixed (route through language ID first)?
+      // Entropy terms are fixed-pointed e6 per (source, lang) cell
+      // BEFORE summing (the char-entropy recipe lifted to group
+      // level), so the per-source sum is exact integer arithmetic.
+      val cell = t(s, d, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      val tot = cell.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      cell.join(tot, "source")
+        .select(col("source"), col("n"),
+          round(lit(1000000.0) * (col("c").cast("double") / col("n").cast("double"))
+            * log(col("n").cast("double") / col("c").cast("double")), 0)
+            .cast("long").as("term"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_docs"), count(lit(1)).as("n_langs"),
+          sum(col("term")).as("mix_entropy_fp_e6"))
+        .orderBy("source")
+    }),
+    "agg_mode" -> ((s, d) => {
+      // A46: mode (most frequent value) per group — absent from both
+      // engines' deterministic aggregate sets (DuckDB's mode() leaves
+      // ties unspecified). Ties broken by SMALLEST value via one
+      // total-order row_number over the (group, value) count frame —
+      // which is value-cardinality-sized, not data-sized.
+      val cnt = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("c").desc, col("q"))
+      cnt.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("l_returnflag"), col("q").as("mode_quantity"),
+          col("c").as("mode_count"))
+        .orderBy("l_returnflag")
+    }),
+    "coverage_docs_embeddings" -> ((s, d) => {
+      // P15: referential-coverage audit between the document and
+      // embedding tables — the pre-join sanity check every multimodal
+      // pipeline needs (train on doc+embedding pairs: how many of
+      // each side would silently drop?). Two anti-join counts + the
+      // matched count, all from one full outer join on the key.
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val embs = t(s, d, "embeddings").select(col("vec_id"))
+      docs.join(embs, col("doc_id") === col("vec_id"), "full_outer")
+        .agg(
+          sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+            .otherwise(0L)).as("n_matched"),
+          sum(when(col("vec_id").isNull, 1L).otherwise(0L))
+            .as("n_docs_without_embedding"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L))
+            .as("n_embeddings_without_doc"))
+    }),
     "stats_crosstype_correlation" -> ((s, d) => {
       // A45: cross-series correlation matrix — pairwise Pearson of
       // DAILY event counts between every pair of event types (do
@@ -1245,6 +1300,45 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "source_language_mixture" ->
+      """WITH cell AS (
+        |  SELECT source, lang, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+        |        FROM cell GROUP BY 1),
+        |t AS (
+        |  SELECT cell.source, n,
+        |    CAST(round(1000000.0 * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(n AS DOUBLE) / CAST(c AS DOUBLE))) AS BIGINT)
+        |      AS term
+        |  FROM cell JOIN tot ON cell.source = tot.source)
+        |SELECT source, max(n) AS n_docs, count(*) AS n_langs,
+        |  CAST(sum(term) AS BIGINT) AS mix_entropy_fp_e6
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, q, c,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY c DESC, q) AS rn
+        |  FROM c)
+        |SELECT l_returnflag, q AS mode_quantity,
+        |  CAST(c AS BIGINT) AS mode_count
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "coverage_docs_embeddings" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN doc_id IS NOT NULL AND vec_id IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(sum(CASE WHEN vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_without_embedding,
+        |  CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_embeddings_without_doc
+        |FROM (SELECT doc_id FROM documents) d
+        |FULL OUTER JOIN (SELECT vec_id FROM embeddings) e
+        |  ON d.doc_id = e.vec_id""".stripMargin,
     "stats_crosstype_correlation" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
