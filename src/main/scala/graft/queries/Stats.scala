@@ -283,6 +283,59 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "agg_trimmed_mean" -> ((s, d) => {
+      // A47: 5%-trimmed mean per priority — the tails are DROPPED
+      // (winsorized's sibling clips them): average over ranks in
+      // (⌈0.05n⌉, ⌈0.95n⌉]. Rank bounds are exact integers off one
+      // window sort; the kept-sum is exact cents and the mean is one
+      // rounded division, fixed-point e4. Identical rank semantics to
+      // the winsorized thresholds so the two row counts reconcile.
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("x"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), cents.as("x"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("o_orderpriority"))))
+        .where(col("rn") > ceil(col("n") * 0.05) &&
+               col("rn") <= ceil(col("n") * 0.95))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("x")).as("sum_kept"))
+        .select(col("o_orderpriority"), col("n_kept"), col("sum_kept"),
+          round(lit(10000.0) * col("sum_kept").cast("double")
+            / col("n_kept").cast("double"), 0).cast("long")
+            .as("tmean_fp_e4"))
+        .orderBy("o_orderpriority")
+    }),
+    "interorder_gap_median" -> ((s, d) => {
+      // A48: median days between a customer's consecutive orders, per
+      // segment — the repeat-purchase cadence. Gaps from one
+      // customer-ordered lag pass (exact integer days); the median is
+      // DISCRETE (value at ⌈n/2⌉ on a total order) so the output is
+      // an actual observed gap, exact in both engines.
+      val wC = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .withColumn("gap_days",
+          datediff(col("o_orderdate"),
+            lag(col("o_orderdate"), 1).over(wC)).cast("long"))
+        .where(col("gap_days").isNotNull)
+        .select(col("c_mktsegment"), col("o_orderkey"), col("gap_days"))
+      val wM = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("gap_days"), col("o_orderkey"))
+      gaps
+        .withColumn("rn", row_number().over(wM))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("c_mktsegment"))))
+        .where(col("rn") === ceil(col("n") * 0.5))
+        .select(col("c_mktsegment"), col("n").as("n_gaps"),
+          col("gap_days").as("median_gap_days"))
+        .orderBy("c_mktsegment")
+    }),
     "source_language_mixture" -> ((s, d) => {
       // P14: per-source language mixture + its Shannon entropy — is a
       // source monolingual (entropy ~0, safe for single-language
@@ -1300,6 +1353,39 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "agg_trimmed_mean" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT),
+        |               o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_kept,
+        |  CAST(sum(x) AS BIGINT) AS sum_kept,
+        |  CAST(round(10000.0 * CAST(sum(x) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS tmean_fp_e4
+        |FROM ranked
+        |WHERE rn > ceil(n * 0.05) AND rn <= ceil(n * 0.95)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "interorder_gap_median" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment, o_orderkey,
+        |    date_diff('day',
+        |      lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey),
+        |      o_orderdate) AS gap_days
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, gap_days,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY gap_days, o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM g WHERE gap_days IS NOT NULL)
+        |SELECT c_mktsegment, CAST(n AS BIGINT) AS n_gaps,
+        |  CAST(gap_days AS BIGINT) AS median_gap_days
+        |FROM r WHERE rn = ceil(n * 0.5) ORDER BY c_mktsegment""".stripMargin,
     "source_language_mixture" ->
       """WITH cell AS (
         |  SELECT source, lang, count(*) AS c
