@@ -283,6 +283,24 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "basket_size_distribution" -> ((s, d) => {
+      // P16: order basket-size distribution — distinct parts per
+      // order, histogrammed. The denominator behind every co-purchase
+      // graph cost estimate in this catalog (pair fan-out is
+      // per-order quadratic in THIS distribution's tail — the probe
+      // that proves the tail is bounded). Two nested aggregates, both
+      // map-side combinable; share fixed-point e6.
+      val wAll = Window.partitionBy(lit(1))
+      t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_partkey")).as("basket"))
+        .groupBy(col("basket")).agg(count(lit(1)).as("n_orders"))
+        .withColumn("share_fp_e6",
+          round(lit(1000000.0) * col("n_orders").cast("double")
+            / sum(col("n_orders")).over(wAll).cast("double"), 0)
+            .cast("long"))
+        .orderBy("basket")
+    }),
     "agg_trimmed_mean" -> ((s, d) => {
       // A47: 5%-trimmed mean per priority — the tails are DROPPED
       // (winsorized's sibling clips them): average over ranks in
@@ -1353,6 +1371,16 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "basket_size_distribution" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, count(DISTINCT l_partkey) AS basket
+        |  FROM lineitem GROUP BY 1),
+        |h AS (SELECT basket, count(*) AS n_orders FROM b GROUP BY 1)
+        |SELECT basket, n_orders,
+        |  CAST(round(1000000.0 * CAST(n_orders AS DOUBLE)
+        |    / CAST(sum(n_orders) OVER () AS DOUBLE)) AS BIGINT)
+        |    AS share_fp_e6
+        |FROM h ORDER BY basket""".stripMargin,
     "agg_trimmed_mean" ->
       """WITH ranked AS (
         |  SELECT o_orderpriority,

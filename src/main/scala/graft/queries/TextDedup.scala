@@ -209,6 +209,24 @@ object TextDedup {
         .select(col("node").as("doc"), col("component").as("cluster"))
         .orderBy("doc")
     }),
+    "dedup_component_size_hist" -> ((s, d) => {
+      // G12/C11: size distribution of NEAR-dup components — the
+      // observability counterpart to dedup_cluster_cc (which emits
+      // the assignment): how many duplicate groups of each size does
+      // the Jaccard≥0.5 graph contain? Giant components here mean a
+      // boilerplate family or a threshold set too low — the knob
+      // check before a dedup pass deletes half the corpus. Component
+      // assignment reuses operators/Components; the histogram is two
+      // tiny aggregates on top.
+      val pairs = Dedup.jaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", 0.5)
+      graft.operators.Components.connected(pairs, "d1", "d2")
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_components"))
+        .select(col("sz"), col("n_components"),
+          (col("sz") * col("n_components")).as("n_docs"))
+        .orderBy("sz")
+    }),
     "text_bpe_token_count" -> ((s, d) => {
       // BPE-ish pre-tokenization (GPT-2-style: letter runs, digit
       // runs, punctuation runs, each absorbing one leading space) next
@@ -1051,6 +1069,26 @@ object TextDedup {
          |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
          |SELECT node AS doc, min(r) AS cluster
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_component_size_hist" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2
+         |  FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
+         |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY 1),
+         |csz AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+         |SELECT sz, count(*) AS n_components,
+         |  CAST(sz * count(*) AS BIGINT) AS n_docs
+         |FROM csz GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_bpe_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
