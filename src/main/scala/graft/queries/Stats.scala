@@ -283,6 +283,27 @@ object Stats {
             .as("wmean_fp_e4"))
         .orderBy("o_orderpriority")
     }),
+    "hourly_load_p95" -> ((s, d) => {
+      // A49: p95 hourly event load per type — the capacity-planning
+      // readout (provision for p95, not mean). A percentile OF an
+      // aggregate: the hour grid collapses map-side first, then the
+      // discrete p95 (value at ⌈0.95n⌉ on a total order) picks an
+      // actual observed hour count — exact integers end to end.
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("c"), col("hour"))
+      hourly
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("event_type"))))
+        .where(col("rn") === ceil(col("n") * 0.95))
+        .select(col("event_type"), col("n").as("n_hours"),
+          col("c").as("p95_hourly_load"))
+        .orderBy("event_type")
+    }),
     "basket_size_distribution" -> ((s, d) => {
       // P16: order basket-size distribution — distinct parts per
       // order, histogrammed. The denominator behind every co-purchase
@@ -1371,6 +1392,20 @@ object Stats {
         |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS wmean_fp_e4
         |FROM ranked r JOIN t ON r.o_orderpriority = t.o_orderpriority
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hourly_load_p95" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, hour, c,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY c, hour) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM hourly)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+        |  CAST(c AS BIGINT) AS p95_hourly_load
+        |FROM r WHERE rn = ceil(n * 0.95) ORDER BY event_type""".stripMargin,
     "basket_size_distribution" ->
       """WITH b AS (
         |  SELECT l_orderkey, count(DISTINCT l_partkey) AS basket
