@@ -42,7 +42,12 @@ object Bench {
     // storage-bound enumeration, not a query-plan benchmark; same
     // reasoning that keeps graph_triangle_count out). The uncapped
     // exact form stays CORRECTNESS-gated.
-    "graph_common_neighbors_capped")
+    "graph_common_neighbors_capped",
+    // round-7 addition: the second corpus-explode query (profile
+    // train + score over re-exploded trigrams) — benched so the
+    // materialize-vs-recompute class that regressed charlm in r6
+    // stays watched by the stopwatch as well as the plan-shape spec.
+    "text_langid_ngram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,7 +76,16 @@ object Bench {
     // outside the timed region.
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
 
-    val missing = headline.filterNot(SparkEntry.queries.contains)
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=a,b,c times just those headline
+    // queries (unset → full set; the driver never sets it).
+    val selected = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        headline.filter(want.contains)
+      case None => headline
+    }
+
+    val missing = selected.filterNot(SparkEntry.queries.contains)
     if (missing.nonEmpty)
       System.err.println(
         s"WARN Bench: headline queries missing from SparkEntry.queries: ${missing.mkString(", ")}")
@@ -88,7 +102,7 @@ object Bench {
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
 
     def runBlock(nRunsBlock: Int): Seq[(String, Seq[Double])] =
-      headline.filter(SparkEntry.queries.contains).map { name =>
+      selected.filter(SparkEntry.queries.contains).map { name =>
         val fn = SparkEntry.queries(name)
         def timed(): (Boolean, Double) = {
           // Operators persist shared intermediates; each invocation
@@ -165,7 +179,13 @@ object Bench {
         (json + "\n").getBytes("UTF-8"))
     } catch { case t: Throwable =>
       System.err.println(s"WARN Bench: could not write $outPath: $t") }
-    println(json)
+    // Print the JSON line AFTER spark.stop() so it is the very last
+    // stdout write of the process — BENCH_r06's driver-side parse
+    // failed when concurrent-job log noise landed after the line in
+    // the captured tail. bench_out.json above remains the
+    // truncation-proof copy of the same payload.
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -637,15 +637,21 @@ object TextDedup {
     "text_charlm_surprisal" -> ((s, d) => {
       // Character-trigram LM quality signal (the KenLM-perplexity
       // filter shape of CCNet/Gopher, self-trained): P(c₃|c₁c₂) from
-      // corpus trigram counts, per-doc surprisal Σ −ln P. ONE corpus
-      // explode, materialized: the (doc, tri) frame feeds both train
-      // (→ type counts; context totals derived from the type counts,
-      // not re-scanned) and score (join the trigram-type-sized model,
-      // runtime-broadcast → per-doc sum). The type-count frame is
-      // also materialized — it feeds the model numerator AND the
-      // context totals. Log-probs are FIXED-POINT (round(−1e6·ln p)
-      // as long) so the per-doc sum is order-independent integer
-      // arithmetic — hash-comparable, unlike a double Σlog.
+      // corpus trigram counts, per-doc surprisal Σ −ln P. The exploded
+      // (doc, tri) frame feeds both train and score but is NOT
+      // materialized: it is ~|corpus chars| rows, 10-20× its input's
+      // bytes, so re-exploding twice (two cheap map-side scans) beats
+      // writing it to disk — the same recompute-beats-disk exception
+      // as dedup_repeated_spans. The trigram-TYPE-count frame is not
+      // checkpointed either: measured at sf0.1, the eager
+      // materialization job costs ~1.4 s while recomputing the
+      // explode+groupBy for its two consumers costs ~0.1 s total —
+      // checkpoint only pays when the materialization is cheaper than
+      // the recompute, not merely when a frame has 2+ consumers.
+      // Log-probs are FIXED-POINT
+      // (round(−1e6·ln p) as long) so the per-doc sum is
+      // order-independent integer arithmetic — hash-comparable,
+      // unlike a double Σlog.
       val docs = t(s, d, "documents")
       val tris = expr(
         """CASE WHEN length(text) >= 3
@@ -653,9 +659,12 @@ object TextDedup {
           |               i -> substring(text, i, 3))
           |ELSE array() END""".stripMargin)
       val dtris = docs.select(col("doc_id"), explode(tris).as("tri"))
-        .localCheckpoint()
-      val c3 = dtris.groupBy("tri").agg(count(lit(1)).as("c3"))
-        .localCheckpoint()
+      // Lazy persist (NOT localCheckpoint): c3 is vocabulary-sized and
+      // feeds both the model numerator and the context totals — the
+      // cache manager swaps both references for one InMemoryRelation
+      // inside the single action, so the corpus explodes twice (score
+      // + train), not three times, with no eager materialization job.
+      val c3 = dtris.groupBy("tri").agg(count(lit(1)).as("c3")).persist()
       val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("p2"))
         .agg(sum(col("c3")).as("c2"))
       val lm = c3.withColumn("p2", substring(col("tri"), 1, 2))
@@ -687,9 +696,12 @@ object TextDedup {
           |THEN transform(sequence(1, length(text) - 2),
           |               i -> substring(text, i, 3))
           |ELSE array() END""".stripMargin)
+      // The exploded frame feeds train AND score, but it is corpus-
+      // character-sized — far larger than its input — so re-exploding
+      // per consumer beats materializing it (charlm lesson); only the
+      // vocabulary-sized profile frame below is broadcast.
       val dtris = docs
         .select(col("doc_id"), col("lang"), explode(tris).as("tri"))
-        .localCheckpoint() // feeds train AND score — one explode, not two
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("c").desc, col("tri"))
       val profiles = dtris.groupBy("lang", "tri")

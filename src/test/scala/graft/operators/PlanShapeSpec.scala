@@ -231,24 +231,40 @@ class PlanShapeSpec extends SparkSpec {
       s"a Generate means the corpus explode re-entered the plan:\n$p")
   }
 
-  test("text_charlm_surprisal: train and score read ONE materialized " +
-       "explode — a single residual parquet scan (the doc spine)") {
+  // charlm/langid are the recompute-beats-disk exception (PLANS.md
+  // round-7 rule): the exploded (doc, tri) frame is 10-20× its input,
+  // so each consumer re-explodes — two corpus-explode Generates plus
+  // the pruned doc spine, and NO checkpoint (the r6 checkpoint was a
+  // stable 10× bench regression). charlm's vocabulary-sized c3 count
+  // is lazily persisted so the model's two consumers share one
+  // InMemoryRelation instead of forcing a third corpus explode.
+
+  test("text_charlm_surprisal: two corpus explodes + pruned spine, no " +
+       "checkpoint; the shared c3 counts read one InMemoryRelation") {
     val p = plan("text_charlm_surprisal")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans == 1,
-      s"expected one residual parquet scan (doc_id spine), got $scans:\n$p")
-    assert(p.contains("Scan ExistingRDD"),
-      s"the (doc, tri) frame must be the materialized scan source:\n$p")
+    assert(scans == 3,
+      s"expected train explode + score explode + doc spine, got $scans:\n$p")
+    val gens = "\\(\\d+\\) Generate".r.findAllIn(p).size
+    assert(gens == 2,
+      s"expected exactly two corpus explodes (train + score), got $gens:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"c3 counts must be cached, not re-exploded for the context totals:\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"the exploded frame must NOT be checkpointed (recompute beats disk):\n$p")
   }
 
-  test("text_langid_ngram: profile training and scoring share ONE " +
-       "materialized explode — a single residual parquet scan") {
+  test("text_langid_ngram: two corpus explodes (train + score) + label " +
+       "spine, no checkpoint of the exploded frame") {
     val p = plan("text_langid_ngram")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans == 1,
-      s"expected one residual parquet scan (doc labels), got $scans:\n$p")
-    assert(p.contains("Scan ExistingRDD"),
-      s"the (doc, tri) frame must be the materialized scan source:\n$p")
+    assert(scans == 3,
+      s"expected train explode + score explode + label spine, got $scans:\n$p")
+    val gens = "\\(\\d+\\) Generate".r.findAllIn(p).size
+    assert(gens == 2,
+      s"expected exactly two corpus explodes, got $gens:\n$p")
+    assert(!p.contains("Scan ExistingRDD"),
+      s"the exploded frame must NOT be checkpointed (recompute beats disk):\n$p")
   }
 
   test("text_pmi_bigrams: bigram/unigram aggregates are materialized — " +
