@@ -61,9 +61,23 @@ object DamerauLevenshtein {
     * row; the fourth recurrence term prices a transposition plus the
     * edits between the transposed characters.
     */
+  /** Hard per-side length cap: the DP allocates an (n+2)×(m+2) int
+    * matrix, so two unbounded inputs (e.g. 1 MB values) would allocate
+    * gigabytes per row and OOM an executor — unlike Spark's built-in
+    * linear-space levenshtein. 8 KiB per side bounds the matrix at
+    * ~256 MB·0.001 = 268 MB ints worst case per ROW in flight, and is
+    * far beyond any fuzzy-match key length; longer inputs fail fast
+    * with an explicit message instead of dying in the allocator.
+    */
+  val MaxLen = 8192
+
   def distance(a: String, b: String): Int = {
     val n = a.length
     val m = b.length
+    require(n <= MaxLen && m <= MaxLen,
+      s"graft_damerau_levenshtein input exceeds $MaxLen chars " +
+        s"(got $n and $m) — the quadratic DP is for match keys, not " +
+        "documents; truncate or pre-filter long values")
     if (n == 0) return m
     if (m == 0) return n
     val inf = n + m

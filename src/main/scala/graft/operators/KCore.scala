@@ -31,7 +31,16 @@ object KCore {
     */
   def nodes(canonEdges: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    var edges = canonEdges.localCheckpoint()
+    val core = peel(canonEdges.localCheckpoint(), k)
+    Triangles.degrees(core).where(col("deg") >= k).select(col("node"))
+  }
+
+  /** Peels an already-materialized canonical edge list down to its
+    * k-core edge set (fixpoint of drop-all-under-degree rounds).
+    * Input MUST be checkpointed/materialized — the loop re-counts it.
+    */
+  private def peel(checkpointed: DataFrame, k: Int): DataFrame = {
+    var edges = checkpointed
     var edgeCount = edges.count()
     var converged = edgeCount == 0L
     while (!converged) {
@@ -50,25 +59,42 @@ object KCore {
       edgeCount = prunedCount
       if (edgeCount == 0L) converged = true
     }
-    Triangles.degrees(edges).where(col("deg") >= k).select(col("node"))
+    edges
   }
 
-  /** Coreness (max k with the node in the k-core) for every node, by
-    * running the peel at increasing k and recording the last level at
-    * which each node survived. O(max-coreness) peels — fine for the
-    * small maximum corenesses of co-occurrence graphs; for deep cores
-    * use the k-core membership test directly at the k of interest.
+  /** Coreness (max k with the node in the k-core) for every node.
+    *
+    * Peels INCREMENTALLY: the (k+1)-core is a subgraph of the k-core,
+    * so each level starts from the previous level's surviving edges
+    * instead of re-peeling the full graph — level k's work is
+    * proportional to the k-core, which shrinks as k grows. Iterates
+    * until the core empties, so every node gets its TRUE coreness;
+    * `maxK` is only a safety bound for adversarial graphs (nodes
+    * still in the maxK-core when it is hit are reported as maxK —
+    * pass `Int.MaxValue`-ish bounds freely, the loop exits on the
+    * empty core long before).
     */
   def coreness(canonEdges: DataFrame, maxK: Int): DataFrame = {
     require(maxK >= 1, s"maxK must be >= 1, got $maxK")
-    val all = Triangles.degrees(canonEdges.localCheckpoint())
+    var edges = canonEdges.localCheckpoint()
+    var acc = Triangles.degrees(edges)
       .select(col("node"), lit(0).as("coreness"))
-    (1 to maxK).foldLeft(all) { (acc, k) =>
-      val inCore = nodes(canonEdges, k)
-        .select(col("node"), lit(k).as("k"))
-      acc.join(inCore, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("k"), col("coreness")).as("coreness"))
+      .localCheckpoint()
+    var k = 1
+    var empty = edges.isEmpty
+    while (k <= maxK && !empty) {
+      edges = peel(edges, k)
+      empty = edges.isEmpty
+      if (!empty) {
+        val inCore = Triangles.degrees(edges)
+          .select(col("node"), lit(k).as("k"))
+        acc = acc.join(inCore, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("k"), col("coreness")).as("coreness"))
+          .localCheckpoint() // node-sized; caps lineage across levels
+      }
+      k += 1
     }
+    acc
   }
 }

@@ -166,10 +166,11 @@ object Analytics {
       // G9: 3-core of the co-purchase graph (operators/KCore,
       // bulk-synchronous peeling) — the graph-density curation signal:
       // high cores are boilerplate/spam rings, core-less nodes are
-      // long tail. Iterative peeling has no DuckDB-SQL oracle
-      // (aggregate-in-recursion), so this row is spec-verified
-      // (KCoreSpec: closed forms, cascading peel, sequential-reference
-      // agreement) and the driver records the rows-only check here.
+      // long tail. The DuckDB oracle unrolls the bulk-synchronous peel
+      // as chained CTEs (kcorePeelSql — the peel is idempotent at its
+      // fixpoint, so unrolling past the measured depth computes the
+      // exact k-core); KCoreSpec adds closed forms, a cascading peel,
+      // and sequential-reference agreement.
       val pp = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -184,10 +185,11 @@ object Analytics {
       // G11: 4-truss edges of the co-purchase graph (operators/
       // KTruss) — edge-level cohesion: every surviving edge closes
       // ≥ 2 triangles, which kills bridges and stars that the k-core
-      // keeps. Iterative support-peeling has no DuckDB-SQL oracle
-      // (aggregate-in-recursion), so this row is spec-verified
-      // (KTrussSpec: closed forms, cascade case, sequential-reference
-      // agreement, truss⊂core nesting); driver records rows-only.
+      // keeps. The DuckDB oracle unrolls the support peel as chained
+      // CTEs (ktrussPeelSql — idempotent at the fixpoint, unrolled
+      // past the measured depth); KTrussSpec adds closed forms, the
+      // cascade case, sequential-reference agreement, truss⊂core
+      // nesting.
       val pp = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -1008,7 +1010,56 @@ object Analytics {
     })
   )
 
+  /** Unrolled bulk-synchronous k-core peel as plain DuckDB SQL.
+    *
+    * The peel is monotone-decreasing and idempotent at its fixpoint, so
+    * a chained-CTE unroll with MORE rounds than the fixpoint depth
+    * computes exactly the k-core — extra rounds are no-ops. Depth is
+    * data-dependent but tiny here (measured: 1 round at sf0.01 for
+    * k=3); `rounds` carries a safety margin. Each round: degree over
+    * the surviving edges, keep nodes with deg >= k, restrict edges to
+    * kept endpoints — the SQL mirror of KCore.nodes' per-round step.
+    */
+  private def kcorePeelSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),\n"
+    sb ++= "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk)"
+    for (i <- 1 to rounds) {
+      sb ++= s",\nd$i AS MATERIALIZED (SELECT node FROM (SELECT node, count(*) AS deg FROM (" +
+        s"SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1}) GROUP BY 1) WHERE deg >= $k)"
+      sb ++= s",\ne$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e JOIN d$i a ON e.u = a.node JOIN d$i b ON e.v = b.node)"
+    }
+    sb ++= s"\nSELECT node FROM (SELECT node, count(*) AS deg FROM (" +
+      s"SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds) GROUP BY 1) WHERE deg >= $k ORDER BY node"
+    sb.toString
+  }
+
+  /** Unrolled k-truss edge peel as plain DuckDB SQL — same
+    * fixpoint-idempotence argument as [[kcorePeelSql]] (measured depth
+    * 3 at sf0.01 for k=4; `rounds` adds margin). Per round: enumerate
+    * each triangle once on the a<b<c canonical list, credit its three
+    * edges, drop edges with support < k-2.
+    */
+  private def ktrussPeelSql(k: Int, rounds: Int): String = {
+    val minSup = k - 2
+    val sb = new StringBuilder
+    sb ++= "WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),\n"
+    sb ++= "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk)"
+    for (i <- 1 to rounds) {
+      sb ++= s",\nt$i AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e${i - 1} e1 " +
+        s"JOIN e${i - 1} e2 ON e1.u = e2.u AND e1.v < e2.v " +
+        s"JOIN e${i - 1} e3 ON e3.u = e1.v AND e3.v = e2.v)"
+      sb ++= s",\ns$i AS MATERIALIZED (SELECT u, v, count(*) AS sup FROM (" +
+        s"SELECT a AS u, b AS v FROM t$i UNION ALL SELECT a, c FROM t$i UNION ALL SELECT b, c FROM t$i) GROUP BY 1, 2)"
+      sb ++= s",\ne$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e JOIN s$i ON e.u = s$i.u AND e.v = s$i.v WHERE sup >= $minSup)"
+    }
+    sb ++= s"\nSELECT u, v FROM e$rounds ORDER BY u, v"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> kcorePeelSql(k = 3, rounds = 3),
+    "graph_ktruss" -> ktrussPeelSql(k = 4, rounds = 6),
     "graph_triangle_count" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),

@@ -166,4 +166,18 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(exec.contains("WholeStageCodegen") ||
       !exec.contains("graft_damerau_levenshtein"), exec)
   }
+
+  test("graft_damerau_levenshtein: inputs beyond the 8 KiB cap fail " +
+       "fast instead of allocating a quadratic matrix") {
+    import graft.functions.expressions.DamerauLevenshtein
+    // at the cap: fine (identical strings, distance 0)
+    val atCap = "x" * DamerauLevenshtein.MaxLen
+    assert(DamerauLevenshtein.distance(atCap, atCap) === 0)
+    // one past the cap: explicit failure, not an OOM
+    val over = "x" * (DamerauLevenshtein.MaxLen + 1)
+    val e = intercept[IllegalArgumentException] {
+      DamerauLevenshtein.distance(over, "y")
+    }
+    assert(e.getMessage.contains("exceeds"))
+  }
 }
