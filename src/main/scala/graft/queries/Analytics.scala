@@ -56,29 +56,33 @@ object Analytics {
       // the plan belong to the aggregate and final sort). At 100 TB
       // this is the difference between re-shuffling the fact table on
       // every join and a scan-local merge — the layout cost is paid
-      // once at write time. Tables are rewritten idempotently per run
-      // (stale warehouse dirs cleared first: the in-memory catalog
-      // forgets them across sessions but the filesystem doesn't), and
-      // the names carry the applicationId so two concurrent JVMs over
-      // the same dataset (driver verify vs a test run) each write
-      // their own tables instead of racing on one DROP+rewrite.
+      // once at write time. Table names carry the applicationId (two
+      // concurrent JVMs over one warehouse never collide on a name)
+      // and creation goes through Layout.createTableOnce (a JVM-wide
+      // guard: concurrent invocations within a session — parallel
+      // Verify, bench loops — run the DROP + stale-dir clear + write
+      // exactly once and then reuse, so nothing can race the rewrite
+      // and repeat invocations pay only the scan, matching the
+      // pay-once layout cost model).
       val tag = (d + "_" + s.sparkContext.applicationId)
         .replaceAll("[^a-zA-Z0-9]", "_")
       val ob = s"graft_bkt_orders_$tag"
       val cb = s"graft_bkt_cust_$tag"
       val hconf = s.sparkContext.hadoopConfiguration
       val wh = s.conf.get("spark.sql.warehouse.dir")
-      Seq(ob, cb).foreach { tn =>
-        s.sql(s"DROP TABLE IF EXISTS $tn")
-        val p = new org.apache.hadoop.fs.Path(wh, tn)
-        p.getFileSystem(hconf).delete(p, true)
-      }
-      t(s, d, "orders").repartition(8, col("o_custkey"))
-        .write.format("parquet")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ob)
-      t(s, d, "customer").repartition(8, col("c_custkey"))
-        .write.format("parquet")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(cb)
+      def createBucketed(tn: String, src: String, key: String): Unit =
+        graft.sources.Layout.createTableOnce(s, tn) {
+          s.sql(s"DROP TABLE IF EXISTS $tn")
+          // the in-memory catalog forgets tables across sessions but
+          // the filesystem doesn't — clear the stale dir too
+          val p = new org.apache.hadoop.fs.Path(wh, tn)
+          p.getFileSystem(hconf).delete(p, true)
+          t(s, d, src).repartition(8, col(key))
+            .write.format("parquet")
+            .bucketBy(8, key).sortBy(key).saveAsTable(tn)
+        }
+      createBucketed(ob, "orders", "o_custkey")
+      createBucketed(cb, "customer", "c_custkey")
       s.table(cb).hint("merge")
         .join(s.table(ob), col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_mktsegment"))

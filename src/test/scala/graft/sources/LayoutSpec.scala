@@ -7,6 +7,41 @@ import graft.SparkSpec
 class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
+  test("createTableOnce: concurrent invocations write once, repeat " +
+       "invocations reuse the existing table (no DROP/rewrite race)") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    // 8 threads race the same table name; the create body must run once
+    val threads = (1 to 8).map { _ =>
+      new Thread(() =>
+        Layout.createTableOnce(spark, "graft_once_race") {
+          hits.incrementAndGet()
+          Seq((1L, "a")).toDF("k", "x").write.mode("overwrite")
+            .saveAsTable("graft_once_race")
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(hits.get() === 1, s"create ran ${hits.get()} times")
+    assert(spark.table("graft_once_race").count() === 1)
+
+    // the query-level proof: bucketed_join_colocated invoked twice in
+    // one session leaves the bucket files untouched on the second run
+    val q = graft.SparkEntry.queries("bucketed_join_colocated")
+    val sf = "/root/testdata/sf0.001"
+    val r1 = q(spark, sf).collect()
+    val tag = (sf + "_" + spark.sparkContext.applicationId)
+      .replaceAll("[^a-zA-Z0-9]", "_")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val dir = new java.io.File(
+      new java.net.URI(wh).getPath, s"graft_bkt_orders_$tag")
+    val mtimes1 = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    val r2 = q(spark, sf).collect()
+    val mtimes2 = dir.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(mtimes2 === mtimes1,
+      "second invocation must reuse the bucketed table, not rewrite it")
+    assert(r1.map(_.toString).sorted.sameElements(r2.map(_.toString).sorted))
+    spark.sql("DROP TABLE IF EXISTS graft_once_race")
+  }
+
   test("bucketed tables join exchange-free and match the plain join") {
     val n = 1000
     val facts = (0 until n).map(i => (i.toLong % 100, s"f$i", i * 1.5))
