@@ -17,12 +17,32 @@ import org.apache.spark.sql.SparkSession
   * longer serializes the run).
   */
 object Verify {
+
+  /** Exact-but-quadratic catalog entries: correctness DEFINITIONS whose
+    * cost is inherently super-linear (all-pairs wedge enumeration).
+    * They verify at the driver's sf0.01 gate but are skipped at
+    * sf ≥ 0.1 unless SPARK_GRAFT_INCLUDE_QUADRATIC=true, so a casual
+    * large-SF sweep can't spend minutes timing a query whose
+    * documented pipeline path is the capped variant (PLANS.md).
+    */
+  val quadraticExact: Set[String] = Set("graph_common_neighbors")
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names — dump only that
     // subset (fast iteration loop; the driver always runs the full set)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    val sfNum = scala.util.Try(
+      sfDir.split("sf").last.toDouble).getOrElse(0.0)
+    val includeQuadratic =
+      sys.env.getOrElse("SPARK_GRAFT_INCLUDE_QUADRATIC", "false") == "true" ||
+        sfNum < 0.1 || only.isDefined // explicit subsets always run
+    if (!includeQuadratic)
+      System.err.println(
+        s"[verify] skipping quadratic exact variants at sf=$sfNum: " +
+          quadraticExact.mkString(", ") +
+          " (SPARK_GRAFT_INCLUDE_QUADRATIC=true to include)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -44,6 +64,8 @@ object Verify {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     val futures = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        includeQuadratic || !quadraticExact.contains(name) }
       .map { case (name, fn) =>
       Future {
         val t0 = System.nanoTime()

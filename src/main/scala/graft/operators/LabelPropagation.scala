@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Community detection by synchronous label propagation (Raghavan,
+  * Albert & Kumara 2007), made DETERMINISTIC for cross-engine
+  * verification.
+  *
+  * Classic LPA breaks most-frequent-neighbor-label ties randomly and
+  * updates asynchronously — both non-reproducible. This variant runs a
+  * FIXED number of synchronous rounds (every node updates from the
+  * previous round's labels simultaneously) and breaks ties by MINIMUM
+  * label, so the result is a pure function of the edge list: each
+  * round is one edge-sized equi-join + one (node, label)-sized
+  * aggregate + an argmax, which a SQL oracle can mirror as unrolled
+  * joins. Fixed rounds also bound the cost — full-convergence LPA can
+  * oscillate under synchronous updates (bipartite flip-flop), so a
+  * round budget is the standard remedy.
+  *
+  * Scale shape per round: messages = edges ⋈ labels on the neighbor
+  * key (edge-sized shuffle, hash-partitioned), per-(node, label)
+  * counts with map-side partial aggregation, argmax by window over the
+  * node key. Labels are node-sized and localCheckpoint'ed each round —
+  * the Components/PageRank lineage discipline. Nothing node- or
+  * edge-sized ever reaches the driver.
+  */
+object LabelPropagation {
+
+  /** Labels after `iters` synchronous rounds over a canonical
+    * undirected edge list (`u` < `v`, deduped, loop-free). Every node
+    * starts as its own label; each round it adopts the most frequent
+    * label among its neighbors' previous-round labels, ties to the
+    * smallest. Output: (node, label), one row per node with ≥ 1 edge.
+    */
+  def run(canonEdges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    // both directions once, reused every round
+    val nbrs = canonEdges
+      .select(col("u").as("node"), col("v").as("nbr"))
+      .unionByName(canonEdges
+        .select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    var labels = nbrs.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    val w = Window.partitionBy("node")
+      .orderBy(col("cnt").desc, col("label").asc)
+    for (_ <- 1 to iters) {
+      labels = nbrs
+        .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint() // node-sized; caps lineage across rounds
+    }
+    labels
+  }
+}

@@ -1011,6 +1011,25 @@ object Analytics {
         .withColumn("hkey",
           graft.sources.Layout.hilbertKey(col("gx"), col("gy"), order = 8))
         .orderBy("hkey", "c_custkey")
+    }),
+    "graph_label_propagation" -> ((s, d) => {
+      // G13: community detection on the co-purchase graph by
+      // DETERMINISTIC synchronous label propagation (operators/
+      // LabelPropagation: 4 fixed rounds, most-frequent neighbor
+      // label, ties to the minimum) — the curation-side community
+      // signal next to the structural peels (k-core/k-truss). Fixed
+      // rounds + total tie order make the result a pure function of
+      // the edge list, so the DuckDB oracle mirrors it as 4 unrolled
+      // join+argmax rounds (lpaSql).
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val raw = pp.as("a")
+        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      graft.operators.LabelPropagation
+        .run(graft.operators.Triangles.orientById(raw), 4)
+        .orderBy("node")
     })
   )
 
@@ -1061,7 +1080,32 @@ object Analytics {
     sb.toString
   }
 
+  /** Unrolled deterministic synchronous label propagation as plain
+    * DuckDB SQL — `rounds` must equal the Spark query's fixed round
+    * budget exactly (unlike the peels this is NOT a fixpoint: every
+    * round can move labels, so the unroll count is part of the
+    * operator definition, not a safety margin). Per round: neighbor
+    * labels via one equi-join, per-(node, label) counts, argmax with
+    * the count-desc-then-min-label total order.
+    */
+  private def lpaSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),\n"
+    sb ++= "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk),\n"
+    sb ++= "nb AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0),\n"
+    sb ++= "l0 AS MATERIALIZED (SELECT node, node AS label FROM (SELECT DISTINCT node FROM nb))"
+    for (i <- 1 to rounds) {
+      sb ++= s",\nl$i AS MATERIALIZED (SELECT node, label FROM (" +
+        s"SELECT nb.node AS node, l.label AS label, " +
+        s"row_number() OVER (PARTITION BY nb.node ORDER BY count(*) DESC, l.label ASC) AS rn " +
+        s"FROM nb JOIN l${i - 1} l ON nb.nbr = l.node GROUP BY nb.node, l.label) WHERE rn = 1)"
+    }
+    sb ++= s"\nSELECT node, label FROM l$rounds ORDER BY node"
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_label_propagation" -> lpaSql(rounds = 4),
     "graph_kcore" -> kcorePeelSql(k = 3, rounds = 3),
     "graph_ktruss" -> ktrussPeelSql(k = 4, rounds = 6),
     "graph_triangle_count" ->

@@ -182,6 +182,52 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** LEFT SEMI stream-stream interval join — the last join mode in the
+    * matrix (inner / left-outer / full-outer / left-semi): emit each
+    * click AT MOST ONCE if any purchase by the same user lands within
+    * `maxDelay`, without purchase columns and without inner-join
+    * fanout (a click matched by 3 purchases is still one row — the
+    * "converted clicks" feed, where inner would triple-count). Spark
+    * emits a semi-matched left row as soon as the first match arrives;
+    * state stays horizon-bounded on both sides exactly as in
+    * [[intervalJoin]].
+    */
+  def intervalJoinLeftSemi(clicks: DataFrame, purchases: DataFrame,
+                           maxDelay: String = "5 minutes",
+                           horizon: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", horizon)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", horizon)
+    c.join(p, expr(
+        s"""c_user_id = p_user_id AND
+           |purchase_ts >= click_ts AND
+           |purchase_ts <= click_ts + interval $maxDelay""".stripMargin),
+        "left_semi")
+      .select(col("c_user_id").as("user_id"), col("click_id"),
+        col("click_ts"))
+  }
+
+  /** Watermarked dedup COMPOSED with the semi join: drop replayed
+    * click events (at-least-once transport) BEFORE the semi join so a
+    * duplicated click cannot double-emit — the end-to-end
+    * exactly-once-per-click "converted clicks" pipeline. Both
+    * stateful operators share one watermark chain; state is
+    * horizon-bounded in the dedup map AND both join buffers.
+    */
+  def dedupedConvertedClicks(clicks: DataFrame, purchases: DataFrame,
+                             maxDelay: String = "5 minutes",
+                             horizon: String = "1 hour"): DataFrame = {
+    val deduped = clicks
+      .withWatermark("ts", horizon)
+      .dropDuplicates("event_id")
+    intervalJoinLeftSemi(deduped, purchases, maxDelay, horizon)
+  }
+
   /** Streaming heavy hitters with BOUNDED state: Misra–Gries sketches
     * in `flatMapGroupsWithState`, one sketch per hash shard. State is
     * O(shards × capacity) regardless of vocabulary size — the naive

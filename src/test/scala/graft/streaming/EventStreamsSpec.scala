@@ -293,6 +293,69 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinLeftSemi emits a matched click exactly once even " +
+       "with multiple matching purchases, and drops unmatched clicks") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventStreams.intervalJoinLeftSemi(cdf, pdf).writeStream
+      .format("memory").queryName("lsj_test").outputMode("append").start()
+    try {
+      // user 1's click has TWO in-bound purchases (inner join would
+      // fan out to 2 rows — semi must emit 1); user 2 clicks and never
+      // buys; user 3's purchase is out of the 5-minute bound
+      clicks.addData((1L, ts(0), 100L), (2L, ts(0), 101L),
+                     (3L, ts(0), 102L))
+      purchases.addData((1L, ts(2), 200L), (1L, ts(3), 201L),
+                        (3L, ts(9), 202L))
+      q.processAllAvailable()
+      // advance watermarks so any pending outer-ish state finalizes —
+      // semi rows for unmatched clicks must STILL never appear
+      clicks.addData((9L, ts(600), 900L))
+      purchases.addData((9L, ts(600), 901L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, click_id FROM lsj_test WHERE user_id <= 3 " +
+        "ORDER BY user_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 100L)))
+      // state is bounded: the watermark chain is present in progress
+      val p = q.lastProgress
+      assert(p.stateOperators.nonEmpty &&
+        p.stateOperators.head.numRowsTotal >= 0)
+    } finally q.stop()
+  }
+
+  test("dedupedConvertedClicks: a replayed click id cannot double-emit " +
+       "through the dedup + semi-join composition") {
+    implicit val sq = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("user_id", "ts", "event_id")
+    val pdf = purchases.toDF().toDF("user_id", "ts", "event_id")
+    val q = EventStreams.dedupedConvertedClicks(cdf, pdf).writeStream
+      .format("memory").queryName("dcc_test").outputMode("append").start()
+    try {
+      // click 100 delivered twice (at-least-once replay) + two
+      // matching purchases: naive inner join over the raw stream
+      // would emit up to 4 rows; the composition must emit exactly 1
+      clicks.addData((1L, ts(0), 100L), (1L, ts(0), 100L))
+      purchases.addData((1L, ts(2), 200L), (1L, ts(3), 201L))
+      q.processAllAvailable()
+      clicks.addData((9L, ts(600), 900L))
+      purchases.addData((9L, ts(600), 901L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, click_id FROM dcc_test WHERE user_id = 1")
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 100L)))
+      // two stateful operators share the chain: dedup + join
+      assert(q.lastProgress.stateOperators.length >= 2)
+    } finally q.stop()
+  }
+
   test("late events beyond the watermark are DROPPED and the drop is " +
        "observable in the query's state-operator metrics") {
     implicit val sq = spark.sqlContext
