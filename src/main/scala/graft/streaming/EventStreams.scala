@@ -215,17 +215,40 @@ object EventStreams {
   /** Watermarked dedup COMPOSED with the semi join: drop replayed
     * click events (at-least-once transport) BEFORE the semi join so a
     * duplicated click cannot double-emit — the end-to-end
-    * exactly-once-per-click "converted clicks" pipeline. Both
-    * stateful operators share one watermark chain; state is
-    * horizon-bounded in the dedup map AND both join buffers.
+    * exactly-once-per-click "converted clicks" pipeline. The click
+    * stream's watermark is defined EXACTLY ONCE (Spark forbids
+    * redefining a watermark downstream), on the already-renamed
+    * `click_ts`, so the dedup and the join share one watermark chain.
+    * `dropDuplicatesWithinWatermark` (not `dropDuplicates`) keeps the
+    * dedup map horizon-bounded: plain `dropDuplicates("id")` without
+    * the event-time column among the keys never evicts state. Both
+    * join buffers are horizon-bounded by the two-sided time bound as
+    * in [[intervalJoinLeftSemi]].
     */
   def dedupedConvertedClicks(clicks: DataFrame, purchases: DataFrame,
                              maxDelay: String = "5 minutes",
                              horizon: String = "1 hour"): DataFrame = {
-    val deduped = clicks
-      .withWatermark("ts", horizon)
-      .dropDuplicates("event_id")
-    intervalJoinLeftSemi(deduped, purchases, maxDelay, horizon)
+    val renamed = clicks
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", horizon)
+    // within-watermark dedup is a streaming-only operator; the batch
+    // twin (used by the streaming==batch equality spec) is plain
+    // dropDuplicates — same semantics once replay windows don't matter
+    val c =
+      if (renamed.isStreaming) renamed.dropDuplicatesWithinWatermark(Seq("click_id"))
+      else renamed.dropDuplicates("click_id")
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", horizon)
+    c.join(p, expr(
+        s"""c_user_id = p_user_id AND
+           |purchase_ts >= click_ts AND
+           |purchase_ts <= click_ts + interval $maxDelay""".stripMargin),
+        "left_semi")
+      .select(col("c_user_id").as("user_id"), col("click_id"),
+        col("click_ts"))
   }
 
   /** Streaming heavy hitters with BOUNDED state: Misra–Gries sketches

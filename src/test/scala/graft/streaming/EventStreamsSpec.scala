@@ -347,12 +347,56 @@ class EventStreamsSpec extends SparkSpec {
       clicks.addData((9L, ts(600), 900L))
       purchases.addData((9L, ts(600), 901L))
       q.processAllAvailable()
+      // one more batch AFTER the watermark has advanced past
+      // minute 0 + horizon: state eviction runs at batch end, so the
+      // dedup map must now DROP the minute-0 click ids (this is the
+      // dropDuplicatesWithinWatermark guarantee; plain dropDuplicates
+      // would hold them forever)
+      clicks.addData((9L, ts(610), 902L))
+      purchases.addData((9L, ts(610), 903L))
+      q.processAllAvailable()
       val got = spark.sql(
         "SELECT user_id, click_id FROM dcc_test WHERE user_id = 1")
         .as[(Long, Long)].collect().toSeq
       assert(got === Seq((1L, 100L)))
       // two stateful operators share the chain: dedup + join
       assert(q.lastProgress.stateOperators.length >= 2)
+      val removed = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .filter(_.operatorName.toLowerCase.contains("dedup"))
+        .map(_.numRowsRemoved).sum
+      assert(removed >= 1,
+        s"dedup state must be watermark-evicted; progress: ${q.lastProgress}")
+    } finally q.stop()
+  }
+
+  test("dedupedConvertedClicks streaming == batch: the same composition " +
+       "run source-agnostically over static frames gives identical rows") {
+    implicit val sq = spark.sqlContext
+    // duplicated click, fanout purchases, one never-converting click,
+    // one out-of-bound purchase — every edge the composition handles
+    val clickRows = Seq((1L, ts(0), 100L), (1L, ts(0), 100L),
+      (2L, ts(0), 101L), (3L, ts(0), 102L), (9L, ts(600), 900L))
+    val purchRows = Seq((1L, ts(2), 200L), (1L, ts(3), 201L),
+      (3L, ts(9), 202L), (9L, ts(600), 901L))
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.dedupedConvertedClicks(
+        clicks.toDF().toDF("user_id", "ts", "event_id"),
+        purchases.toDF().toDF("user_id", "ts", "event_id")).writeStream
+      .format("memory").queryName("dcc_eq_test").outputMode("append").start()
+    try {
+      clicks.addData(clickRows: _*); purchases.addData(purchRows: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user_id, click_id, click_ts FROM dcc_eq_test")
+        .as[(Long, Long, Timestamp)].collect().toSeq.sorted
+      val batch = EventStreams.dedupedConvertedClicks(
+          clickRows.toDF("user_id", "ts", "event_id"),
+          purchRows.toDF("user_id", "ts", "event_id"))
+        .as[(Long, Long, Timestamp)].collect().toSeq.sorted
+      assert(got === batch)
+      assert(got.map(r => (r._1, r._2)) === Seq((1L, 100L), (9L, 900L)))
     } finally q.stop()
   }
 
