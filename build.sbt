@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. Two sbt behaviors broke that (BENCH_r07/r08 parsed:null):
+// the "[success] Total time: ..." epilogue printed after the JSON
+// line, and the logger's "[info] " prefix glued onto every forked-
+// process stdout line. Disable the banner and pass forked output
+// through verbatim (stdout stays stdout, stderr stays stderr).
+showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,6 +14,21 @@ class EventStreamsSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
 
+  /** Same ts normalization as Tables.events, applied to a staged raw
+    * scan (batch or streaming): the driver's generator has shipped
+    * `ts` as long nanos (nanosAsLong) and as TIMESTAMP_NTZ; downstream
+    * streaming code expects a plain TIMESTAMP.
+    */
+  private def normalizeTs(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   test("tumblingCounts is source-agnostic: batch frame gets the same " +
        "answer as a plain groupBy") {
     val ev = graft.Tables.events(spark, sf("sf0.001"))
@@ -100,10 +115,9 @@ class EventStreamsSpec extends SparkSpec {
     // raw schema carries ts as long nanos (nanosAsLong); rebuild the
     // timestamp exactly like Tables.events
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val stream = spark.readStream
+    val stream = normalizeTs(spark.readStream
       .schema(raw.schema)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(staged.toString))
     val q = tumblingCounts(stream).writeStream
       .format("memory").queryName("file_tumble").outputMode("complete").start()
     try {
@@ -500,10 +514,9 @@ class EventStreamsSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"))
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val stream = spark.readStream.schema(raw.schema)
+    val stream = normalizeTs(spark.readStream.schema(raw.schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(staged.toString))
     val q = EventStreams.tumblingCounts(stream).writeStream
       .format("memory").queryName("avnow_test").outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -530,9 +543,8 @@ class EventStreamsSpec extends SparkSpec {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val n = raw.count()
     def drain(): Unit = {
-      val stream = spark.readStream.schema(raw.schema)
-        .parquet(staged.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = normalizeTs(spark.readStream.schema(raw.schema)
+        .parquet(staged.toString))
       val q = stream.writeStream.format("parquet")
         .option("path", sink).option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
