@@ -45,7 +45,15 @@ object BenchScale {
     def sfOf(dir: String): Double =
       dir.split("sf").last.toDouble // ".../sf0.01" -> 0.01
 
-    val rows = probes.filter(SparkEntry.queries.contains).map { name =>
+    // Dev loop: SPARK_GRAFT_SCALE_ONLY=a,b probes just those queries
+    // (unset -> full probe set; the driver never sets it).
+    val selected = sys.env.get("SPARK_GRAFT_SCALE_ONLY") match {
+      case Some(csv) =>
+        val want = csv.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        probes.filter(want.contains)
+      case None => probes
+    }
+    val rows = selected.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       val perSf = sfDirs.map { dir =>
         def timed(): Double = {

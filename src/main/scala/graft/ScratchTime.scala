@@ -19,9 +19,12 @@ object ScratchTime {
     val docs = Tables.t(s, d, "documents")
     timed("pairs")(graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).count())
     timed("pairs2")(graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).count())
-    val pairs = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+    // fresh frame per run: reusing one localCheckpointed frame across
+    // unpersist cycles breaks its truncated lineage
+    def pairs = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
     timed("cc_hashmin")(graft.operators.Components.connected(pairs, "d1", "d2").count())
     timed("cc_alt")(graft.operators.Components.connectedAlternating(pairs, "d1", "d2").count())
+    timed("cc_auto")(graft.operators.Components.connectedAuto(pairs, "d1", "d2").count())
     s.stop()
   }
 }

@@ -100,9 +100,85 @@ object Components {
     */
   def connectedAlternating(edges: DataFrame, aCol: String, bCol: String,
                            maxRounds: Int = 24): DataFrame = {
+    val e = canonicalEdges(edges, aCol, bCol)
+    alternatingOn(e, maxRounds)
+  }
+
+  /** Size-gated front door: canonicalize the edge list once, then —
+    * borrowing the broadcast-join discipline — solve BROADCAST-SIZED
+    * component graphs on the driver with union-find (zero shuffle
+    * rounds) and everything larger with the O(log n) alternating
+    * contraction.
+    *
+    * Rationale, measured: each distributed round is a fixed-cost
+    * scheduler/shuffle job regardless of data size, so a few-thousand-
+    * edge near-dup graph pays ~6-8 such rounds (alternating) or
+    * O(diameter) rounds (hash-min) for work a driver loop does in
+    * milliseconds — at sf1 the CC stage was ~22 s of pure round
+    * overhead on 2.5k edges. The gate (default 1M canonical edges,
+    * ~16 MB collected — the same order as a broadcast side) bounds
+    * driver memory a priori; above it, nothing is ever collected.
+    * Both paths emit the identical (node, component = min reachable
+    * id) labeling.
+    */
+  def connectedAuto(edges: DataFrame, aCol: String, bCol: String,
+                    driverMaxEdges: Long = 1L << 20,
+                    maxRounds: Int = 24): DataFrame = {
+    val e = canonicalEdges(edges, aCol, bCol)
+    // the count both materializes the checkpoint and arms the gate
+    if (e.count() <= driverMaxEdges) {
+      val spark = e.sparkSession
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {          // path halving
+          parent.put(x, parent.get(parent.get(x)))
+          x = parent.get(x)
+        }
+        x
+      }
+      // attach the LARGER root under the smaller: every root is the
+      // min id of its set by construction, so labels need no second
+      // pass
+      e.collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = scala.jdk.CollectionConverters
+        .SetHasAsScala(parent.keySet()).asScala.toSeq
+        .map(nd => org.apache.spark.sql.Row(nd, find(nd)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("component",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } else alternatingOn(e, maxRounds)
+  }
+
+  /** (a > b) canonical distinct edge list, checkpointed — the shared
+    * first materialization of both [[connectedAuto]] paths.
+    */
+  private def canonicalEdges(edges: DataFrame, aCol: String,
+                             bCol: String): DataFrame = {
     val e0 = edges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+    e0.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .distinct().localCheckpoint()
+  }
+
+  /** Alternating contraction over a canonical checkpointed edge list
+    * (see [[connectedAlternating]] for the algorithm contract).
+    */
+  private def alternatingOn(canonical: DataFrame,
+                            maxRounds: Int): DataFrame = {
 
     // large-star(u): every neighbor v > u re-points to
     // m = min(Γ(u) ∪ {u}). Operates on the symmetric edge view.
@@ -148,9 +224,7 @@ object Components {
       (r.getLong(0), r.getDecimal(1))
     }
 
-    var e = e0.select(greatest(col("a"), col("b")).as("a"),
-        least(col("a"), col("b")).as("b"))
-      .distinct().localCheckpoint()
+    var e = canonical
     var prev = fingerprint(e)
     var round = 0
     var converged = false

@@ -788,8 +788,9 @@ object Stats {
       // candidate space is Σ|block|² instead of n²; (2) SCORE block
       // pairs with the native Damerau–Levenshtein (≤ 2 edits =
       // same entity — typo-class matching); (3) CLUSTER matches with
-      // Components.connected (hash-min propagation) and canonicalize
-      // to the min part key. Singletons (no match edge) keep
+      // Components.connectedAuto (driver union-find below the
+      // broadcast-sized gate, O(log n) star contraction above it) and
+      // canonicalize to the min part key. Singletons (no match edge) keep
       // themselves as canonical via the left join + coalesce.
       graft.functions.expressions.DamerauLevenshtein.register(s)
       val p = t(s, d, "part")
@@ -803,7 +804,7 @@ object Stats {
           call_function("graft_damerau_levenshtein",
             col("a.p_name"), col("b.p_name")) <= 2)
         .select(col("a.p_partkey").as("x"), col("b.p_partkey").as("y"))
-      val clusters = graft.operators.Components.connected(pairs, "x", "y")
+      val clusters = graft.operators.Components.connectedAuto(pairs, "x", "y")
       p.join(clusters.select(col("node").as("p_partkey"),
               col("component")), Seq("p_partkey"), "left")
         .select(col("p_partkey"),

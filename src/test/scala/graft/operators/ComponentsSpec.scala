@@ -55,6 +55,33 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("connectedAuto emits the identical labeling on BOTH sides of " +
+       "the driver gate (union-find below, star contraction above)") {
+    val rng = new Random(47)
+    (1 to 3).foreach { round =>
+      val nodes = 15 + rng.nextInt(25)
+      val edges = (for {
+        a <- 0 until nodes
+        b <- (a + 1) until nodes
+        if rng.nextDouble() < 0.07
+      } yield (a.toLong, b.toLong)).distinct
+      if (edges.nonEmpty) {
+        val want = Components.connected(edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        // gate wide open -> driver union-find path
+        val viaDriver = Components
+          .connectedAuto(edges.toDF("a", "b"), "a", "b")
+          .as[(Long, Long)].collect().toMap
+        // gate forced shut -> distributed alternating path
+        val viaCluster = Components
+          .connectedAuto(edges.toDF("a", "b"), "a", "b", driverMaxEdges = 0)
+          .as[(Long, Long)].collect().toMap
+        assert(viaDriver === want, s"driver path, round=$round")
+        assert(viaCluster === want, s"cluster path, round=$round")
+      }
+    }
+  }
+
   test("connectedAlternating covers a 120-node chain in O(log) rounds " +
        "(diameter-independent, unlike plain propagation)") {
     val chain = (0L until 120L).map(i => (i, i + 1))
