@@ -25,16 +25,16 @@ import org.apache.spark.sql.functions._
   */
 object KTruss {
 
-  /** Edges of the k-truss of a canonical undirected edge list
-    * (`u` < `v`, deduped, loop-free). Returns the surviving canonical
-    * edges; empty when no edge closes k−2 triangles.
+  /** Peel `checkpointed` (canonical, materialized) down to the
+    * fixpoint where every surviving edge has triangle support ≥
+    * `minSupport`. Input MUST be checkpointed — the loop re-counts it.
     */
-  def edges(canonEdges: DataFrame, k: Int): DataFrame = {
-    require(k >= 3, s"k must be >= 3 (k=2 is every edge), got $k")
-    val minSupport = (k - 2).toLong
-    var edges = canonEdges.localCheckpoint()
+  private def peelFrom(checkpointed: DataFrame,
+                       minSupport: Long): DataFrame = {
+    var edges = checkpointed
     var edgeCount = edges.count()
     var converged = edgeCount == 0L
+    var rounds = 0
     while (!converged) {
       // support per canonical edge = triangles through it. Enumerate
       // each triangle once on the degree-oriented list, then credit
@@ -66,12 +66,59 @@ object KTruss {
       converged = prunedCount == edgeCount
       edges = pruned
       edgeCount = prunedCount
+      rounds += 1
       if (edgeCount == 0L) converged = true
     }
+    System.err.println(
+      s"[ktruss] minSupport=$minSupport fixpoint after $rounds rounds, " +
+        s"$edgeCount edges")
     edges
+  }
+
+  /** Edges of the k-truss of a canonical undirected edge list
+    * (`u` < `v`, deduped, loop-free). Returns the surviving canonical
+    * edges; empty when no edge closes k−2 triangles.
+    */
+  def edges(canonEdges: DataFrame, k: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3 (k=2 is every edge), got $k")
+    peelFrom(canonEdges.localCheckpoint(), (k - 2).toLong)
   }
 
   /** Nodes of the k-truss (endpoints of surviving edges). */
   def nodes(canonEdges: DataFrame, k: Int): DataFrame =
     Triangles.degrees(edges(canonEdges, k)).select(col("node"))
+
+  /** Truss number per edge: the max k with the edge in the k-truss,
+    * capped at `maxK` (edges still in the maxK-truss report maxK).
+    * Every input edge appears; an edge in no 3-truss reports 2 (any
+    * edge is trivially a 2-truss).
+    *
+    * Peels INCREMENTALLY — the same free win the coreness loop gets
+    * from (k+1)-core ⊆ k-core: the (k+1)-truss is a subgraph of the
+    * k-truss, so level k+1 starts from level k's surviving edges
+    * instead of re-peeling the full graph. Level k's work is
+    * proportional to the k-truss, which shrinks as k grows; the
+    * accumulator is edge-sized and localCheckpoint'ed per level.
+    */
+  def trussness(canonEdges: DataFrame, maxK: Int): DataFrame = {
+    require(maxK >= 3, s"maxK must be >= 3, got $maxK")
+    var edges = canonEdges.localCheckpoint()
+    var acc = edges.select(col("u"), col("v"), lit(2).as("trussness"))
+      .localCheckpoint()
+    var k = 3
+    var empty = edges.isEmpty
+    while (k <= maxK && !empty) {
+      edges = peelFrom(edges, (k - 2).toLong)
+      empty = edges.isEmpty
+      if (!empty) {
+        acc = acc.join(edges.select(col("u"), col("v"), lit(k).as("k")),
+            Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            coalesce(col("k"), col("trussness")).as("trussness"))
+          .localCheckpoint() // edge-sized; caps lineage across levels
+      }
+      k += 1
+    }
+    acc
+  }
 }

@@ -204,6 +204,29 @@ object Analytics {
           graft.operators.Triangles.orientById(raw), 4)
         .orderBy("u", "v")
     }),
+    "graph_truss_decomposition" -> ((s, d) => {
+      // G11b: truss NUMBER per co-purchase edge (max k with the edge
+      // in the k-truss), capped at k=6 — the full cohesion profile
+      // next to graph_ktruss's single slice. Incremental peel: level
+      // k+1 starts from level k's surviving edges ((k+1)-truss ⊆
+      // k-truss), so each level's work follows the shrinking truss,
+      // not the full graph. The cap bounds the level count the same
+      // way graph_common_neighbors_capped bounds hub fan-out: the
+      // deep-truss tail (levels 7-8 here) converges 4-5× slower than
+      // everything below it (18-24 peel rounds vs 2-6 measured at
+      // sf0.01) while only re-labeling the densest clique mass, and
+      // the capped profile is what mixture/quality gating reads.
+      // Oracle: trussDecompSql, the same incremental unroll in CTEs.
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val raw = pp.as("a")
+        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      graft.operators.KTruss.trussness(
+          graft.operators.Triangles.orientById(raw), 6)
+        .orderBy("u", "v")
+    }),
     "graph_degree_topk" -> ((s, d) => {
       // G6: top-20 hub parts by co-purchase degree (distinct
       // neighbours in the same graph as graph_triangle_count). One
@@ -1080,6 +1103,41 @@ object Analytics {
     sb.toString
   }
 
+  /** Unrolled INCREMENTAL truss decomposition as plain DuckDB SQL —
+    * the oracle mirror of KTruss.trussness: each level k peels the
+    * previous level's fixpoint (never the full graph) down to support
+    * ≥ k−2, and an edge's truss number is 2 + the number of level
+    * fixpoints it survives ((k+1)-truss ⊆ k-truss makes survival
+    * counts ≡ max level). `levels` pairs each k with its unroll
+    * depth — fixpoint-idempotent, so the depths carry margin over the
+    * measured convergence (sf0.01: 2/3/4/6 rounds for k=3..6).
+    */
+  private def trussDecompSql(levels: Seq[(Int, Int)]): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),\n"
+    sb ++= "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk)"
+    var prev = "e0"
+    val fixpoints = levels.map { case (k, rounds) =>
+      val minSup = k - 2
+      for (i <- 1 to rounds) {
+        val (t, sc, e) = (s"t${k}_$i", s"s${k}_$i", s"e${k}_$i")
+        sb ++= s",\n$t AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM $prev e1 " +
+          s"JOIN $prev e2 ON e1.u = e2.u AND e1.v < e2.v " +
+          s"JOIN $prev e3 ON e3.u = e1.v AND e3.v = e2.v)"
+        sb ++= s",\n$sc AS MATERIALIZED (SELECT u, v, count(*) AS sup FROM (" +
+          s"SELECT a AS u, b AS v FROM $t UNION ALL SELECT a, c FROM $t UNION ALL SELECT b, c FROM $t) GROUP BY 1, 2)"
+        sb ++= s",\n$e AS MATERIALIZED (SELECT e.u, e.v FROM $prev e JOIN $sc s ON e.u = s.u AND e.v = s.v WHERE s.sup >= $minSup)"
+        prev = e
+      }
+      prev
+    }
+    val unions = fixpoints.map(n => s"SELECT u, v FROM $n").mkString(" UNION ALL ")
+    sb ++= s",\nlvl AS (SELECT u, v, count(*) AS above FROM ($unions) GROUP BY 1, 2)"
+    sb ++= "\nSELECT e0.u, e0.v, CAST(2 + coalesce(lvl.above, 0) AS INT) AS trussness " +
+      "FROM e0 LEFT JOIN lvl ON e0.u = lvl.u AND e0.v = lvl.v ORDER BY 1, 2"
+    sb.toString
+  }
+
   /** Unrolled deterministic synchronous label propagation as plain
     * DuckDB SQL — `rounds` must equal the Spark query's fixed round
     * budget exactly (unlike the peels this is NOT a fixpoint: every
@@ -1108,6 +1166,8 @@ object Analytics {
     "graph_label_propagation" -> lpaSql(rounds = 4),
     "graph_kcore" -> kcorePeelSql(k = 3, rounds = 3),
     "graph_ktruss" -> ktrussPeelSql(k = 4, rounds = 6),
+    "graph_truss_decomposition" -> trussDecompSql(
+      Seq(3 -> 4, 4 -> 5, 5 -> 6, 6 -> 8)),
     "graph_triangle_count" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),

@@ -73,6 +73,35 @@ class KTrussSpec extends SparkSpec {
       assert(truss(e, k) === referencePeel(k), s"k=$k")
   }
 
+  test("trussness equals the per-k full peels (incremental ≡ from-" +
+       "scratch) and caps at maxK") {
+    // K5 with a pendant triangle and a dangling edge: trussness must
+    // be 5 on K5 edges, 3 on the pendant triangle, 2 on the bridge
+    // and dangling edge
+    val g = edges((0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (1, 3),
+      (1, 4), (2, 3), (2, 4), (3, 4), // K5
+      (4, 5), (5, 6), (4, 6),         // pendant triangle sharing node 4
+      (6, 7))                         // dangling edge
+    val got = KTruss.trussness(g, 8)
+      .as[(Long, Long, Int)].collect()
+      .map { case (u, v, t) => (u, v) -> t }.toMap
+    // incremental decomposition must agree with independent full peels
+    val full = (3 to 8).map(k => k -> truss(g, k)).toMap
+    got.foreach { case (e, t) =>
+      val expect = (3 to 8).filter(k => full(k).contains(e))
+        .lastOption.getOrElse(2)
+      assert(t === expect, s"edge $e")
+    }
+    assert(got(0L -> 1L) === 5 && got(4L -> 5L) === 3 && got(6L -> 7L) === 2)
+    // cap: with maxK = 4 the K5 edges report 4
+    val capped = KTruss.trussness(g, 4)
+      .as[(Long, Long, Int)].collect()
+      .map { case (u, v, t) => (u, v) -> t }.toMap
+    assert(capped(0L -> 1L) === 4 && capped(4L -> 5L) === 3)
+    // every input edge appears exactly once
+    assert(got.size === 14 && capped.size === 14)
+  }
+
   test("trusses nest and sit inside the corresponding core: every " +
        "k-truss node is in the (k-1)-core") {
     val pp = graft.Tables.t(spark, sf("sf0.001"), "lineitem")
