@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Subqueries.queries ++
       graft.queries.Behavioral.queries ++
       graft.queries.Robustness.queries ++
-      graft.queries.Stats.queries
+      graft.queries.Stats.queries ++
+      graft.queries.LayoutOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.Subqueries.oracles ++
       graft.queries.Behavioral.oracles ++
       graft.queries.Robustness.oracles ++
-      graft.queries.Stats.oracles
+      graft.queries.Stats.oracles ++
+      graft.queries.LayoutOps.oracles
 }
