@@ -540,8 +540,18 @@ object Analytics {
       val corr = (col("n") * col("sxy") - col("sx") * col("sy")) /
         sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
              (col("n") * col("syy") - col("sy") * col("sy")))
-      moments.select(col("l_returnflag"), varQty.as("var_qty"),
-          sqrt(varQty).as("stddev_qty"), corr.as("corr_qty_price"))
+      // The closed forms chain several double ops; identical operands
+      // still round differently across engines once sf1 magnitudes
+      // enter (measured: 2-4 ulp on corr at sf1 — DuckDB contracts
+      // the multiply-subtract). Fixed-point the emitted statistics
+      // with the identical floor(x*scale + 0.5) formula on both sides
+      // so the artifact is an integer, bit-comparable at any SF.
+      def fp(c: org.apache.spark.sql.Column, scale: Double) =
+        floor(c * scale + 0.5).cast("long")
+      moments.select(col("l_returnflag"),
+          fp(varQty, 1e6).as("var_qty_e6"),
+          fp(sqrt(varQty), 1e6).as("stddev_qty_e6"),
+          fp(corr, 1e12).as("corr_qty_price_e12"))
         .orderBy("l_returnflag")
     }),
     "percent_rank_price" -> ((s, d) => {
@@ -809,9 +819,14 @@ object Analytics {
       val cxx = col("n") * col("sxx") - col("sx") * col("sx")
       val cyy = col("n") * col("syy") - col("sy") * col("sy")
       val slope = cxy / cxx
-      m.select(col("l_returnflag"), slope.as("slope"),
-          ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
-          (cxy * cxy / (cxx * cyy)).as("r2"))
+      // fixed-point the emitted fit (same 2-4-ulp cross-engine drift
+      // class as stats_moments — see the note there)
+      def fp(c: org.apache.spark.sql.Column, scale: Double) =
+        floor(c * scale + 0.5).cast("long")
+      m.select(col("l_returnflag"), fp(slope, 1e6).as("slope_e6"),
+          fp((col("sy") - slope * col("sx")) / col("n"), 1e6)
+            .as("intercept_e6"),
+          fp(cxy * cxy / (cxx * cyy), 1e12).as("r2_e12"))
         .orderBy("l_returnflag")
     }),
     "cross_join_pairs" -> ((s, d) =>
@@ -1499,10 +1514,13 @@ object Analytics {
         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag,
-        |  (n * sxx - sx * sx) / (n * (n - 1)) AS var_qty,
-        |  sqrt((n * sxx - sx * sx) / (n * (n - 1))) AS stddev_qty,
-        |  (n * sxy - sx * sy)
-        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+        |  CAST(floor((n * sxx - sx * sx) / (n * (n - 1)) * 1e6 + 0.5)
+        |    AS BIGINT) AS var_qty_e6,
+        |  CAST(floor(sqrt((n * sxx - sx * sx) / (n * (n - 1))) * 1e6 + 0.5)
+        |    AS BIGINT) AS stddev_qty_e6,
+        |  CAST(floor((n * sxy - sx * sy)
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e12 + 0.5)
+        |    AS BIGINT) AS corr_qty_price_e12
         |FROM m ORDER BY 1""".stripMargin,
     "percent_rank_price" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
@@ -1596,11 +1614,13 @@ object Analytics {
         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag,
-        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-        |  (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-        |    AS intercept,
-        |  ((n * sxy - sx * sy) * (n * sxy - sx * sy))
-        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+        |  CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5)
+        |    AS BIGINT) AS slope_e6,
+        |  CAST(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+        |    / n * 1e6 + 0.5) AS BIGINT) AS intercept_e6,
+        |  CAST(floor(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e12 + 0.5)
+        |    AS BIGINT) AS r2_e12
         |FROM m ORDER BY 1""".stripMargin,
     "cross_join_pairs" ->
       """SELECT r_name, o_orderpriority
