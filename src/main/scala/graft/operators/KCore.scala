@@ -43,6 +43,7 @@ object KCore {
     var edges = checkpointed
     var edgeCount = edges.count()
     var converged = edgeCount == 0L
+    var rounds = 0
     while (!converged) {
       val survivors = Triangles.degrees(edges)
         .where(col("deg") >= k)
@@ -58,7 +59,12 @@ object KCore {
       edges = pruned
       edgeCount = prunedCount
       if (edgeCount == 0L) converged = true
+      rounds += 1
     }
+    // depth log (KTruss discipline): lets an unrolled SQL mirror prove
+    // its round count covers the measured convergence depth at any SF
+    System.err.println(
+      s"[kcore] k=$k fixpoint after $rounds rounds, $edgeCount edges")
     edges
   }
 

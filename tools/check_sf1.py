@@ -32,12 +32,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 # Unrolled-peel oracles whose round counts were tuned to sf0.01
-# convergence depth. The k-truss peels LOG their per-level depth, and
-# the r9 sf1 sweep proved those depths fit the oracle unrolls
-# (2/5/5/4 vs 4/5/6/8 rounds), so they attempt within the time
-# budget; graft_kcore's peel has no depth logging, so it alone is
-# conservatively skipped.
-DEPTH_TUNED = {"graph_kcore"}
+# convergence depth all LOG their per-round depth now (KCore and
+# KTruss), and the r9 sf1 sweep proved every measured depth fits its
+# oracle's unroll (kcore k=3: 1 round vs 3 unrolled; truss levels
+# 2/5/5/4 vs 4/5/6/8) — so nothing is depth-skipped; slow mirrors
+# fall under the time budget instead.
+DEPTH_TUNED = set()
 
 
 def compare_one(name, sql, files, q):
