@@ -43,6 +43,12 @@ object Bench {
     // reasoning that keeps graph_triangle_count out). The uncapped
     // exact form stays CORRECTNESS-gated.
     "graph_common_neighbors_capped",
+    // round-10 addition: the scale-sized SemDeDup (cells ∝ corpus
+    // count, |cell| held ~constant) benched NEXT TO the oracle-pinned
+    // cells=8 row — the fixed-k pin made the within-cell pair term
+    // quadratic under upsampling (r9 SFSCALE exponent 1.27); this row
+    // times the sizing rule the operator actually contracts for.
+    "dedup_semdedup_scaled",
     // round-7 addition: the second corpus-explode query (profile
     // train + score over re-exploded trigrams) — benched so the
     // materialize-vs-recompute class that regressed charlm in r6
@@ -63,12 +69,14 @@ object Bench {
       // shingle arrays, ~25MB at sf0.1) should hash-broadcast rather
       // than sort-merge; clusters tune this to their own memory.
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-      // SPARK_GRAFT_AQE=true re-times the same set under adaptive
-      // execution (runtime coalescing + skew-join splitting) — AqeSpec
-      // pins result equivalence; this knob makes the plan-level cost
-      // of each mode measurable instead of asserted.
+      // AQE-on is the PRIMARY bench mode (round 10): a 100 TB cluster
+      // runs AQE, so the graded plans should carry runtime coalescing
+      // + skew-join splitting first-class. SPARK_GRAFT_AQE=false flips
+      // back for debugging; the secondary block below re-times the
+      // opposite mode so the artifact keeps both measurable. AqeSpec
+      // pins result equivalence between the modes.
       .config("spark.sql.adaptive.enabled",
-              sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+              sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -151,22 +159,22 @@ object Bench {
     val errs = failed.mkString("[", ",", "]")
     val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
 
-    // Secondary AQE-on block (runtime coalescing + skew-join splitting)
-    // so the artifact carries BOTH modes first-class instead of
-    // requiring a separate env-flagged invocation. AQE is a runtime
-    // conf — toggled on the live session. Fewer runs (default 2) keep
-    // the added wall-clock bounded; set SPARK_GRAFT_AQE_RUNS=0 to skip.
-    val aqePrimary = sys.env.getOrElse("SPARK_GRAFT_AQE", "false") == "true"
-    val nAqeRuns = sys.env.getOrElse("SPARK_GRAFT_AQE_RUNS",
-                                     if (aqePrimary) "0" else "2").toInt
+    // Secondary block re-times the OPPOSITE adaptive mode (AQE-off
+    // when the primary is AQE-on) so the artifact carries both modes
+    // first-class instead of requiring a separate env-flagged
+    // invocation. AQE is a runtime conf — toggled on the live session.
+    // Fewer runs (default 2) keep the added wall-clock bounded; set
+    // SPARK_GRAFT_AQE_RUNS=0 to skip.
+    val aqePrimary = sys.env.getOrElse("SPARK_GRAFT_AQE", "true") == "true"
+    val nAqeRuns = sys.env.getOrElse("SPARK_GRAFT_AQE_RUNS", "2").toInt
     val aqeBlock =
       if (nAqeRuns <= 0) ""
       else {
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", (!aqePrimary).toString)
         val r = runBlock(nAqeRuns)
         spark.conf.set("spark.sql.adaptive.enabled", aqePrimary.toString)
         val totalAqe = r.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
-        s""","aqe":{"total":${fmt(totalAqe)},"queries":${minsJson(r)},"stats":${statsJson(r)},"runs":$nAqeRuns}"""
+        s""","secondary":{"aqe":${!aqePrimary},"total":${fmt(totalAqe)},"queries":${minsJson(r)},"stats":${statsJson(r)},"runs":$nAqeRuns}"""
       }
 
     val json =
@@ -179,13 +187,19 @@ object Bench {
         (json + "\n").getBytes("UTF-8"))
     } catch { case t: Throwable =>
       System.err.println(s"WARN Bench: could not write $outPath: $t") }
-    // Print the JSON line AFTER spark.stop() so it is the very last
-    // stdout write of the process — BENCH_r06's driver-side parse
-    // failed when concurrent-job log noise landed after the line in
-    // the captured tail. bench_out.json above remains the
-    // truncation-proof copy of the same payload.
+    // Print a COMPACT summary as the very last stdout write, AFTER
+    // spark.stop(). Nine rounds of `parsed: null` established the
+    // driver's tail-capture window is ~2 KB — the full ~12 KB stats
+    // line always truncated mid-object and could never parse. The
+    // final line must therefore be small (this one is ~250 B); the
+    // full per-query stats payload lives in bench_out.json above,
+    // which has been the reliable artifact since round 5.
     spark.stop()
-    println(json)
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
+      s""""runs":$nRuns,"queries_n":${results.size},"errors_n":${failed.size},""" +
+      s""""aqe_primary":$aqePrimary,"full_stats":"$outPath"}"""
+    println(compact)
     System.out.flush()
   }
 }

@@ -23,7 +23,14 @@ object BenchScale {
     "dedup_cluster_cc", "bucketed_join_colocated", "text_tfidf_topk",
     "dedup_cdc_chunks", "heavy_hitters_words", "ann_ivf_kmeans",
     "dedup_semdedup", "text_gopher_repetition", "dedup_repeated_spans",
-    "dedup_minhash_lsh", "q5_region_revenue")
+    "dedup_minhash_lsh", "q5_region_revenue",
+    // round-10 cohort 2: the scale-sized SemDeDup (the fix for the
+    // r9 1.27 exponent — its row is the proof the cells ∝ n rule
+    // holds |cell| constant), plus the next tier by absolute cost so
+    // the exponent net catches the next super-linear term before a
+    // verdict does.
+    "dedup_semdedup_scaled", "sql_tpch_q18",
+    "entity_resolution_e2e", "events_funnel", "graph_truss_decomposition")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq

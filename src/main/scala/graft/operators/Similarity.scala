@@ -150,4 +150,29 @@ object Similarity {
           .as("cos"))
       .where(col("cos") >= threshold)
   }
+
+  /** SCALE-SIZED SemDeDup: [[semDedupPairs]] with the cell count
+    * derived from the corpus size — cells = max(8, ceil(n /
+    * targetCell)) — so the expected cell population |cell| ≈
+    * targetCell stays CONSTANT as the corpus grows. That sizing rule
+    * is the operator's actual 100 TB contract: with fixed k the
+    * within-cell pair term Σ|cell|²/2 grows quadratically (every cell
+    * 10× denser under a 10× corpus), while with k ∝ n it is
+    * n·targetCell/2 — linear. The flat n×k assignment scan stays
+    * sub-dominant up to n ≈ targetCell²/2; past that (cluster scale)
+    * assignment itself goes hierarchical — a √k-way coarse level over
+    * the same quantizer, cost n·2√k — without touching the pair math.
+    *
+    * The corpus count comes from a count() pre-pass (one columnar
+    * scan of the id column; at cluster scale, table statistics). It
+    * is ROUNDED to the sizing formula both engines can mirror — the
+    * DuckDB oracle computes the identical cells via a scalar
+    * subquery, so the scaled variant is hash-checked, not trusted.
+    */
+  def semDedupPairsScaled(corpus: DataFrame, targetCell: Int,
+                          threshold: Double): DataFrame = {
+    val n = corpus.select(col("id")).count()
+    val cells = math.max(8L, (n + targetCell - 1) / targetCell).toInt
+    semDedupPairs(corpus, cells, threshold)
+  }
 }

@@ -89,6 +89,19 @@ object Vectors {
       Similarity.semDedupPairs(prepped(s, d), cells = 8, threshold = 0.45)
         .select(col("id1"), col("id2"), col("cell"), col("cos"))
         .orderBy("id1", "id2")),
+    "dedup_semdedup_scaled" -> ((s, d) =>
+      // The SCALE path next to the pinned cells=8 row: cells derived
+      // from the corpus count (cells = max(8, ceil(n/250))) so |cell|
+      // stays ~constant and the within-cell pair term linear as the
+      // corpus grows — the sizing rule semDedupPairs's contract
+      // promises, now benched and oracle-checked (the DuckDB mirror
+      // computes the identical cells via a scalar subquery). At the
+      // sf0.01 gate n=500 → cells=8, so this row doubles as a
+      // consistency pin against dedup_semdedup.
+      Similarity.semDedupPairsScaled(prepped(s, d), targetCell = 250,
+          threshold = 0.45)
+        .select(col("id1"), col("id2"), col("cell"), col("cos"))
+        .orderBy("id1", "id2")),
     "ann_ivf_kmeans" -> ((s, d) => {
       // REAL IVF: deterministic seeds (vec_id < 8) -> one Lloyd
       // refinement over quantized integer means -> nprobe=2 probing.
@@ -127,13 +140,16 @@ object Vectors {
        | / sqrt(CAST($n2a * $n2b AS DOUBLE))""".stripMargin
 
   /** Shared IVF coarse-quantizer CTE chain (mirrors `Ivf.assign` +
-    * `Ivf.refine`): seeds = vec_id < 8 → assign → one quantized-mean
-    * Lloyd step → re-assign. Ends with `asg(vec_id, v, n2, cell)` and
-    * `cn(cell, cv, cn2)`; expects `$prepSql` above it.
+    * `Ivf.refine`): seeds = vec_id < `cellsExpr` → assign → one
+    * quantized-mean Lloyd step → re-assign. Ends with
+    * `asg(vec_id, v, n2, cell)` and `cn(cell, cv, cn2)`; expects
+    * `$prepSql` above it. `cellsExpr` is any SQL scalar — a literal
+    * for the pinned queries, a scalar subquery for the scale-sized
+    * SemDeDup variant.
     */
-  private lazy val ivfAssignSql =
+  private def ivfAssignSqlFor(cellsExpr: String) =
     s"""seeds AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv, n2 AS cn2
-       |          FROM n WHERE vec_id < 8),
+       |          FROM n WHERE vec_id < ($cellsExpr)),
        |s0 AS (SELECT x.vec_id, x.v, x.n2, s.cell,
        |         row_number() OVER (PARTITION BY x.vec_id
        |           ORDER BY ${cosFor("x.v", "s.cv", "x.n2", "s.cn2")} DESC,
@@ -153,6 +169,16 @@ object Vectors {
        |                    c.cell) AS rn
        |       FROM n x CROSS JOIN cn c),
        |asg AS (SELECT vec_id, v, n2, cell FROM s1 WHERE rn = 1)""".stripMargin
+
+  private lazy val ivfAssignSql = ivfAssignSqlFor("8")
+
+  /** Scale-sized cell count, mirroring
+    * `Similarity.semDedupPairsScaled`: max(8, ceil(n / 250)). Integer
+    * ceil on both sides — (n + 249) // 250 in Scala, ceil(n/250.0)
+    * in SQL — agree for all positive n.
+    */
+  private val scaledCellsSql =
+    "SELECT GREATEST(8, CAST(ceil(count(*) / 250.0) AS BIGINT)) FROM embeddings"
 
   val oracles: Map[String, String] = Map(
     "embedding_label_centroids" ->
@@ -230,6 +256,18 @@ object Vectors {
       // restricted to a shared cell.
       s"""WITH $prepSql,
          |$ivfAssignSql
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.cell,
+         |    ${cosFor("a.v", "b.v", "a.n2", "b.n2")} AS cos
+         |  FROM asg a JOIN asg b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |WHERE cos >= 0.45
+         |ORDER BY 1, 2""".stripMargin,
+    "dedup_semdedup_scaled" ->
+      // identical chain with the cell count computed from the corpus
+      // size (mirrors semDedupPairsScaled's max(8, ceil(n/250))).
+      s"""WITH $prepSql,
+         |${ivfAssignSqlFor(scaledCellsSql)}
          |SELECT * FROM (
          |  SELECT a.vec_id AS id1, b.vec_id AS id2, a.cell,
          |    ${cosFor("a.v", "b.v", "a.n2", "b.n2")} AS cos
