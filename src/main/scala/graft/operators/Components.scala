@@ -128,37 +128,113 @@ object Components {
     // the count both materializes the checkpoint and arms the gate
     if (e.count() <= driverMaxEdges) {
       val spark = e.sparkSession
-      val parent = new java.util.HashMap[Long, Long]()
+      // Primitive structures throughout: the collect lands as
+      // specialized (Long, Long) tuples (~32 B/edge, so ~32 MB at the
+      // 1M-edge gate), the union-find state is an open-addressing
+      // long->long table (~24 B/slot at load <= 0.5), and the output
+      // goes back through a local Dataset of specialized tuples — no
+      // boxed Rows, no java.util.HashMap entry objects. The earlier
+      // boxed implementation cost ~10x that near the gate, which
+      // quietly turned the "~16 MB, broadcast-sized" gate rationale
+      // into a few-hundred-MB driver spike.
+      val pairEnc = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong)
+      val collected = e.as[(Long, Long)](pairEnc).collect()
+      val parent = new LongLongMap(collected.length * 2)
       def find(x0: Long): Long = {
         var x = x0
-        while (parent.get(x) != x) {          // path halving
-          parent.put(x, parent.get(parent.get(x)))
-          x = parent.get(x)
+        var p = parent(x)
+        while (p != x) {                      // path halving
+          val gp = parent(p)
+          parent.put(x, gp)
+          x = gp
+          p = parent(x)
         }
         x
       }
       // attach the LARGER root under the smaller: every root is the
       // min id of its set by construction, so labels need no second
       // pass
-      e.collect().foreach { r =>
-        val (a, b) = (r.getLong(0), r.getLong(1))
-        if (!parent.containsKey(a)) parent.put(a, a)
-        if (!parent.containsKey(b)) parent.put(b, b)
-        val (ra, rb) = (find(a), find(b))
+      collected.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a)
+        val rb = find(b)
         if (ra < rb) parent.put(rb, ra)
         else if (rb < ra) parent.put(ra, rb)
       }
-      val out = scala.jdk.CollectionConverters
-        .SetHasAsScala(parent.keySet()).asScala.toSeq
-        .map(nd => org.apache.spark.sql.Row(nd, find(nd)))
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("node",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("component",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+      val nodes = new Array[(Long, Long)](parent.size)
+      var i = 0
+      parent.foreachKey { k => nodes(i) = (k, find(k)); i += 1 }
+      spark.createDataset(nodes.toIndexedSeq)(pairEnc)
+        .toDF("node", "component")
     } else alternatingOn(e, maxRounds)
+  }
+
+  /** Minimal open-addressing long->long map (power-of-two capacity,
+    * linear probing, grow at load 0.5) for the driver-side union-find:
+    * ~24 B/slot in two primitive arrays vs ~100+ B/entry for a boxed
+    * java.util.HashMap — the difference between the gate's documented
+    * memory bound and a 10x overshoot. Occupancy is tracked in a
+    * separate byte array so any long (including 0) is a valid key.
+    */
+  private final class LongLongMap(expected: Int) {
+    private var cap = java.lang.Integer.highestOneBit(
+      math.max(16, expected * 2) - 1) << 1
+    private var mask = cap - 1
+    private var keys = new Array[Long](cap)
+    private var vals = new Array[Long](cap)
+    private var occ = new Array[Boolean](cap)
+    private var n = 0
+
+    def size: Int = n
+
+    private def slot(k: Long): Int = {
+      // 64->32 bit mix (splitmix64 finalizer) so sequential ids spread
+      var h = k
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      var i = ((h ^ (h >>> 31)).toInt) & mask
+      while (occ(i) && keys(i) != k) i = (i + 1) & mask
+      i
+    }
+
+    def apply(k: Long): Long = vals(slot(k))
+
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!occ(i)) {
+        occ(i) = true; keys(i) = k; n += 1
+        if (n * 2 > cap) grow()
+      }
+      vals(slot(k)) = v
+    }
+
+    def putIfAbsent(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      if (!occ(i)) {
+        occ(i) = true; keys(i) = k; vals(i) = v; n += 1
+        if (n * 2 > cap) grow()
+      }
+    }
+
+    def foreachKey(f: Long => Unit): Unit = {
+      var i = 0
+      while (i < cap) { if (occ(i)) f(keys(i)); i += 1 }
+    }
+
+    private def grow(): Unit = {
+      val (ok, ov, oo, ocap) = (keys, vals, occ, cap)
+      cap <<= 1; mask = cap - 1
+      keys = new Array[Long](cap); vals = new Array[Long](cap)
+      occ = new Array[Boolean](cap); n = 0
+      var i = 0
+      while (i < ocap) {
+        if (oo(i)) { put(ok(i), ov(i)) }
+        i += 1
+      }
+    }
   }
 
   /** (a > b) canonical distinct edge list, checkpointed — the shared

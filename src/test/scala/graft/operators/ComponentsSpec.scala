@@ -82,6 +82,31 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("connectedAuto gate BOUNDARY: driverMaxEdges = E takes the " +
+       "driver path, E - 1 the distributed path, labels identical") {
+    // The path-pair test above forces each side with extreme gates;
+    // this one pins the exact switch-over: the gate arms on the
+    // CANONICAL edge count (post dedup/canonicalize), so a gate equal
+    // to that count must take the union-find path (<=) and one less
+    // must shuffle — and the two labelings must still be equal row
+    // for row. Inputs include a duplicate and a reversed edge so the
+    // canonical count (7) differs from the raw count (9).
+    val raw = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (1L, 2L),
+                  (10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L))
+    val canonicalCount = 7L
+    val atGate = Components.connectedAuto(raw.toDF("a", "b"), "a", "b",
+        driverMaxEdges = canonicalCount)
+      .as[(Long, Long)].collect().toMap
+    val justOver = Components.connectedAuto(raw.toDF("a", "b"), "a", "b",
+        driverMaxEdges = canonicalCount - 1)
+      .as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                   10L -> 10L, 11L -> 10L, 12L -> 10L,
+                   20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L)
+    assert(atGate === want)
+    assert(justOver === want)
+  }
+
   test("connectedAlternating covers a 120-node chain in O(log) rounds " +
        "(diameter-independent, unlike plain propagation)") {
     val chain = (0L until 120L).map(i => (i, i + 1))
