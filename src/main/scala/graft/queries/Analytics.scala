@@ -546,6 +546,15 @@ object Analytics {
       // the multiply-subtract). Fixed-point the emitted statistics
       // with the identical floor(x*scale + 0.5) formula on both sides
       // so the artifact is an integer, bit-comparable at any SF.
+      // KNOWN RESIDUAL: the rounding itself is not boundary-safe — if
+      // the two engines' doubles land on opposite sides of an integer
+      // boundary AFTER scaling, the bigints still differ by 1. With a
+      // 2-4 ulp drift on values of magnitude ~1 and a 1e12 scale the
+      // per-value odds are ~1e-3 (ulp(1) * 1e12 / 1 ~ 2e-4 per ulp of
+      // drift); across the handful of emitted groups that is accepted
+      // and documented rather than papered over with a coarser scale
+      // that would also blunt the check's resolution. A boundary flip
+      // would surface as a single off-by-one cell, not a broad red.
       def fp(c: org.apache.spark.sql.Column, scale: Double) =
         floor(c * scale + 0.5).cast("long")
       moments.select(col("l_returnflag"),
