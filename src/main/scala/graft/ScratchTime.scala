@@ -11,20 +11,19 @@ object ScratchTime {
       .config("spark.sql.autoBroadcastJoinThreshold","64m")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val d = "/root/repo/testdata-sf1"
+    val d = a.headOption.getOrElse("/root/testdata/sf0.01")
     def timed(tag: String)(f: => Long): Unit = {
       val t0=System.nanoTime(); val n=f
       println(f"SCRATCH $tag n=$n t=${(System.nanoTime()-t0)/1e9}%.2fs")
     }
-    val docs = Tables.t(s, d, "documents")
-    timed("pairs")(graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).count())
-    timed("pairs2")(graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5).count())
-    // fresh frame per run: reusing one localCheckpointed frame across
-    // unpersist cycles breaks its truncated lineage
-    def pairs = graft.operators.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
-    timed("cc_hashmin")(graft.operators.Components.connected(pairs, "d1", "d2").count())
-    timed("cc_alt")(graft.operators.Components.connectedAlternating(pairs, "d1", "d2").count())
-    timed("cc_auto")(graft.operators.Components.connectedAuto(pairs, "d1", "d2").count())
+    val pp = Tables.t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val raw = pp.as("a")
+      .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    def canon = graft.operators.Triangles.orientById(raw)
+    timed("trussness")(graft.operators.KTruss.trussness(canon, 6).count())
     s.stop()
   }
 }
