@@ -39,10 +39,10 @@ object Bfs {
       val reached = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
-      val fresh = reached.join(dist, Seq("node"), "left_anti")
-        .withColumn("dist", lit(h))
-        .localCheckpoint(false) // next hop's probe side
-      dist = dist.union(fresh).localCheckpoint(false)
+      val fresh = Materialize(reached.join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h)),
+        eager = false) // next hop's probe side
+      dist = Materialize(dist.union(fresh), eager = false)
       frontier = fresh
     }
     dist

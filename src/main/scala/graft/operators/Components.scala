@@ -68,9 +68,9 @@ object Components {
       val viaNeighbors = und.join(labels, und("b") === labels("node"))
         .groupBy(und("a").as("node"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(viaNeighbors, "node")
-        .select(col("node"), least(col("label"), col("nlabel")).as("label"))
-        .localCheckpoint(false)
+      val next = Materialize(labels.join(viaNeighbors, "node")
+        .select(col("node"), least(col("label"), col("nlabel")).as("label")),
+        eager = false)
       val s = labelSum(next) // one job: checkpoint + convergence probe
       labels = next
       converged = s.compareTo(prevSum) == 0
@@ -305,7 +305,7 @@ object Components {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = Materialize(smallStar(largeStar(e)), eager = false)
       // star-contraction fixpoint: the canonical edge set is stable
       val fp = fingerprint(next)
       converged = fp._1 == prev._1 && fp._2.compareTo(prev._2) == 0

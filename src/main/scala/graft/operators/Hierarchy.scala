@@ -90,7 +90,8 @@ object Hierarchy {
                 col("e.descendant").as("descendant"))
       // lazy checkpoint: the count() below materializes it, so each
       // iteration costs ONE job instead of checkpoint+count.
-      val grown = paths.union(extended).distinct().localCheckpoint(false)
+      val grown = Materialize(paths.union(extended).distinct(),
+        eager = false)
       val n = grown.count()
       converged = n == prevCount
       prevCount = n
@@ -133,7 +134,8 @@ object Hierarchy {
         .join(paths.as("q"), col("p.descendant") === col("q.ancestor"))
         .select(col("p.ancestor").as("ancestor"),
                 col("q.descendant").as("descendant"))
-      val grown = paths.union(doubled).distinct().localCheckpoint(false)
+      val grown = Materialize(paths.union(doubled).distinct(),
+        eager = false)
       val n = grown.count()
       converged = n == prevCount
       prevCount = n

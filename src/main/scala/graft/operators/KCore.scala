@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   * explode scan), one node-sized survivor filter, two hash semi-joins
   * to restrict the edge list, then a localCheckpoint so the next
   * round's plan starts from materialized edges instead of a growing
-  * self-referenced tree (the Components/PageRank discipline). The only
+  * self-referenced tree ([[Materialize]] — checkpoint + stats reset,
+  * so carried size estimates can't compound across rounds). The only
   * driver-side values are the per-round edge counts (1-row actions)
   * used for the convergence test; rounds are O(peeling depth), which
   * is ≤ max coreness, not O(nodes).
@@ -45,15 +46,13 @@ object KCore {
     var converged = edgeCount == 0L
     var rounds = 0
     while (!converged) {
-      val survivors = Triangles.degrees(edges)
+      val survivors = Materialize(Triangles.degrees(edges)
         .where(col("deg") >= k)
-        .select(col("node"))
-        .localCheckpoint() // feeds BOTH semi-joins below
-      val pruned = edges
+        .select(col("node"))) // feeds BOTH semi-joins below
+      val pruned = Materialize(edges
         .join(survivors.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(survivors.select(col("node").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .localCheckpoint()
+        .select(col("u"), col("v")))
       val prunedCount = pruned.count()
       converged = prunedCount == edgeCount
       edges = pruned
@@ -82,10 +81,9 @@ object KCore {
     */
   def coreness(canonEdges: DataFrame, maxK: Int): DataFrame = {
     require(maxK >= 1, s"maxK must be >= 1, got $maxK")
-    var edges = canonEdges.localCheckpoint()
-    var acc = Triangles.degrees(edges)
-      .select(col("node"), lit(0).as("coreness"))
-      .localCheckpoint()
+    var edges = Materialize(canonEdges)
+    var acc = Materialize(Triangles.degrees(edges)
+      .select(col("node"), lit(0).as("coreness")))
     var k = 1
     var empty = edges.isEmpty
     while (k <= maxK && !empty) {
@@ -94,10 +92,10 @@ object KCore {
       if (!empty) {
         val inCore = Triangles.degrees(edges)
           .select(col("node"), lit(k).as("k"))
-        acc = acc.join(inCore, Seq("node"), "left")
+        acc = Materialize(acc.join(inCore, Seq("node"), "left")
           .select(col("node"),
             coalesce(col("k"), col("coreness")).as("coreness"))
-          .localCheckpoint() // node-sized; caps lineage across levels
+          ) // node-sized; caps lineage + carried stats across levels
       }
       k += 1
     }

@@ -55,7 +55,8 @@ object LabelPropagation {
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
         .select(col("node"), col("label"))
-        .localCheckpoint() // node-sized; caps lineage across rounds
+        // node-sized; caps lineage + carried stats across rounds
+      labels = Materialize(labels)
     }
     labels
   }

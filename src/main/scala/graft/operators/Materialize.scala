@@ -30,8 +30,14 @@ object Materialize {
     * iteration; single-shot checkpoints (no compounding) don't need
     * it.
     */
-  def apply(df: DataFrame): DataFrame = {
-    val ckpt = df.localCheckpoint()
+  def apply(df: DataFrame): DataFrame = apply(df, eager = true)
+
+  /** `eager = false` is the drop-in for `localCheckpoint(false)` —
+    * loops whose convergence probe doubles as the materializing
+    * action keep their one-job-per-iteration shape.
+    */
+  def apply(df: DataFrame, eager: Boolean): DataFrame = {
+    val ckpt = df.localCheckpoint(eager)
     ckpt.sparkSession.createDataFrame(ckpt.rdd, ckpt.schema)
   }
 }

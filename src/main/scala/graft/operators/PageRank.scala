@@ -70,7 +70,8 @@ object PageRank {
                   lit(damping) *
                     (coalesce(col("__m"), lit(0.0)) + col("__dm") / n))
                   .as("rank"))
-        .localCheckpoint(false) // cut the iteration's lineage growth
+        // cut the iteration's lineage + carried-stats growth
+      ranks = Materialize(ranks, eager = false)
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -129,7 +130,8 @@ object PageRank {
         .select(col("node"), col("__dang"),
           expr(s"${teleport}L + ($dampNum * (coalesce(__m, 0L) " +
                s"+ __dm div ${n}L)) div $dampDen").as("rank_fp"))
-        .localCheckpoint(false) // cut the iteration's lineage growth
+        // cut the iteration's lineage + carried-stats growth
+      ranks = Materialize(ranks, eager = false)
     }
     ranks.select(col("node"), col("rank_fp"))
   }

@@ -144,11 +144,12 @@ class ComponentsSpec extends SparkSpec {
       } finally spark.listenerManager.unregister(listener)
     }
 
-    // lazy localCheckpoint emits a (job-free) event at declaration
-    // time; the serialization points are the PROBE actions that gate
-    // the next round
+    // lazy localCheckpoint and Dataset.rdd (the stats-resetting
+    // rebuild inside Materialize) emit (job-free) events at
+    // declaration time; the serialization points are the PROBE
+    // actions that gate the next round
     def probes(evs: Seq[String]): Seq[String] =
-      evs.filterNot(_ == "localCheckpoint")
+      evs.filterNot(e => e == "localCheckpoint" || e == "rdd")
 
     // chain of 8: hash-min propagation needs 7 label-travel rounds +
     // 1 no-change round; per round exactly ONE blocking probe (the
