@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 object ScratchTime {
   def main(a: Array[String]): Unit = {
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
@@ -10,17 +11,16 @@ object ScratchTime {
       .config("spark.sql.autoBroadcastJoinThreshold","64m")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
-    val d = a.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (a.length > 1) a(1).split(",").toSeq
-      else Seq("graph_kcore", "dedup_cluster_cc", "graph_label_propagation",
-               "graph_bfs_hops", "pagerank_fixed")
-    for (n <- names; run <- 1 to 2) {
-      s.catalog.clearCache()
-      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      val t0 = System.nanoTime()
-      val c = SparkEntry.queries(n)(s, d).count()
-      println(f"SCRATCH $n run$run n=$c t=${(System.nanoTime()-t0)/1e9}%.2fs")
-    }
+    val d = a.headOption.getOrElse("/root/testdata/sf0.01")
+    val pp = Tables.t(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val raw = pp.as("a")
+      .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val canon = graft.operators.Triangles.orientById(raw)
+    val cn = graft.operators.KCore.coreness(canon, 64)
+    cn.groupBy("coreness").count().orderBy("coreness").show(70)
     s.stop()
   }
 }

@@ -39,8 +39,13 @@ object KCore {
   /** Peels an already-materialized canonical edge list down to its
     * k-core edge set (fixpoint of drop-all-under-degree rounds).
     * Input MUST be checkpointed/materialized — the loop re-counts it.
+    * `logTag` distinguishes [[coreness]]'s per-level peels (which
+    * start from the previous level's fixpoint, so their depths differ
+    * from a from-scratch peel at the same k) in the depth log the
+    * sf1 sweep's oracle-unroll proof parses.
     */
-  private def peel(checkpointed: DataFrame, k: Int): DataFrame = {
+  private def peel(checkpointed: DataFrame, k: Int,
+                   logTag: String = ""): DataFrame = {
     var edges = checkpointed
     var edgeCount = edges.count()
     var converged = edgeCount == 0L
@@ -63,7 +68,7 @@ object KCore {
     // depth log (KTruss discipline): lets an unrolled SQL mirror prove
     // its round count covers the measured convergence depth at any SF
     System.err.println(
-      s"[kcore] k=$k fixpoint after $rounds rounds, $edgeCount edges")
+      s"[kcore] k=$k$logTag fixpoint after $rounds rounds, $edgeCount edges")
     edges
   }
 
@@ -87,7 +92,7 @@ object KCore {
     var k = 1
     var empty = edges.isEmpty
     while (k <= maxK && !empty) {
-      edges = peel(edges, k)
+      edges = peel(edges, k, logTag = "@core")
       empty = edges.isEmpty
       if (!empty) {
         val inCore = Triangles.degrees(edges)

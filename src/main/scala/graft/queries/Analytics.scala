@@ -204,6 +204,33 @@ object Analytics {
           graft.operators.Triangles.orientById(raw), 4)
         .orderBy("u", "v")
     }),
+    "graph_core_decomposition" -> ((s, d) => {
+      // G10b: core NUMBER per node (max k with the node in the
+      // k-core), capped at k=8 — the node-level sibling of
+      // graph_truss_decomposition's edge profile. The input is the
+      // REPEAT co-purchase graph (part pairs co-ordered in ≥ 2
+      // distinct orders): the full co-purchase projection is so dense
+      // its minimum coreness is 42 at sf0.01, which makes any capped
+      // profile flat — the support threshold is the standard
+      // association-graph noise cut and leaves a real erosion band
+      // (degrees 1–13, median 3). Incremental peel: level k+1 starts
+      // from level k's surviving edges ((k+1)-core ⊆ k-core). Oracle:
+      // coreDecompSql, the same incremental unroll in CTEs; coreness
+      // = count of level fixpoints containing the node (nesting makes
+      // count ≡ max level).
+      val pp = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val raw = pp.as("a")
+        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("u"), col("v"))
+      graft.operators.KCore.coreness(
+          graft.operators.Triangles.orientById(raw), 8)
+        .orderBy("node")
+    }),
     "graph_truss_decomposition" -> ((s, d) => {
       // G11b: truss NUMBER per co-purchase edge (max k with the edge
       // in the k-truss), capped at k=6 — the full cohesion profile
@@ -1127,6 +1154,42 @@ object Analytics {
     sb.toString
   }
 
+  /** Unrolled INCREMENTAL core decomposition as plain DuckDB SQL —
+    * the oracle mirror of KCore.coreness: each level k peels the
+    * previous level's fixpoint (never the full graph) down to min
+    * degree k, and a node's core number is the count of level
+    * fixpoints containing it ((k+1)-core ⊆ k-core makes containment
+    * counts ≡ max level). `levels` pairs each k with its unroll
+    * depth — fixpoint-idempotent, so depths carry margin over the
+    * measured per-level convergence (the `[kcore] k=K@core` Verify
+    * log lines).
+    */
+  private def coreDecompSql(levels: Seq[(Int, Int)]): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),\n"
+    sb ++= "e0 AS MATERIALIZED (SELECT u, v FROM (SELECT a.pk AS u, b.pk AS v, count(*) AS w " +
+      "FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2) WHERE w >= 2),\n"
+    sb ++= "n0 AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0))"
+    var prev = "e0"
+    val fixpoints = levels.map { case (k, rounds) =>
+      for (i <- 1 to rounds) {
+        val (d, e) = (s"d${k}_$i", s"e${k}_$i")
+        sb ++= s",\n$d AS MATERIALIZED (SELECT node FROM (SELECT node, count(*) AS deg FROM (" +
+          s"SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY 1) WHERE deg >= $k)"
+        sb ++= s",\n$e AS MATERIALIZED (SELECT e.u, e.v FROM $prev e JOIN $d a ON e.u = a.node JOIN $d b ON e.v = b.node)"
+        prev = e
+      }
+      prev
+    }
+    val unions = fixpoints.map(n =>
+      s"SELECT DISTINCT node FROM (SELECT u AS node FROM $n UNION ALL SELECT v FROM $n)")
+      .mkString(" UNION ALL ")
+    sb ++= s",\nlvl AS (SELECT node, count(*) AS c FROM ($unions) GROUP BY 1)"
+    sb ++= "\nSELECT n0.node, CAST(coalesce(lvl.c, 0) AS INT) AS coreness " +
+      "FROM n0 LEFT JOIN lvl ON n0.node = lvl.node ORDER BY 1"
+    sb.toString
+  }
+
   /** Unrolled INCREMENTAL truss decomposition as plain DuckDB SQL —
     * the oracle mirror of KTruss.trussness: each level k peels the
     * previous level's fixpoint (never the full graph) down to support
@@ -1189,6 +1252,13 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "graph_label_propagation" -> lpaSql(rounds = 4),
     "graph_kcore" -> kcorePeelSql(k = 3, rounds = 3),
+    // unroll depths: measured sf0.01 fixpoints are 1/4/11/5 rounds for
+    // k=1..4 (the 3-core erodes a long low-degree cascade before
+    // stabilizing; the 4-core empties); margins above that, and the
+    // sf1 sweep's depth proof ([kcore] k=K@core lines) downgrades to a
+    // documented skip if a larger corpus converges deeper
+    "graph_core_decomposition" -> coreDecompSql(
+      Seq(1 -> 3, 2 -> 7, 3 -> 16, 4 -> 8, 5 -> 6, 6 -> 6, 7 -> 6, 8 -> 6)),
     "graph_ktruss" -> ktrussPeelSql(k = 4, rounds = 6),
     "graph_truss_decomposition" -> trussDecompSql(
       Seq(3 -> 4, 4 -> 5, 5 -> 6, 6 -> 8)),

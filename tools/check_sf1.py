@@ -72,6 +72,11 @@ PANDAS_LIMIT = 2_000_000
 # sound when every measured R fits its unroll.
 UNROLL = {
     "graph_kcore": [("kcore", "k=3", 3)],
+    "graph_core_decomposition": [
+        ("kcore", "k=1@core", 3), ("kcore", "k=2@core", 7),
+        ("kcore", "k=3@core", 16), ("kcore", "k=4@core", 8),
+        ("kcore", "k=5@core", 6), ("kcore", "k=6@core", 6),
+        ("kcore", "k=7@core", 6), ("kcore", "k=8@core", 6)],
     "graph_ktruss": [("ktruss", "minSupport=2", 6)],
     "graph_truss_decomposition": [
         ("ktruss", "minSupport=1", 4), ("ktruss", "minSupport=2", 5),
@@ -80,18 +85,22 @@ UNROLL = {
 
 
 def measured_depths(log_path):
-    """(kind, param) -> max rounds seen in the Verify stderr log, or
-    None when the log is unavailable (callers then skip, not trust)."""
+    """(kind, param) -> (max rounds, min fixpoint edge count) seen in
+    the Verify stderr log, or None when the log is unavailable (callers
+    then skip, not trust)."""
     if not os.path.exists(log_path):
         return None
     depths = {}
-    pat = re.compile(r"\[(kcore|ktruss)\] (\S+) fixpoint after (\d+) rounds")
+    pat = re.compile(
+        r"\[(kcore|ktruss)\] (\S+) fixpoint after (\d+) rounds, (\d+) edges")
     with open(log_path, errors="replace") as f:
         for line in f:
             m = pat.search(line)
             if m:
                 key = (m.group(1), m.group(2))
-                depths[key] = max(depths.get(key, 0), int(m.group(3)))
+                r, e = int(m.group(3)), int(m.group(4))
+                pr, pe = depths.get(key, (0, e))
+                depths[key] = (max(pr, r), min(pe, e))
     return depths
 
 
@@ -105,17 +114,23 @@ def depth_skips(log_path):
             skips[name] = ("skipped: no Verify log to prove peel depth "
                            f"fits the oracle unroll (SF1_VERIFY_LOG={log_path})")
             continue
+        emptied = False  # a 0-edge fixpoint makes every later level a no-op
         for kind, param, unroll in needs:
             got = depths.get((kind, param))
             if got is None:
+                if emptied:
+                    continue  # level never ran: vacuously covered
                 skips[name] = (f"skipped: [{kind}] {param} depth line absent "
                                "from Verify log; unroll coverage unproven")
                 break
-            if got > unroll:
+            rounds, edges = got
+            if rounds > unroll:
                 skips[name] = (f"skipped: measured [{kind}] {param} depth "
-                               f"{got} exceeds the oracle's {unroll}-round "
+                               f"{rounds} exceeds the oracle's {unroll}-round "
                                "unroll (tuned at the sf0.01 gate)")
                 break
+            if edges == 0:
+                emptied = True
     return skips
 
 
