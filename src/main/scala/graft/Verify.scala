@@ -94,8 +94,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // ALWAYS the full map, even for subset runs: a subset dump into a
+    // previously-full output dir must not clobber the other queries'
+    // oracles (that once silently fed an sf1 sweep a 1-entry oracle
+    // file and let resume republish stale rows). check.py skips
+    // oracle entries whose outputs are absent, so the fast loop still
+    // only checks the subset.
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

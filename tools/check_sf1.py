@@ -218,14 +218,18 @@ def main():
     sha = {k: hashlib.sha256(v.encode()).hexdigest()[:16]
            for k, v in oracle.items()}
     # resume: keep prior green/skip rows — but ONLY when the oracle SQL
-    # they were checked against is unchanged (sql_sha match); flush
-    # after every query so a killed run leaves a usable artifact
+    # they were checked against is unchanged (sql_sha match; a row or
+    # oracle WITHOUT a sha never matches — None == None once republished
+    # 257 stale rows after a subset Verify run clobbered the oracle
+    # file); flush after every query so a killed run leaves a usable
+    # artifact
     results = {}
     if os.path.exists(ARTIFACT):
         prior = json.load(open(ARTIFACT))
         results = {k: v for k, v in prior.items()
                    if (v.get("hash_match")
                        or (v.get("err") or "").startswith("skipped"))
+                   and v.get("sql_sha") is not None
                    and v.get("sql_sha") == sha.get(k)}
     for name in sorted(oracle):
         if name in results:
