@@ -21,10 +21,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape per round: messages = edges ⋈ labels on the neighbor
   * key (edge-sized shuffle, hash-partitioned), per-(node, label)
-  * counts with map-side partial aggregation, argmax by window over the
-  * node key. Labels are node-sized and localCheckpoint'ed each round —
-  * the Components/PageRank lineage discipline. Nothing node- or
-  * edge-sized ever reaches the driver.
+  * counts with map-side partial aggregation, argmax by window over
+  * the node key. Measured and rejected: replacing the window with a
+  * second hash aggregate (max of a (cnt, −label) struct) — both
+  * variants share the per-(node, label) aggregation, so the choice
+  * is window-sort vs an extra shuffle, and the sort over the tiny
+  * per-node groups is cheaper at every probed scale (sf0.1 A/B:
+  * 5.5–6.2 s window vs 6.2–6.3 s aggregate). Labels are node-sized
+  * and materialized each round — the Components/PageRank lineage
+  * discipline. Nothing node- or edge-sized ever reaches the driver.
   */
 object LabelPropagation {
 
