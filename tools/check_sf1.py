@@ -228,7 +228,8 @@ def main():
         prior = json.load(open(ARTIFACT))
         results = {k: v for k, v in prior.items()
                    if (v.get("hash_match")
-                       or (v.get("err") or "").startswith("skipped"))
+                       or (v.get("err") or "").startswith(
+                           ("skipped", "oracle_timeout")))
                    and v.get("sql_sha") is not None
                    and v.get("sql_sha") == sha.get(k)}
     # Verify mechanically excludes these at sf >= 0.1 (exact-but-
