@@ -30,7 +30,15 @@ object BenchScale {
     // the exponent net catches the next super-linear term before a
     // verdict does.
     "dedup_semdedup_scaled", "sql_tpch_q18",
-    "entity_resolution_e2e", "events_funnel", "graph_truss_decomposition")
+    "entity_resolution_e2e", "events_funnel", "graph_truss_decomposition",
+    // round-10 cohort 3: the next headline tier by absolute cost —
+    // the capped wedge-join similarity (the most expensive headline
+    // query), the multi-stage curation composite, the PPJoin n-gram
+    // verify path, the broadcast decontamination probe, the
+    // trigram-explode scorer, and the stateful sessionizer
+    "graph_common_neighbors_capped", "corpus_curate",
+    "dedup_ngram_jaccard", "decontaminate", "text_charlm_surprisal",
+    "events_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
