@@ -68,8 +68,10 @@ object Dedup {
     val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
     val prefixes = base
       .select(col("doc"), col("n"),
-        explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
-    verifyCandidates(base, candidatesFromPrefixes(prefixes, threshold), threshold)
+        posexplode(slice(col("sh"), lit(1), prefixLen)).as(Seq("p", "s")))
+    verifyCandidates(base,
+      candidatesFromPrefixes(prefixes, threshold, positional = true),
+      threshold)
   }
 
   /** Benchmark decontamination: each corpus doc that shares at least
@@ -132,14 +134,34 @@ object Dedup {
   /** Prefix-bucket self-join + length filter -> distinct candidate
     * pairs (d1 < d2). `prefixes` columns: (doc, n, s).
     */
+  /** Candidate pairs from shared prefix tokens, with the PPJoin length
+    * filter and (when the prefixes carry 0-based array positions `p`
+    * in the GLOBAL sorted-hash order) the positional filter: for the
+    * earliest shared-in-prefix token no common token precedes it —
+    * any earlier common token would sit at earlier positions on BOTH
+    * sides of the same global order and hence inside both prefixes —
+    * so overlap ≤ min(n1−p1, n2−p2), and a Jaccard ≥ t needs overlap
+    * ≥ ⌈t/(1+t)·(n1+n2)⌉. Later shared tokens may under-bound and be
+    * filtered, but the distinct keeps a pair if ANY of its rows
+    * passes, and a true pair's earliest row always does — sound, no
+    * false negatives.
+    */
   private def candidatesFromPrefixes(prefixes: DataFrame,
-                                     threshold: Double): DataFrame =
-    prefixes.as("a").join(prefixes.as("b"),
-        col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
+                                     threshold: Double,
+                                     positional: Boolean = false): DataFrame = {
+    val lengthOk =
+      col("a.s") === col("b.s") && col("a.doc") < col("b.doc") &&
         col("b.n") * threshold <= col("a.n") &&
-        col("a.n") * threshold <= col("b.n"))
+        col("a.n") * threshold <= col("b.n")
+    val cond =
+      if (!positional) lengthOk
+      else lengthOk &&
+        least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
+          ceil(lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n")))
+    prefixes.as("a").join(prefixes.as("b"), cond)
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()
+  }
 
   /** Verification: native merge-scan intersection over the sorted
     * shingle arrays — the doc-side lookups broadcast (base is
