@@ -124,11 +124,17 @@ object Dedup {
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc")).orderBy(col("df"), col("s"))
     val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    // rn is the 1-based position in the (df, hash) GLOBAL total order —
+    // consistent across docs, so the positional filter's
+    // earliest-common-token argument holds here exactly as in the
+    // hash-order variant (p is 0-based there; rn − 1 matches)
     val prefixes = exploded.join(dfreq, "s")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= prefixLen)
-      .select(col("doc"), col("n"), col("s"))
-    verifyCandidates(base, candidatesFromPrefixes(prefixes, threshold), threshold)
+      .select(col("doc"), col("n"), (col("rn") - 1).as("p"), col("s"))
+    verifyCandidates(base,
+      candidatesFromPrefixes(prefixes, threshold, positional = true),
+      threshold)
   }
 
   /** Prefix-bucket self-join + length filter -> distinct candidate
