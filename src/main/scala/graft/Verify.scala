@@ -62,11 +62,11 @@ object Verify {
     val pool = Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1)
+    val attempted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .filter { case (name, _) =>
         includeQuadratic || !quadraticExact.contains(name) }
-      .map { case (name, fn) =>
+    val futures = attempted.map { case (name, fn) =>
       Future {
         val t0 = System.nanoTime()
         try {
@@ -103,6 +103,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The names THIS run tried to dump (post subset/quadratic filters):
+    // lets check.py fail a crashed query (attempted but no output)
+    // while still skipping queries that were never part of the run.
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.map(t => q(t._1)).mkString("[", ",", "]"))
     spark.stop()
   }
 }

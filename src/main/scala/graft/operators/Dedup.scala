@@ -162,8 +162,16 @@ object Dedup {
     val cond =
       if (!positional) lengthOk
       else lengthOk &&
+        // t/(1+t) is computed in floating point; when the quotient
+        // rounds UP (e.g. t=0.25 → 0.2000…0111) the product can land
+        // an ulp above an exact integer and ceil then inflates the
+        // required overlap by 1, dropping a genuinely qualifying pair.
+        // Subtracting a small epsilon before ceil (standard PPJoin
+        // guard) keeps the bound sound; at worst it admits one extra
+        // candidate, which the exact verify step filters anyway.
         least(col("a.n") - col("a.p"), col("b.n") - col("b.p")) >=
-          ceil(lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n")))
+          ceil(lit(threshold / (1.0 + threshold)) * (col("a.n") + col("b.n"))
+            - lit(1e-9))
     prefixes.as("a").join(prefixes.as("b"), cond)
       .select(col("a.doc").as("d1"), col("b.doc").as("d2"))
       .distinct()

@@ -24,6 +24,14 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+# Names the Verify run actually tried to dump (written since r11): a
+# query that is in here but produced no parquet CRASHED and must fail,
+# not be skipped. Without the file (older output dirs), every absent
+# output is treated as a subset skip, as before.
+try:
+    attempted = set(json.load(open(f"{OUT}/attempted.json")))
+except FileNotFoundError:
+    attempted = None
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -39,9 +47,14 @@ for name in sorted(oracle):
     if not files:
         # oracle_sql.json always carries the FULL catalog; a subset
         # Verify run only dumps some outputs. Absent outputs are
-        # skipped (loudly, below) rather than failed — the driver's
-        # own gate still counts real misses on full runs.
-        absent.append(name)
+        # skipped (loudly, below) ONLY when the attempted list proves
+        # the run never tried them — an attempted name with no output
+        # means Verify swallowed that query's exception, which is a
+        # hard failure, not a skip.
+        if attempted is not None and name in attempted:
+            bad.append((name, "NO SPARK OUTPUT (attempted but crashed)"))
+        else:
+            absent.append(name)
         continue
     try:
         got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()

@@ -99,8 +99,16 @@ def measured_depths(log_path):
             if m:
                 key = (m.group(1), m.group(2))
                 r, e = int(m.group(3)), int(m.group(4))
-                pr, pe = depths.get(key, (0, e))
-                depths[key] = (max(pr, r), min(pe, e))
+                pr, pe = depths.get(key, (-1, 0))
+                # keep the edge count from the SAME line that supplied
+                # the max rounds — a global min across accumulated log
+                # lines could take a 0-edge fixpoint from an older,
+                # smaller run and vacuously "cover" absent depth lines
+                # of the run actually being checked
+                if r > pr:
+                    depths[key] = (r, e)
+                elif r == pr:
+                    depths[key] = (r, min(pe, e))
     return depths
 
 
@@ -237,20 +245,26 @@ def main():
     # form) — an absent output for them is the documented skip, not a
     # missing-dump red. Mirrors graft.Verify.quadraticExact.
     quadratic_excluded = {"graph_common_neighbors"}
+    # Verify only auto-excludes the quadratic variants at sf >= 0.1 —
+    # the skip row must not paper over a genuine crash at smaller SFs
+    # where the variant is supposed to run. SF is read off the sweep
+    # dir's trailing sf<number>, same rule graft.Verify applies.
+    m_sf = re.search(r"sf([0-9.]+)/?$", SF)
+    sweep_sf = float(m_sf.group(1)) if m_sf else 0.0
     for name in sorted(oracle):
         if name in results:
             continue
         files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
         if not files:
-            if name in quadratic_excluded:
+            if name in quadratic_excluded and sweep_sf >= 0.1:
                 results[name] = {
                     "rows_match": None, "schema_match": None,
                     "hash_match": None, "spark_rows": None,
                     "oracle_rows": None,
                     "err": ("skipped: exact-but-quadratic variant, "
                             "mechanically excluded at sf>=0.1 "
-                            "(Verify.quadraticExact; capped variant "
-                            "graph_common_neighbors_capped ran green)"),
+                            "(Verify.quadraticExact; see the capped "
+                            "sibling's own row for its result)"),
                     "sql_sha": sha[name]}
                 print(f"  SKIP {name} (quadratic-exact, excluded)",
                       flush=True)

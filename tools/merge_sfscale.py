@@ -21,8 +21,11 @@ with open(sys.argv[1]) as f:
             times.setdefault(m.group(1), {})[float(m.group(2))] = \
                 float(m.group(3))
 
+runs_seen = set()
 for p in sys.argv[2:]:
     d = json.load(open(p))
+    if "runs" in d:
+        runs_seen.add(d["runs"])
     for q, row in d["queries"].items():
         times[q] = {float(k[2:]): v for k, v in row.items()
                     if k.startswith("sf")}
@@ -39,4 +42,7 @@ for q, perSf in times.items():
     row["top_decade_exponent"] = round(exp, 6)
     out[q] = row
 
-print(json.dumps({"metric": "scaling", "runs": 3, "queries": out}))
+# provenance: carry runs through from the partial JSONs when they all
+# agree; otherwise emit null rather than misrepresenting the merge
+runs = runs_seen.pop() if len(runs_seen) == 1 else None
+print(json.dumps({"metric": "scaling", "runs": runs, "queries": out}))
