@@ -53,7 +53,12 @@ object Bench {
     // train + score over re-exploded trigrams) — benched so the
     // materialize-vs-recompute class that regressed charlm in r6
     // stays watched by the stopwatch as well as the plan-shape spec.
-    "text_langid_ngram")
+    "text_langid_ngram",
+    // round-11 addition: the IVFADC composition (IVF cell probe ×
+    // PQ ADC) — the production ANN scan shape; benched next to
+    // ann_ivf_kmeans so a regression back toward the full-corpus ADC
+    // scan shows up on the stopwatch as well as in PlanShapeSpec.
+    "ann_ivfpq_adc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -195,10 +200,15 @@ object Bench {
     // full per-query stats payload lives in bench_out.json above,
     // which has been the reliable artifact since round 5.
     spark.stop()
+    // r10 verdict: a truncated tail once cost 26 of 46 round-over-round
+    // comparisons, so the round artifact must be self-contained. The
+    // per-query MIN map (no stats) is ~1.4 KB for 46 queries — inside
+    // the ~2 KB tail window the compact line was sized for.
     val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""runs":$nRuns,"queries_n":${results.size},"errors_n":${failed.size},""" +
-      s""""aqe_primary":$aqePrimary,"full_stats":"$outPath"}"""
+      s""""aqe_primary":$aqePrimary,"queries":${minsJson(results)},""" +
+      s""""full_stats":"$outPath"}"""
     println(compact)
     System.out.flush()
   }

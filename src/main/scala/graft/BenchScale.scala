@@ -38,7 +38,11 @@ object BenchScale {
     // trigram-explode scorer, and the stateful sessionizer
     "graph_common_neighbors_capped", "corpus_curate",
     "dedup_ngram_jaccard", "decontaminate", "text_charlm_surprisal",
-    "events_sessionize")
+    "events_sessionize",
+    // round-11: the IVFADC composition — probed so its exponent is
+    // measured against the IVF row's ~0.2 (the candidate scan must
+    // stay cell-pruned, never full-corpus)
+    "ann_ivfpq_adc")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq

@@ -103,25 +103,16 @@ object Pq {
       .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
         x => x.getField("code")).as("codes"))
 
-  /** End-to-end PQ top-k with exact re-rank: ADC-score the encoded
-    * corpus (M lookups/candidate), keep `rerank` per query, re-score
-    * those exactly. `queries`/`corpus` are prepped (`Similarity.prep`).
+  /** Per-query ADC lookup table: partial dot of each (m, code)
+    * centroid with the query's m-th subvector, laid out [m*K + code]
+    * by the (m, code) sort — candidate scoring is pure array lookups.
+    * Output: (query_id, qv, qn2, lut).
     */
-  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
-           m: Int = 8, codes: Int = 16, rerank: Int = 50): DataFrame = {
-    val corp = corpus.select(col("id"), col("v"), col("n2"))
-    val qs = queries.select(col("id"), col("v"), col("n2"))
-    val cb = train(corp, m, codes).localCheckpoint(false)
-    val encoded = encode(corp, cb, m)
-      .join(corp.select(col("id"), col("n2")), "id")
-
-    // per-query LUT: partial dot of each (m, code) centroid with the
-    // query's m-th subvector, laid out [m*K + code] by the (m, code)
-    // sort — candidate scoring is pure array lookups.
+  private def lutsFor(qs: DataFrame, cb: DataFrame, m: Int): DataFrame = {
     val cbArr = broadcast(cb.agg(array_sort(
       collect_list(struct(col("m"), col("code"), col("c")))).as("cb")))
     val subLen = expr(s"size(v) div $m")
-    val luts = qs.crossJoin(cbArr)
+    qs.crossJoin(cbArr)
       .select(col("id").as("query_id"), col("v").as("qv"),
         col("n2").as("qn2"),
         transform(col("cb"), e =>
@@ -129,25 +120,30 @@ object Pq {
               slice(col("v"), e.getField("m") * subLen + 1, subLen),
               e.getField("c"), (x, y) => x * y),
             lit(0L), (acc, x) => acc + x)).as("lut"))
+  }
 
-    // ADC scan: approx dot = sum over subspaces of LUT lookups
-    val cands = encoded.crossJoin(luts)
-      .where(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("qn2"),
-        col("id").as("vec_id"), col("n2"),
-        qcosine(
-          aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
-            (acc, mm) => acc + element_at(col("lut"),
-              (mm * codes + element_at(col("codes"), mm + 1) + 1)
-                .cast("int"))),
-          col("qn2"), col("n2")).as("adc"))
+  /** ADC cosine of the current row's `codes` against its `lut`:
+    * approx dot = Σ over subspaces of one LUT lookup each.
+    */
+  private def adcCosine(m: Int, codes: Int): Column =
+    qcosine(
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+        (acc, mm) => acc + element_at(col("lut"),
+          (mm * codes + element_at(col("codes"), mm + 1) + 1)
+            .cast("int"))),
+      col("qn2"), col("n2"))
+
+  /** ADC shortlist (top-`rerank` per query by ADC cosine, vec_id
+    * tiebreak) followed by exact re-rank over the shortlist only.
+    * `cands` columns: (query_id, qv, qn2, vec_id, n2, adc).
+    */
+  private def rerankExact(cands: DataFrame, corp: DataFrame,
+                          k: Int, rerank: Int): DataFrame = {
     val wAdc = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").desc, col("vec_id"))
     val shortlist = cands.withColumn("rn", row_number().over(wAdc))
       .where(col("rn") <= rerank)
       .select(col("query_id"), col("qv"), col("qn2"), col("vec_id"))
-
-    // exact re-rank of the shortlist only
     val exact = shortlist
       .join(corp.select(col("id").as("vec_id"), col("v"), col("n2")),
         "vec_id")
@@ -157,5 +153,76 @@ object Pq {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** End-to-end PQ top-k with exact re-rank: ADC-score the encoded
+    * corpus (M lookups/candidate), keep `rerank` per query, re-score
+    * those exactly. `queries`/`corpus` are prepped (`Similarity.prep`).
+    *
+    * This is the textbook BRUTE-FORCE ADC scan (every encoded vector
+    * is scored for every query) — the recall baseline. The production
+    * 100 TB form is [[ivfTopK]], which prunes the scan to the probed
+    * IVF cells first.
+    */
+  def topK(queries: DataFrame, corpus: DataFrame, k: Int,
+           m: Int = 8, codes: Int = 16, rerank: Int = 50): DataFrame = {
+    val corp = corpus.select(col("id"), col("v"), col("n2"))
+    val qs = queries.select(col("id"), col("v"), col("n2"))
+    val cb = train(corp, m, codes).localCheckpoint(false)
+    val encoded = encode(corp, cb, m)
+      .join(corp.select(col("id"), col("n2")), "id")
+    val cands = encoded.crossJoin(lutsFor(qs, cb, m))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        col("id").as("vec_id"), col("n2"),
+        adcCosine(m, codes).as("adc"))
+    rerankExact(cands, corp, k, rerank)
+  }
+
+  /** IVFADC — the standard large-corpus ANN composition (Jégou et al.
+    * TPAMI'11 §IV): IVF partitions the scan, PQ shrinks the bytes per
+    * scanned vector, and a query touches only its `nprobe` probed
+    * cells. Same coarse quantizer as [[Ivf.topK]] (deterministic
+    * seeds, one quantized-mean Lloyd step), same codebook/encode/ADC
+    * as [[topK]] (no residual encoding: codes quantize the raw
+    * vectors, so ADC scores here are IDENTICAL to the flat scan's for
+    * every surviving candidate — recall is the only thing nprobe
+    * trades away).
+    *
+    * 100 TB shape: centroids and codebooks broadcast; the corpus is
+    * scanned map-side for cell assignment + encoding and NEVER
+    * shuffles; (probe × lut) is queries×nprobe rows and broadcasts
+    * into a hash join on the cell key, so ADC scoring touches only
+    * probed-cell rows. With the encoded table written partitioned by
+    * cell (the layout a real deployment persists), the cell join
+    * becomes listing-time partition pruning and unprobed cells are
+    * never read at all.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              cells: Int = 8, nprobe: Int = 2,
+              m: Int = 8, codes: Int = 16, rerank: Int = 50): DataFrame = {
+    val corp = corpus.select(col("id"), col("v"), col("n2"))
+    val qs = queries.select(col("id"), col("v"), col("n2"))
+    // coarse quantizer: seeds = rows id < cells, one Lloyd refinement
+    val seeds = corp.where(col("id") < cells)
+      .select(col("id").cast("int").as("cell"),
+        col("v").as("cv"), col("n2").as("cn2"))
+    val cents = Ivf.refine(Ivf.assign(corp, seeds)).localCheckpoint(false)
+    val cellOf = Ivf.assign(corp, cents).select(col("id"), col("cell"))
+    // PQ codebook + per-vector codes, tagged with the vector's cell
+    val cb = train(corp, m, codes).localCheckpoint(false)
+    val encoded = encode(corp, cb, m)
+      .join(corp.select(col("id"), col("n2")), "id")
+      .join(cellOf, "id")
+    // (query, probed cell) × LUT — tiny, broadcast into the cell join
+    val probeLuts = broadcast(
+      Ivf.probe(qs, cents, nprobe).select(col("query_id"), col("cell"))
+        .join(lutsFor(qs, cb, m), "query_id"))
+    val cands = encoded.join(probeLuts, "cell")
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        col("id").as("vec_id"), col("n2"),
+        adcCosine(m, codes).as("adc"))
+    rerankExact(cands, corp, k, rerank)
   }
 }

@@ -311,4 +311,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"),
       s"canonical edges + degrees must be materialized scan sources:\n$p")
   }
+
+  test("ann_ivfpq_adc: the ADC candidate scan is a hash join on the " +
+       "probed cell key — never a full-corpus cross join") {
+    val p = plan("ann_ivfpq_adc")
+    // the candidate join carries the self-exclusion residual; in the
+    // brute-force ADC form (Pq.topK) that residual sits on a
+    // BroadcastNestedLoopJoin streaming the WHOLE encoded corpus —
+    // here it must sit on a hash join keyed by the probed cell, so
+    // only probed-cell rows are ADC-scored (and with the encoded
+    // table persisted partitioned by cell, unprobed cells are never
+    // even read)
+    val blocks = p.split("\n\n")
+    val adcJoin = blocks.find(b => b.contains("BroadcastHashJoin") &&
+      b.contains("Join condition: NOT (id#"))
+    assert(adcJoin.isDefined,
+      s"ADC candidate join (with the id != query_id residual) must be " +
+        s"a BroadcastHashJoin:\n$p")
+    assert(adcJoin.get.contains("Left keys [1]: [cell#") ||
+           adcJoin.get.contains("Right keys [1]: [cell#"),
+      s"ADC candidate join must be keyed on cell:\n${adcJoin.get}")
+  }
 }

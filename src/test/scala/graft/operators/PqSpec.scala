@@ -60,4 +60,56 @@ class PqSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(a === b)
   }
+
+  test("IVFADC confines candidates to probed cells and reports exact " +
+       "scores identical to the flat ADC scan's for shared hits") {
+    val res = Pq.ivfTopK(queries, corpus, 10, cells = 8, nprobe = 2,
+        rerank = 60)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(res.nonEmpty)
+
+    // rebuild the coarse quantizer exactly as ivfTopK does and check
+    // every returned hit lives in one of its query's 2 probed cells —
+    // the pruning contract that makes the 100 TB scan partition-local
+    val corp = corpus.select(col("id"), col("v"), col("n2"))
+    val seeds = corp.where(col("id") < 8)
+      .select(col("id").cast("int").as("cell"),
+        col("v").as("cv"), col("n2").as("cn2"))
+    val cents = Ivf.refine(Ivf.assign(corp, seeds)).localCheckpoint()
+    val cellOf = Ivf.assign(corp, cents).select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toMap
+    val probed = Ivf.probe(  // prepped frames carry a `cell` column —
+        queries.select(col("id"), col("v"), col("n2")), cents, 2)
+      .select(col("query_id"), col("cell"))
+      .as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    res.foreach { case (q, v, _) =>
+      assert(probed(q).contains(cellOf(v)),
+        s"hit ($q,$v) in unprobed cell ${cellOf(v)}, probed ${probed(q)}")
+    }
+
+    // reported scores are EXACT cosines (pruning affects recall only)
+    val allExact = Similarity.cosineTopK(queries, corpus, 1000)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    res.foreach { case (q, v, c) =>
+      assert(allExact((q, v)) === c, s"score mismatch for ($q,$v)")
+    }
+
+    // IVFADC = flat ADC ∩ probed cells: any flat-ADC top hit whose
+    // cell was probed must also be an IVFADC hit (no residual
+    // encoding, so ADC scores agree candidate-for-candidate)
+    val flat = Pq.topK(queries, corpus, 10, rerank = 60)
+      .select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect()
+    val ivfSets = res.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val flatInProbed = flat.filter { case (q, v) =>
+      probed(q).contains(cellOf(v)) }
+    val covered = flatInProbed.count { case (q, v) =>
+      ivfSets.getOrElse(q, Set.empty).contains(v) }
+    assert(covered.toDouble / flatInProbed.size >= 0.9,
+      s"only $covered/${flatInProbed.size} probed-cell flat hits found")
+  }
 }
