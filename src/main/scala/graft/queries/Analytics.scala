@@ -573,21 +573,20 @@ object Analytics {
       // the multiply-subtract). Fixed-point the emitted statistics
       // with the identical floor(x*scale + 0.5) formula on both sides
       // so the artifact is an integer, bit-comparable at any SF.
-      // KNOWN RESIDUAL: the rounding itself is not boundary-safe — if
-      // the two engines' doubles land on opposite sides of an integer
-      // boundary AFTER scaling, the bigints still differ by 1. With a
-      // 2-4 ulp drift on values of magnitude ~1 and a 1e12 scale the
-      // per-value odds are ~1e-3 (ulp(1) * 1e12 / 1 ~ 2e-4 per ulp of
-      // drift); across the handful of emitted groups that is accepted
-      // and documented rather than papered over with a coarser scale
-      // that would also blunt the check's resolution. A boundary flip
-      // would surface as a single off-by-one cell, not a broad red.
+      // The drift-prone ~1-magnitude values (corr here, r² in
+      // regr_fit) are emitted at e9, a few orders below the drift
+      // margin: the 2-4-ulp cross-engine drift (~1e-15 absolute)
+      // scaled by 1e9 is ~1e-6 of a quantum, so the two engines'
+      // doubles can no longer straddle an integer boundary in
+      // practice (at e12 the odds were ~1e-3 per value — the r10
+      // documented residual, closed in r11). e9 still resolves corr
+      // to a part per billion, far tighter than any analytic use.
       def fp(c: org.apache.spark.sql.Column, scale: Double) =
         floor(c * scale + 0.5).cast("long")
       moments.select(col("l_returnflag"),
           fp(varQty, 1e6).as("var_qty_e6"),
           fp(sqrt(varQty), 1e6).as("stddev_qty_e6"),
-          fp(corr, 1e12).as("corr_qty_price_e12"))
+          fp(corr, 1e9).as("corr_qty_price_e9"))
         .orderBy("l_returnflag")
     }),
     "percent_rank_price" -> ((s, d) => {
@@ -862,7 +861,7 @@ object Analytics {
       m.select(col("l_returnflag"), fp(slope, 1e6).as("slope_e6"),
           fp((col("sy") - slope * col("sx")) / col("n"), 1e6)
             .as("intercept_e6"),
-          fp(cxy * cxy / (cxx * cyy), 1e12).as("r2_e12"))
+          fp(cxy * cxy / (cxx * cyy), 1e9).as("r2_e9"))
         .orderBy("l_returnflag")
     }),
     "cross_join_pairs" -> ((s, d) =>
@@ -1598,8 +1597,8 @@ object Analytics {
         |  CAST(floor(sqrt((n * sxx - sx * sx) / (n * (n - 1))) * 1e6 + 0.5)
         |    AS BIGINT) AS stddev_qty_e6,
         |  CAST(floor((n * sxy - sx * sy)
-        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e12 + 0.5)
-        |    AS BIGINT) AS corr_qty_price_e12
+        |    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e9 + 0.5)
+        |    AS BIGINT) AS corr_qty_price_e9
         |FROM m ORDER BY 1""".stripMargin,
     "percent_rank_price" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag,
@@ -1698,8 +1697,8 @@ object Analytics {
         |  CAST(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
         |    / n * 1e6 + 0.5) AS BIGINT) AS intercept_e6,
         |  CAST(floor(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e12 + 0.5)
-        |    AS BIGINT) AS r2_e12
+        |    / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1e9 + 0.5)
+        |    AS BIGINT) AS r2_e9
         |FROM m ORDER BY 1""".stripMargin,
     "cross_join_pairs" ->
       """SELECT r_name, o_orderpriority
