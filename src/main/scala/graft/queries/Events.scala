@@ -27,6 +27,25 @@ object Events {
         .select(col("window.start").as("window_start"), col("event_type"),
                 col("cnt"), col("sum_value"))
         .orderBy("window_start", "event_type")),
+    "events_tumbling_stream" -> ((s, d) => {
+      // The STREAMING tumbling aggregate driven through a real file
+      // source and parquet sink (EventStreams.tumblingCountsViaDisk),
+      // read back and compared to the batch DuckDB oracle — closing
+      // the gap where streaming ≡ batch was pinned only over
+      // MemoryStream. Both sides keep only windows whose end is one
+      // FULL window below the 2h watermark (end <= max_ts - 3h): every
+      // such window is provably emitted under either eviction-boundary
+      // convention (end <= wm or end < wm), so the compare never rides
+      // on an engine-internal boundary choice.
+      val sink = graft.streaming.EventStreams.tumblingCountsViaDisk(s, d)
+      val maxTs = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+      val cutoff = maxTs - 4L * 3600L * 1000000L // start+1h <= max-3h
+      sink.where(unix_micros(col("window_start")) <= cutoff)
+        .select(col("window_start"), col("event_type"), col("cnt"),
+          dbl(col("sum_value")).as("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
     "events_sessionize" -> ((s, d) => {
       // 30-min-gap sessionization via lag + running sum — the batch
       // analog of flatMapGroupsWithState session windows.
@@ -139,6 +158,18 @@ object Events {
          |  count(*) AS cnt,
          |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
          |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_tumbling_stream" ->
+      // batch mirror of the streaming disk path, restricted to the
+      // same closed-window horizon (window end <= max_ts - 3h, i.e.
+      // one full window below the 2h watermark)
+      s"""WITH $evSql
+         |SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  count(*) AS cnt,
+         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         |FROM ev
+         |WHERE epoch_us(date_trunc('hour', ts)) <=
+         |      (SELECT max(epoch_us(ts)) - 14400000000 FROM ev)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_sessionize" ->
       s"""WITH $evSql,
          |x AS (SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER

@@ -47,15 +47,66 @@ object EventStreams {
   }
 
   /** Tumbling hourly aggregate with a 2h watermark. Append-mode
-    * compatible: emits only closed windows on streams.
+    * compatible: emits only closed windows on streams. `value` is
+    * summed as DECIMAL(12,2) — exact integer cents, so the partial
+    * states merge order-independently (a raw double sum would drift
+    * with micro-batch boundaries and partition order, which is also
+    * why the disk-level oracle can hash-match this path).
     */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))
+
+  /** Disk-level oracle path for [[tumblingCounts]]: drive the
+    * aggregate through a REAL file source (`readStream.parquet` over
+    * the sf dir's events table) and a parquet sink with
+    * `Trigger.AvailableNow`, then read the sink back. This is the
+    * production shape end-to-end — source listing, watermark state,
+    * append-mode eviction, exactly-once file sink commit — where the
+    * MemoryStream specs only pin the transform. The caller compares
+    * the returned frame against the batch DuckDB oracle
+    * (`events_tumbling_stream`).
+    */
+  def tumblingCountsViaDisk(spark: org.apache.spark.sql.SparkSession,
+                            sfDir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // the file source wants a directory; driver sf dirs ship a single
+    // parquet FILE (stage it), GenSf writes Spark-style directories
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val srcDir = if (src.isDirectory) src.getPath else {
+      val tmp = Files.createTempDirectory("ev_stream_src")
+      Files.copy(src.toPath, tmp.resolve("events.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      tmp.toString
+    }
+    // same ts normalization as Tables.events (nanos-long / NTZ / µs)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(srcDir).schema
+    val raw = spark.readStream.schema(rawSchema).parquet(srcDir)
+    val stream = rawSchema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+    val outDir = Files.createTempDirectory("ev_stream_out").toString
+    val chkDir = Files.createTempDirectory("ev_stream_chk").toString
+    val q = tumblingCounts(stream).writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", chkDir)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 
   /** Overlapping sliding windows (10 min every 5 min) with a 2h
     * watermark — streaming twin of the batch `events_sliding_window`
