@@ -238,18 +238,27 @@ object Analytics {
       // k+1 starts from level k's surviving edges ((k+1)-truss ⊆
       // k-truss), so each level's work follows the shrinking truss,
       // not the full graph. The cap bounds the level count the same
-      // way graph_common_neighbors_capped bounds hub fan-out: the
-      // deep-truss tail (levels 7-8 here) converges 4-5× slower than
-      // everything below it (18-24 peel rounds vs 2-6 measured at
-      // sf0.01) while only re-labeling the densest clique mass, and
-      // the capped profile is what mixture/quality gating reads.
-      // Oracle: trussDecompSql, the same incremental unroll in CTEs.
+      // way graph_common_neighbors_capped bounds hub fan-out.
+      // Input is the REPEAT co-purchase graph (pairs co-ordered in
+      // ≥ 2 distinct orders) — the same association-graph noise cut
+      // graph_core_decomposition applies, and for the same reasons:
+      // the raw projection is so dense the capped profile saturates
+      // flat, and its per-round triangle recount put the sf1 DuckDB
+      // mirror past any sane budget (>1200 s — the r10 sweep's one
+      // structural skip). On the thresholded graph the profile has a
+      // real erosion band and the mirror verifies at every SF.
+      // graph_ktruss keeps the raw dense graph as the single-slice
+      // coverage. Oracle: trussDecompSql, the same incremental
+      // unroll in CTEs.
       val pp = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val raw = pp.as("a")
         .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .where(col("w") >= 2)
+        .select(col("u"), col("v"))
       graft.operators.KTruss.trussness(
           graft.operators.Triangles.orientById(raw), 6)
         .orderBy("u", "v")
@@ -1201,7 +1210,10 @@ object Analytics {
   private def trussDecompSql(levels: Seq[(Int, Int)]): String = {
     val sb = new StringBuilder
     sb ++= "WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),\n"
-    sb ++= "e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS u, b.pk AS v FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk)"
+    // REPEAT graph (co-ordered in >= 2 distinct orders) — same noise
+    // cut as coreDecompSql; keeps the sf1 mirror inside its budget
+    sb ++= "e0 AS MATERIALIZED (SELECT u, v FROM (SELECT a.pk AS u, b.pk AS v, count(*) AS w " +
+      "FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2) WHERE w >= 2)"
     var prev = "e0"
     val fixpoints = levels.map { case (k, rounds) =>
       val minSup = k - 2
@@ -1259,8 +1271,13 @@ object Analytics {
     "graph_core_decomposition" -> coreDecompSql(
       Seq(1 -> 3, 2 -> 7, 3 -> 16, 4 -> 8, 5 -> 6, 6 -> 6, 7 -> 6, 8 -> 6)),
     "graph_ktruss" -> ktrussPeelSql(k = 4, rounds = 6),
+    // unroll depths: measured sf0.01 fixpoints on the REPEAT graph are
+    // 2 rounds for k=3 and 3 for k=4 (which empties the edge set, so
+    // k=5/6 are vacuous); margins above that, and the sf1 depth proof
+    // ([ktruss] minSupport=M lines) downgrades to a documented skip if
+    // a larger corpus converges deeper
     "graph_truss_decomposition" -> trussDecompSql(
-      Seq(3 -> 4, 4 -> 5, 5 -> 6, 6 -> 8)),
+      Seq(3 -> 6, 4 -> 6, 5 -> 4, 6 -> 4)),
     "graph_triangle_count" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),

@@ -79,8 +79,8 @@ UNROLL = {
         ("kcore", "k=7@core", 6), ("kcore", "k=8@core", 6)],
     "graph_ktruss": [("ktruss", "minSupport=2", 6)],
     "graph_truss_decomposition": [
-        ("ktruss", "minSupport=1", 4), ("ktruss", "minSupport=2", 5),
-        ("ktruss", "minSupport=3", 6), ("ktruss", "minSupport=4", 8)],
+        ("ktruss", "minSupport=1", 6), ("ktruss", "minSupport=2", 6),
+        ("ktruss", "minSupport=3", 4), ("ktruss", "minSupport=4", 4)],
 }
 
 
