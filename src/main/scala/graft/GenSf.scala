@@ -36,7 +36,11 @@ object GenSf {
 
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/root/repo/testdata-sf1")
-    val mult = 10 // over sf0.1
+    // multiplier over sf0.1 (10 -> sf1, 30 -> sf3, ...); arg 3 is an
+    // optional comma list restricting which tables are written (the
+    // beyond-sf1 probes only need the two tables their queries read)
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val onlyTables: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
     val nCust = 15000L * mult
     val nSupp = 1000L * mult
     val nPart = 20000L * mult
@@ -56,10 +60,11 @@ object GenSf {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    def write(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-      df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
-      println(s"[gensf] wrote $name")
-    }
+    def write(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+      if (onlyTables.forall(_.contains(name))) {
+        df.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+        println(s"[gensf] wrote $name")
+      } else println(s"[gensf] skip $name (not in table filter)")
 
     // region / nation: dimension tables are scale-invariant
     write(Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"), (3, "EUROPE"),
