@@ -39,7 +39,7 @@ object Events {
       // on an engine-internal boundary choice.
       val sink = graft.streaming.EventStreams.tumblingCountsViaDisk(s, d)
       val maxTs = Tables.events(s, d)
-        .agg(max(unix_micros(col("ts")))).head.getLong(0)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
       val cutoff = maxTs - 4L * 3600L * 1000000L // start+1h <= max-3h
       sink.where(unix_micros(col("window_start")) <= cutoff)
         .select(col("window_start"), col("event_type"), col("cnt"),

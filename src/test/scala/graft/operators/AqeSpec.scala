@@ -39,7 +39,7 @@ class AqeSpec extends SparkSpec {
        "and off") {
     val names = Seq("q5_region_revenue", "hierarchy_rollup",
       "dedup_minhash_lsh", "window_anchor", "pack_chunks",
-      "grouping_rollup", "events_sessionize")
+      "grouping_rollup", "events_sessionize", "ann_ivfpq_adc")
     names.foreach { name =>
       def rows(): Seq[String] = {
         spark.catalog.clearCache()
