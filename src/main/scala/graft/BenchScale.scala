@@ -39,10 +39,12 @@ object BenchScale {
     "graph_common_neighbors_capped", "corpus_curate",
     "dedup_ngram_jaccard", "decontaminate", "text_charlm_surprisal",
     "events_sessionize",
-    // round-11: the IVFADC composition — probed so its exponent is
-    // measured against the IVF row's ~0.2 (the candidate scan must
-    // stay cell-pruned, never full-corpus)
-    "ann_ivfpq_adc")
+    // round-11: the IVFADC compositions — probed so their exponents
+    // are measured against the IVF row's ~0.2 (the candidate scan
+    // must stay cell-pruned, never full-corpus). The residual variant
+    // shares the plan class, so it rides the probe but not the
+    // headline set (ann_ivfpq_adc covers the class there).
+    "ann_ivfpq_adc", "ann_ivfpq_residual")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq

@@ -123,11 +123,13 @@ object Pq {
   }
 
   /** ADC cosine of the current row's `codes` against its `lut`:
-    * approx dot = Σ over subspaces of one LUT lookup each.
+    * approx dot = `base` + Σ over subspaces of one LUT lookup each
+    * (`base` carries the exact query·centroid term in the residual
+    * variant; 0 when codes quantize the raw vectors).
     */
-  private def adcCosine(m: Int, codes: Int): Column =
+  private def adcCosine(m: Int, codes: Int, base: Column = lit(0L)): Column =
     qcosine(
-      aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+      base + aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
         (acc, mm) => acc + element_at(col("lut"),
           (mm * codes + element_at(col("codes"), mm + 1) + 1)
             .cast("int"))),
@@ -223,6 +225,60 @@ object Pq {
       .select(col("query_id"), col("qv"), col("qn2"),
         col("id").as("vec_id"), col("n2"),
         adcCosine(m, codes).as("adc"))
+    rerankExact(cands, corp, k, rerank)
+  }
+
+  /** IVFADC with RESIDUAL encoding — the exact form of Jégou et al.
+    * TPAMI'11 §IV: PQ codes quantize r = v − centroid(cell) instead
+    * of v itself. Residuals concentrate around 0, so the same M×K
+    * code budget spends its resolution on the part of the vector the
+    * coarse quantizer did NOT explain — the reason production systems
+    * (FAISS IVFADC) encode residuals. The ADC estimate decomposes
+    * exactly: dot(q, cv + r̂) = q·cv (computed exactly per probed
+    * (query, cell) — C·nprobe scalars) + q·r̂ (the usual LUT sum over
+    * one GLOBAL residual codebook), all integer arithmetic, so the
+    * DuckDB mirror stays bit-exact.
+    *
+    * Same 100 TB shape as [[ivfTopK]]: the corpus never shuffles
+    * (residual subtraction is a broadcast centroid join), the
+    * candidate scan is the cell-keyed hash join over probed cells
+    * only, and the exact re-rank touches the shortlist alone.
+    */
+  def ivfResidualTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                      cells: Int = 8, nprobe: Int = 2,
+                      m: Int = 8, codes: Int = 16,
+                      rerank: Int = 50): DataFrame = {
+    val corp = corpus.select(col("id"), col("v"), col("n2"))
+    val qs = queries.select(col("id"), col("v"), col("n2"))
+    val seeds = corp.where(col("id") < cells)
+      .select(col("id").cast("int").as("cell"),
+        col("v").as("cv"), col("n2").as("cn2"))
+    val cents = Ivf.refine(Ivf.assign(corp, seeds)).localCheckpoint(false)
+    // residual frame (id, v := v − cv[cell], cell, n2): feeds BOTH the
+    // codebook training and the encode scan — materialize once. n2
+    // stays the ORIGINAL vector's exact norm (the ADC denominator).
+    val centsB = broadcast(cents.select(col("cell"), col("cv")))
+    val resid = Ivf.assign(corp, cents).join(centsB, "cell")
+      .select(col("id"),
+        zip_with(col("v"), col("cv"), (x, y) => x - y).as("v"),
+        col("cell"), col("n2"))
+      .localCheckpoint(false)
+    val cb = train(resid, m, codes).localCheckpoint(false)
+    val encoded = encode(resid, cb, m)
+      .join(resid.select(col("id"), col("cell"), col("n2")), "id")
+    // probed cells carry the exact q·cv term; the residual LUT is per
+    // query (one global codebook) — together (probe × LUT) is still
+    // queries×nprobe rows, broadcast into the cell join
+    val probeLuts = broadcast(
+      Ivf.probe(qs, cents, nprobe).join(centsB, "cell")
+        .select(col("query_id"), col("cell"),
+          call_function("graft_qdot", col("qv"), col("cv")).as("qcv"))
+        .join(lutsFor(qs, cb, m), "query_id"))
+    val cands = encoded.join(probeLuts, "cell")
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("qn2"),
+        col("id").as("vec_id"), col("n2"),
+        adcCosine(m, codes, col("qcv")).as("adc"))
     rerankExact(cands, corp, k, rerank)
   }
 }

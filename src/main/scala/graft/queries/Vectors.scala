@@ -125,6 +125,19 @@ object Vectors {
           cells = 8, nprobe = 2)
         .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
         .orderBy("query_id", "rank")
+    }),
+    "ann_ivfpq_residual" -> ((s, d) => {
+      // IVFADC with RESIDUAL encoding (Pq.ivfResidualTopK) — the exact
+      // Jégou §IV / FAISS-IVFADC form: PQ codes quantize v − centroid,
+      // and the ADC estimate decomposes into the exact per-(query,
+      // probed-cell) q·cv term plus the residual LUT sum. All integer
+      // arithmetic; the oracle composes the IVF chain, the residual
+      // subtraction, and the PQ chain over residuals.
+      val corpus = prepped(s, d)
+      graft.operators.Pq.ivfResidualTopK(corpus.where(col("id") < 5),
+          corpus, 10, cells = 8, nprobe = 2)
+        .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -425,6 +438,82 @@ object Vectors {
          |        JOIN lut l ON l.query_id = p.query_id
          |                  AND l.m = e2.m AND l.code = e2.code
          |        JOIN n c ON c.vec_id = e2.id
+         |        WHERE e2.id <> l.query_id GROUP BY 1, 2, 3),
+         |short AS (SELECT query_id, vec_id FROM (
+         |            SELECT query_id, vec_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY CAST(adot AS DOUBLE)
+         |                           / sqrt(CAST(qn2 * n2 AS DOUBLE)) DESC,
+         |                         vec_id) AS rn
+         |            FROM adc) WHERE rn <= 50),
+         |scored AS (SELECT s.query_id, s.vec_id,
+         |             ${cosFor("sq.v", "sc.v", "sq.n2", "sc.n2")} AS cos
+         |           FROM short s JOIN n sq ON sq.vec_id = s.query_id
+         |                        JOIN n sc ON sc.vec_id = s.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id) AS INT) AS rank FROM scored)
+         |SELECT query_id, vec_id, rank, cos FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+    "ann_ivfpq_residual" -> {
+      // Residual-encoding IVFADC mirror: the ivfAssignSql chain, then
+      // rv = v − cv[cell] per vector, the PQ chain trained/encoded on
+      // rv, and the ADC estimate any_value(qcv) + Σ pd — qcv the exact
+      // integer q·cv of the probed cell. Integer arithmetic end to end.
+      val l2 = (a: String, b: String) =>
+        s"""list_sum(list_transform(range(1, 9),
+           |        k -> ($a[k] - $b[k]) * ($a[k] - $b[k])))""".stripMargin
+      s"""WITH $prepSql,
+         |$ivfAssignSql,
+         |resid AS (SELECT a.vec_id AS id,
+         |            list_transform(range(1, 65), j -> a.v[j] - c.cv[j]) AS rv,
+         |            a.cell, a.n2
+         |          FROM asg a JOIN cn c USING (cell)),
+         |subs AS (SELECT id, CAST(t.m AS INT) AS m,
+         |           list_slice(rv, t.m * 8 + 1, t.m * 8 + 8) AS sub
+         |         FROM resid, UNNEST(range(0, 8)) AS t(m)),
+         |pseeds AS (SELECT m, CAST(id AS INT) AS code, sub AS c
+         |           FROM subs WHERE id < 16),
+         |a0 AS (SELECT id, m, sub, code FROM (
+         |         SELECT s.id, s.m, s.sub, sd.code,
+         |           row_number() OVER (PARTITION BY s.id, s.m
+         |             ORDER BY ${l2("s.sub", "sd.c")}, sd.code) AS rn
+         |         FROM subs s JOIN pseeds sd USING (m)) WHERE rn = 1),
+         |rf AS (SELECT m, code, list(cq ORDER BY pos) AS c FROM (
+         |         SELECT m, code, t.k AS pos,
+         |           CAST(floor(CAST(sum(sub[t.k]) AS DOUBLE) / count(*)
+         |                      + 0.5) AS BIGINT) AS cq
+         |         FROM a0, UNNEST(range(1, 9)) AS t(k)
+         |         GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |cb AS (SELECT s.m, s.code, COALESCE(r.c, s.c) AS c
+         |       FROM pseeds s LEFT JOIN rf r ON r.m = s.m AND r.code = s.code),
+         |enc AS (SELECT id, m, code FROM (
+         |          SELECT s.id, s.m, cb.code,
+         |            row_number() OVER (PARTITION BY s.id, s.m
+         |              ORDER BY ${l2("s.sub", "cb.c")}, cb.code) AS rn
+         |          FROM subs s JOIN cb USING (m)) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM n
+         |      WHERE vec_id < 5),
+         |ps AS (SELECT q.query_id, c.cell,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |           j -> q.qv[j] * c.cv[j])) AS BIGINT) AS qcv,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${cosFor("q.qv", "c.cv", "q.qn2", "c.cn2")} DESC,
+         |                    c.cell) AS rn
+         |       FROM q CROSS JOIN cn c),
+         |probe AS (SELECT query_id, cell, qcv FROM ps WHERE rn <= 2),
+         |lut AS (SELECT qq.vec_id AS query_id, qq.n2 AS qn2, cb.m, cb.code,
+         |          CAST(list_sum(list_transform(range(1, 9),
+         |            k -> qq.v[cb.m * 8 + k] * cb.c[k])) AS BIGINT) AS pd
+         |        FROM n qq CROSS JOIN cb WHERE qq.vec_id < 5),
+         |adc AS (SELECT l.query_id, e2.id AS vec_id, r.n2,
+         |          CAST(any_value(p.qcv) + sum(l.pd) AS BIGINT) AS adot,
+         |          any_value(l.qn2) AS qn2
+         |        FROM enc e2
+         |        JOIN resid r ON r.id = e2.id
+         |        JOIN probe p ON p.cell = r.cell
+         |        JOIN lut l ON l.query_id = p.query_id
+         |                  AND l.m = e2.m AND l.code = e2.code
          |        WHERE e2.id <> l.query_id GROUP BY 1, 2, 3),
          |short AS (SELECT query_id, vec_id FROM (
          |            SELECT query_id, vec_id,

@@ -332,4 +332,17 @@ class PlanShapeSpec extends SparkSpec {
            adcJoin.get.contains("Right keys [1]: [cell#"),
       s"ADC candidate join must be keyed on cell:\n${adcJoin.get}")
   }
+
+  test("ann_ivfpq_residual: the residual ADC candidate scan is also a " +
+       "hash join on the probed cell key") {
+    val p = plan("ann_ivfpq_residual")
+    val blocks = p.split("\n\n")
+    val adcJoin = blocks.find(b => b.contains("BroadcastHashJoin") &&
+      b.contains("Join condition: NOT (id#"))
+    assert(adcJoin.isDefined,
+      s"residual ADC candidate join must be a BroadcastHashJoin:\n$p")
+    assert(adcJoin.get.contains("Left keys [1]: [cell#") ||
+           adcJoin.get.contains("Right keys [1]: [cell#"),
+      s"residual ADC candidate join must be keyed on cell:\n${adcJoin.get}")
+  }
 }

@@ -112,4 +112,57 @@ class PqSpec extends SparkSpec {
     assert(covered.toDouble / flatInProbed.size >= 0.9,
       s"only $covered/${flatInProbed.size} probed-cell flat hits found")
   }
+
+  test("residual IVFADC confines candidates to probed cells, reports " +
+       "exact scores, and reaches sane recall within the probed cells") {
+    val res = Pq.ivfResidualTopK(queries, corpus, 10, cells = 8,
+        nprobe = 2, rerank = 60)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    assert(res.nonEmpty)
+
+    val corp = corpus.select(col("id"), col("v"), col("n2"))
+    val seeds = corp.where(col("id") < 8)
+      .select(col("id").cast("int").as("cell"),
+        col("v").as("cv"), col("n2").as("cn2"))
+    val cents = Ivf.refine(Ivf.assign(corp, seeds)).localCheckpoint()
+    val cellOf = Ivf.assign(corp, cents).select(col("id"), col("cell"))
+      .as[(Long, Int)].collect().toMap
+    val probed = Ivf.probe(
+        queries.select(col("id"), col("v"), col("n2")), cents, 2)
+      .select(col("query_id"), col("cell"))
+      .as[(Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    res.foreach { case (q, v, _) =>
+      assert(probed(q).contains(cellOf(v)),
+        s"hit ($q,$v) in unprobed cell ${cellOf(v)}")
+    }
+
+    // scores are EXACT cosines (residual coding moves the ADC
+    // estimate, never the re-ranked scores)
+    val allExact = Similarity.cosineTopK(queries, corpus, 1000)
+      .select(col("query_id"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    res.foreach { case (q, v, c) =>
+      assert(allExact((q, v)) === c, s"score mismatch for ($q,$v)")
+    }
+
+    // recall floor against the probed-cell-restricted exact answer:
+    // the best 10 exact neighbors within each query's probed cells —
+    // residual ADC should recover most of them through the rerank=60
+    // shortlist (a weak floor; typical is near-total)
+    val bestInProbed = allExact.toSeq
+      .filter { case ((q, v), _) => probed(q).contains(cellOf(v)) }
+      .groupBy(_._1._1).view.mapValues(
+        _.sortBy { case ((_, v), c) => (-c, v) }.take(10)
+          .map(_._1._2).toSet)
+    val resSets = res.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = bestInProbed.map { case (q, want) =>
+      resSets.getOrElse(q, Set.empty).intersect(want).size.toDouble /
+        math.max(1, want.size)
+    }.toSeq
+    assert(recalls.sum / recalls.size >= 0.6,
+      s"mean probed-cell recall ${recalls.sum / recalls.size} below 0.6")
+  }
 }
