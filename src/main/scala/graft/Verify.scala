@@ -66,21 +66,31 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .filter { case (name, _) =>
         includeQuadratic || !quadraticExact.contains(name) }
-    val futures = attempted.map { case (name, fn) =>
-      Future {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        }
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+               tag: String): Boolean = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs$tag")
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed$tag: ${e.getMessage}")
+          false
       }
+    }
+    val futures = attempted.map { case (name, fn) =>
+      Future { if (!runOne(name, fn, "")) failed.add(name) }
     }
     Await.result(Future.sequence(futures), Duration.Inf)
     pool.shutdown()
+    // Failures under the parallel pass are often CONTENTION (8 threads
+    // sharing driver broadcast memory — a large-SF graph query lost
+    // its broadcast build this way in r11), not query bugs: retry each
+    // once serially with the whole JVM to itself before reporting.
+    failed.forEach(name => { runOne(name, SparkEntry.queries(name), " (serial retry)"); () })
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
