@@ -79,6 +79,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairs at threshold 0.25 keeps pairs whose Jaccard is " +
+       "EXACTLY the threshold (the float positional-bound trap)") {
+    // t = 0.25 makes t/(1+t) round UP in IEEE double (0.2000…0111), so
+    // before the epsilon guard ceil(t/(1+t)·(n1+n2)) could come out
+    // one too high and the positional filter dropped a genuinely
+    // qualifying boundary pair (n1=2, n2=3, overlap 1 → J = 1/4
+    // exactly). Construct many such boundary pairs across word
+    // permutations so the shared trigram lands at every prefix
+    // position on both sides of the global hash order.
+    val words = Vector("alpha", "bravo", "carol", "delta", "echo",
+      "fox", "golf", "hotel", "india", "julie", "kilo", "lima")
+    val cases = for {
+      a <- words.indices; b = (a + 1) % words.size; c = (a + 2) % words.size
+      d = (a + 3) % words.size; e = (a + 4) % words.size; f = (a + 5) % words.size
+    } yield (
+      // doc1: 4 words → 2 trigrams; doc2: 5 words → 3 trigrams;
+      // shared trigram (b c d) → J = 1 / (2 + 3 − 1) = 0.25 exactly
+      s"${words(a)} ${words(b)} ${words(c)} ${words(d)}",
+      s"${words(b)} ${words(c)} ${words(d)} ${words(e)} ${words(f)}")
+    cases.zipWithIndex.foreach { case ((t1, t2), i) =>
+      val docs = Seq((0L, t1), (1L, t2)).toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .jaccardPairs(docs, "doc_id", "text", 0.25)
+        .select("d1", "d2", "jac").as[(Long, Long, Double)].collect()
+      assert(got.toSeq === Seq((0L, 1L, 0.25)),
+        s"case $i ($t1 | $t2): expected the exact-threshold pair, got " +
+          got.mkString(","))
+      val gotFreq = graft.operators.Dedup
+        .jaccardPairsFreq(docs, "doc_id", "text", 0.25)
+        .select("d1", "d2", "jac").as[(Long, Long, Double)].collect()
+      assert(gotFreq.toSeq === Seq((0L, 1L, 0.25)), s"freq case $i")
+    }
+  }
+
   test("simhash 4x15-bit chunk banding never misses a pair at " +
        "hamming <= 3 (pigeonhole)") {
     val rng = new Random(11)
