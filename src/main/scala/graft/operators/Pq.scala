@@ -204,18 +204,47 @@ object Pq {
               cells: Int = 8, nprobe: Int = 2,
               m: Int = 8, codes: Int = 16, rerank: Int = 50): DataFrame = {
     val corp = corpus.select(col("id"), col("v"), col("n2"))
-    val qs = queries.select(col("id"), col("v"), col("n2"))
-    // coarse quantizer: seeds = rows id < cells, one Lloyd refinement
+    val (cents, cb, encoded) = buildIvfPqIndex(corp, cells, m, codes)
+    searchIvfPq(queries, encoded, cents, cb, corp, k, nprobe, m, codes,
+      rerank)
+  }
+
+  /** Build the three IVFADC index frames once — the OFFLINE half a
+    * production deployment persists: the centroid table (C rows), the
+    * PQ codebook (M×K rows), and the encoded corpus
+    * (id, codes, n2, cell — ~M bytes + a cell tag per vector). The
+    * encoded frame is designed to be written `partitionBy("cell")`:
+    * the search-side cell join then prunes at listing time
+    * ([[searchIvfPq]], `ann_ivfpq_persisted`).
+    */
+  def buildIvfPqIndex(corpus: DataFrame, cells: Int, m: Int,
+                      codes: Int): (DataFrame, DataFrame, DataFrame) = {
+    val corp = corpus.select(col("id"), col("v"), col("n2"))
     val seeds = corp.where(col("id") < cells)
       .select(col("id").cast("int").as("cell"),
         col("v").as("cv"), col("n2").as("cn2"))
     val cents = Ivf.refine(Ivf.assign(corp, seeds)).localCheckpoint(false)
     val cellOf = Ivf.assign(corp, cents).select(col("id"), col("cell"))
-    // PQ codebook + per-vector codes, tagged with the vector's cell
     val cb = train(corp, m, codes).localCheckpoint(false)
     val encoded = encode(corp, cb, m)
       .join(corp.select(col("id"), col("n2")), "id")
       .join(cellOf, "id")
+    (cents, cb, encoded)
+  }
+
+  /** The ONLINE half: probe queries to `nprobe` cells, ADC-score only
+    * probed-cell rows of `encoded`, exact-re-rank against `corpus`.
+    * `encoded` may be the frame [[buildIvfPqIndex]] just built OR a
+    * persisted copy read back from a cell-partitioned table — in the
+    * latter case the broadcast cell join plants a dynamic-partition-
+    * pruning filter on the scan and unprobed cells are never read.
+    */
+  def searchIvfPq(queries: DataFrame, encoded: DataFrame,
+                  cents: DataFrame, cb: DataFrame, corpus: DataFrame,
+                  k: Int, nprobe: Int, m: Int, codes: Int,
+                  rerank: Int): DataFrame = {
+    val corp = corpus.select(col("id"), col("v"), col("n2"))
+    val qs = queries.select(col("id"), col("v"), col("n2"))
     // (query, probed cell) × LUT — tiny, broadcast into the cell join
     val probeLuts = broadcast(
       Ivf.probe(qs, cents, nprobe).select(col("query_id"), col("cell"))

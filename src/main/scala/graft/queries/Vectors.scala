@@ -126,6 +126,27 @@ object Vectors {
         .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
         .orderBy("query_id", "rank")
     }),
+    "ann_ivfpq_persisted" -> ((s, d) => {
+      // The PERSISTED-index IVFADC path — the deployment shape: the
+      // encoded corpus is written partitionBy(cell) (the offline build
+      // a production system runs once), read back, and searched. The
+      // broadcast probe join plants a dynamic-partition-pruning filter
+      // on the read-back scan, so unprobed cells' files are never read
+      // (PlanShapeSpec pins the DPP filter). Same math as
+      // ann_ivfpq_adc → same oracle, hash-matched.
+      val corpus = prepped(s, d)
+      val (cents, cb, encoded) =
+        graft.operators.Pq.buildIvfPqIndex(corpus, cells = 8, m = 8,
+          codes = 16)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_idx").toString
+      encoded.write.mode("overwrite").partitionBy("cell").parquet(dir)
+      graft.operators.Pq.searchIvfPq(corpus.where(col("id") < 5),
+          s.read.parquet(dir), cents, cb, corpus,
+          k = 10, nprobe = 2, m = 8, codes = 16, rerank = 50)
+        .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
+        .orderBy("query_id", "rank")
+    }),
     "ann_ivfpq_residual" -> ((s, d) => {
       // IVFADC with RESIDUAL encoding (Pq.ivfResidualTopK) — the exact
       // Jégou §IV / FAISS-IVFADC form: PQ codes quantize v − centroid,
@@ -205,6 +226,83 @@ object Vectors {
     */
   private val scaledCellsSql =
     "SELECT GREATEST(8, CAST(ceil(count(*) / 250.0) AS BIGINT)) FROM embeddings"
+
+  /** IVFADC mirror, shared by the in-memory and persisted-index
+    * paths (identical math - persistence only changes the layout).
+    */
+  private lazy val ivfPqAdcOracleSql: String = {
+      // IVFADC mirror: the ann_ivf_kmeans coarse-quantizer chain
+      // (ivfAssignSql → asg/cn) composed with the ann_pq_adc codebook/
+      // encode chain (PQ CTEs prefixed p- to avoid the seeds clash),
+      // with the ADC scan restricted to each query's nprobe=2 probed
+      // cells via asg's cell tags. No residual encoding on either
+      // side, so surviving candidates score identically to the flat
+      // ADC scan. All integer arithmetic + single IEEE divisions.
+      val l2 = (a: String, b: String) =>
+        s"""list_sum(list_transform(range(1, 9),
+           |        k -> ($a[k] - $b[k]) * ($a[k] - $b[k])))""".stripMargin
+      s"""WITH $prepSql,
+         |$ivfAssignSql,
+         |subs AS (SELECT vec_id AS id, CAST(t.m AS INT) AS m,
+         |           list_slice(v, t.m * 8 + 1, t.m * 8 + 8) AS sub
+         |         FROM n, UNNEST(range(0, 8)) AS t(m)),
+         |pseeds AS (SELECT m, CAST(id AS INT) AS code, sub AS c
+         |           FROM subs WHERE id < 16),
+         |a0 AS (SELECT id, m, sub, code FROM (
+         |         SELECT s.id, s.m, s.sub, sd.code,
+         |           row_number() OVER (PARTITION BY s.id, s.m
+         |             ORDER BY ${l2("s.sub", "sd.c")}, sd.code) AS rn
+         |         FROM subs s JOIN pseeds sd USING (m)) WHERE rn = 1),
+         |rf AS (SELECT m, code, list(cq ORDER BY pos) AS c FROM (
+         |         SELECT m, code, t.k AS pos,
+         |           CAST(floor(CAST(sum(sub[t.k]) AS DOUBLE) / count(*)
+         |                      + 0.5) AS BIGINT) AS cq
+         |         FROM a0, UNNEST(range(1, 9)) AS t(k)
+         |         GROUP BY 1, 2, 3) GROUP BY 1, 2),
+         |cb AS (SELECT s.m, s.code, COALESCE(r.c, s.c) AS c
+         |       FROM pseeds s LEFT JOIN rf r ON r.m = s.m AND r.code = s.code),
+         |enc AS (SELECT id, m, code FROM (
+         |          SELECT s.id, s.m, cb.code,
+         |            row_number() OVER (PARTITION BY s.id, s.m
+         |              ORDER BY ${l2("s.sub", "cb.c")}, cb.code) AS rn
+         |          FROM subs s JOIN cb USING (m)) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM n
+         |      WHERE vec_id < 5),
+         |ps AS (SELECT q.query_id, c.cell,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |           ORDER BY ${cosFor("q.qv", "c.cv", "q.qn2", "c.cn2")} DESC,
+         |                    c.cell) AS rn
+         |       FROM q CROSS JOIN cn c),
+         |probe AS (SELECT query_id, cell FROM ps WHERE rn <= 2),
+         |lut AS (SELECT qq.vec_id AS query_id, qq.n2 AS qn2, cb.m, cb.code,
+         |          CAST(list_sum(list_transform(range(1, 9),
+         |            k -> qq.v[cb.m * 8 + k] * cb.c[k])) AS BIGINT) AS pd
+         |        FROM n qq CROSS JOIN cb WHERE qq.vec_id < 5),
+         |adc AS (SELECT l.query_id, e2.id AS vec_id, c.n2,
+         |          CAST(sum(l.pd) AS BIGINT) AS adot, any_value(l.qn2) AS qn2
+         |        FROM enc e2
+         |        JOIN asg a ON a.vec_id = e2.id
+         |        JOIN probe p ON p.cell = a.cell
+         |        JOIN lut l ON l.query_id = p.query_id
+         |                  AND l.m = e2.m AND l.code = e2.code
+         |        JOIN n c ON c.vec_id = e2.id
+         |        WHERE e2.id <> l.query_id GROUP BY 1, 2, 3),
+         |short AS (SELECT query_id, vec_id FROM (
+         |            SELECT query_id, vec_id,
+         |              row_number() OVER (PARTITION BY query_id
+         |                ORDER BY CAST(adot AS DOUBLE)
+         |                           / sqrt(CAST(qn2 * n2 AS DOUBLE)) DESC,
+         |                         vec_id) AS rn
+         |            FROM adc) WHERE rn <= 50),
+         |scored AS (SELECT s.query_id, s.vec_id,
+         |             ${cosFor("sq.v", "sc.v", "sq.n2", "sc.n2")} AS cos
+         |           FROM short s JOIN n sq ON sq.vec_id = s.query_id
+         |                        JOIN n sc ON sc.vec_id = s.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, vec_id) AS INT) AS rank FROM scored)
+         |SELECT query_id, vec_id, rank, cos FROM ranked
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "embedding_label_centroids" ->
@@ -382,79 +480,8 @@ object Vectors {
          |SELECT query_id, vec_id, rank, cos FROM ranked
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
     },
-    "ann_ivfpq_adc" -> {
-      // IVFADC mirror: the ann_ivf_kmeans coarse-quantizer chain
-      // (ivfAssignSql → asg/cn) composed with the ann_pq_adc codebook/
-      // encode chain (PQ CTEs prefixed p- to avoid the seeds clash),
-      // with the ADC scan restricted to each query's nprobe=2 probed
-      // cells via asg's cell tags. No residual encoding on either
-      // side, so surviving candidates score identically to the flat
-      // ADC scan. All integer arithmetic + single IEEE divisions.
-      val l2 = (a: String, b: String) =>
-        s"""list_sum(list_transform(range(1, 9),
-           |        k -> ($a[k] - $b[k]) * ($a[k] - $b[k])))""".stripMargin
-      s"""WITH $prepSql,
-         |$ivfAssignSql,
-         |subs AS (SELECT vec_id AS id, CAST(t.m AS INT) AS m,
-         |           list_slice(v, t.m * 8 + 1, t.m * 8 + 8) AS sub
-         |         FROM n, UNNEST(range(0, 8)) AS t(m)),
-         |pseeds AS (SELECT m, CAST(id AS INT) AS code, sub AS c
-         |           FROM subs WHERE id < 16),
-         |a0 AS (SELECT id, m, sub, code FROM (
-         |         SELECT s.id, s.m, s.sub, sd.code,
-         |           row_number() OVER (PARTITION BY s.id, s.m
-         |             ORDER BY ${l2("s.sub", "sd.c")}, sd.code) AS rn
-         |         FROM subs s JOIN pseeds sd USING (m)) WHERE rn = 1),
-         |rf AS (SELECT m, code, list(cq ORDER BY pos) AS c FROM (
-         |         SELECT m, code, t.k AS pos,
-         |           CAST(floor(CAST(sum(sub[t.k]) AS DOUBLE) / count(*)
-         |                      + 0.5) AS BIGINT) AS cq
-         |         FROM a0, UNNEST(range(1, 9)) AS t(k)
-         |         GROUP BY 1, 2, 3) GROUP BY 1, 2),
-         |cb AS (SELECT s.m, s.code, COALESCE(r.c, s.c) AS c
-         |       FROM pseeds s LEFT JOIN rf r ON r.m = s.m AND r.code = s.code),
-         |enc AS (SELECT id, m, code FROM (
-         |          SELECT s.id, s.m, cb.code,
-         |            row_number() OVER (PARTITION BY s.id, s.m
-         |              ORDER BY ${l2("s.sub", "cb.c")}, cb.code) AS rn
-         |          FROM subs s JOIN cb USING (m)) WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, v AS qv, n2 AS qn2 FROM n
-         |      WHERE vec_id < 5),
-         |ps AS (SELECT q.query_id, c.cell,
-         |         row_number() OVER (PARTITION BY q.query_id
-         |           ORDER BY ${cosFor("q.qv", "c.cv", "q.qn2", "c.cn2")} DESC,
-         |                    c.cell) AS rn
-         |       FROM q CROSS JOIN cn c),
-         |probe AS (SELECT query_id, cell FROM ps WHERE rn <= 2),
-         |lut AS (SELECT qq.vec_id AS query_id, qq.n2 AS qn2, cb.m, cb.code,
-         |          CAST(list_sum(list_transform(range(1, 9),
-         |            k -> qq.v[cb.m * 8 + k] * cb.c[k])) AS BIGINT) AS pd
-         |        FROM n qq CROSS JOIN cb WHERE qq.vec_id < 5),
-         |adc AS (SELECT l.query_id, e2.id AS vec_id, c.n2,
-         |          CAST(sum(l.pd) AS BIGINT) AS adot, any_value(l.qn2) AS qn2
-         |        FROM enc e2
-         |        JOIN asg a ON a.vec_id = e2.id
-         |        JOIN probe p ON p.cell = a.cell
-         |        JOIN lut l ON l.query_id = p.query_id
-         |                  AND l.m = e2.m AND l.code = e2.code
-         |        JOIN n c ON c.vec_id = e2.id
-         |        WHERE e2.id <> l.query_id GROUP BY 1, 2, 3),
-         |short AS (SELECT query_id, vec_id FROM (
-         |            SELECT query_id, vec_id,
-         |              row_number() OVER (PARTITION BY query_id
-         |                ORDER BY CAST(adot AS DOUBLE)
-         |                           / sqrt(CAST(qn2 * n2 AS DOUBLE)) DESC,
-         |                         vec_id) AS rn
-         |            FROM adc) WHERE rn <= 50),
-         |scored AS (SELECT s.query_id, s.vec_id,
-         |             ${cosFor("sq.v", "sc.v", "sq.n2", "sc.n2")} AS cos
-         |           FROM short s JOIN n sq ON sq.vec_id = s.query_id
-         |                        JOIN n sc ON sc.vec_id = s.vec_id),
-         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |             ORDER BY cos DESC, vec_id) AS INT) AS rank FROM scored)
-         |SELECT query_id, vec_id, rank, cos FROM ranked
-         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
-    },
+    "ann_ivfpq_adc" -> ivfPqAdcOracleSql,
+    "ann_ivfpq_persisted" -> ivfPqAdcOracleSql,
     "ann_ivfpq_residual" -> {
       // Residual-encoding IVFADC mirror: the ivfAssignSql chain, then
       // rv = v − cv[cell] per vector, the PQ chain trained/encoded on

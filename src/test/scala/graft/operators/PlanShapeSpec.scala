@@ -345,4 +345,14 @@ class PlanShapeSpec extends SparkSpec {
            adcJoin.get.contains("Right keys [1]: [cell#"),
       s"residual ADC candidate join must be keyed on cell:\n${adcJoin.get}")
   }
+
+  test("ann_ivfpq_persisted: the cell-partitioned index scan carries a " +
+       "dynamic-partition-pruning filter — unprobed cells never read") {
+    val p = plan("ann_ivfpq_persisted")
+    val idxScan = p.split("\n\n").find(b =>
+      b.contains("Scan parquet") && b.contains("graft_ivfpq_idx"))
+    assert(idxScan.isDefined, s"persisted index scan missing:\n$p")
+    assert(idxScan.get.contains("dynamicpruning"),
+      s"expected a DPP PartitionFilter on the index scan:\n${idxScan.get}")
+  }
 }
