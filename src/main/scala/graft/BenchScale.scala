@@ -44,7 +44,7 @@ object BenchScale {
     // must stay cell-pruned, never full-corpus). The residual variant
     // shares the plan class, so it rides the probe but not the
     // headline set (ann_ivfpq_adc covers the class there).
-    "ann_ivfpq_adc", "ann_ivfpq_residual")
+    "ann_ivfpq_adc", "ann_ivfpq_residual", "ann_ivfpq_persisted")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
