@@ -204,18 +204,18 @@ object Bench {
     // comparisons, so the round artifact must be self-contained. The
     // per-query MIN map (no stats) is ~1.4 KB for 46 queries — inside
     // the ~2 KB tail window the compact line was sized for.
-    val withQueries =
+    val compactHead =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""runs":$nRuns,"queries_n":${results.size},"errors_n":${failed.size},""" +
-      s""""aqe_primary":$aqePrimary,"queries":${minsJson(results)},""" +
-      s""""full_stats":"$outPath"}"""
+      s""""aqe_primary":$aqePrimary,"""
+    val compactTail = s""""full_stats":"$outPath"}"""
+    val withQueries =
+      compactHead + s""""queries":${minsJson(results)},""" + compactTail
     // guard: if the headline set ever grows the line past the tail
     // window, drop the per-query map rather than truncate mid-JSON
     val compact =
       if (withQueries.length <= 1900) withQueries
-      else s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir",""" +
-        s""""runs":$nRuns,"queries_n":${results.size},"errors_n":${failed.size},""" +
-        s""""aqe_primary":$aqePrimary,"full_stats":"$outPath"}"""
+      else compactHead + compactTail
     println(compact)
     System.out.flush()
   }

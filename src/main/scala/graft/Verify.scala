@@ -66,6 +66,37 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .filter { case (name, _) =>
         includeQuadratic || !quadraticExact.contains(name) }
+
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    // — a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness.
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // ALWAYS the full map, even for subset runs: a subset dump into a
+    // previously-full output dir must not clobber the other queries'
+    // oracles (that once silently fed an sf1 sweep a 1-entry oracle
+    // file and let resume republish stale rows). check.py skips
+    // oracle entries whose outputs are absent, so the fast loop still
+    // only checks the subset.
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // The names THIS run tried to dump (post subset/quadratic filters):
+    // lets check.py fail a crashed query (attempted but no output)
+    // while still skipping queries that were never part of the run.
+    // Written BEFORE any query launches, so a whole-JVM crash mid-run
+    // leaves the list on disk and check.py fails the missing outputs
+    // instead of reading them as a benign subset skip.
+    Files.writeString(Paths.get(s"$outDir/attempted.json"),
+      attempted.map(t => q(t._1)).mkString("[", ",", "]"))
+
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                tag: String): Boolean = {
@@ -92,32 +123,7 @@ object Verify {
     // once serially with the whole JVM to itself before reporting.
     failed.forEach(name => { runOne(name, SparkEntry.queries(name), " (serial retry)"); () })
 
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    // ALWAYS the full map, even for subset runs: a subset dump into a
-    // previously-full output dir must not clobber the other queries'
-    // oracles (that once silently fed an sf1 sweep a 1-entry oracle
-    // file and let resume republish stale rows). check.py skips
-    // oracle entries whose outputs are absent, so the fast loop still
-    // only checks the subset.
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // The names THIS run tried to dump (post subset/quadratic filters):
-    // lets check.py fail a crashed query (attempted but no output)
-    // while still skipping queries that were never part of the run.
-    Files.writeString(Paths.get(s"$outDir/attempted.json"),
-      attempted.map(t => q(t._1)).mkString("[", ",", "]"))
+
     spark.stop()
   }
 }

@@ -65,7 +65,13 @@ object Dedup {
       // would pin an input-sized cache entry per call (see Packing)
     // sh is sorted by hash — a uniform global order — so the prefix is
     // simply the leading slice; no per-doc reordering pass needed.
-    val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    // Same float guard as the positional bound: when t*n rounds UP past
+    // an exact integer (t=0.07, n=100 -> 7.000000000000001) a bare ceil
+    // would shorten the prefix by one and silently drop a qualifying
+    // pair that the verify step can never recover. Subtracting epsilon
+    // can only LENGTHEN the prefix (extra candidates, filtered later).
+    val prefixLen =
+      (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int")
     val prefixes = base
       .select(col("doc"), col("n"),
         posexplode(slice(col("sh"), lit(1), prefixLen)).as(Seq("p", "s")))
@@ -123,7 +129,10 @@ object Dedup {
     // sh is per-doc distinct, so count(*) is document frequency.
     val dfreq = exploded.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc")).orderBy(col("df"), col("s"))
-    val prefixLen = (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")
+    // epsilon guard: see jaccardPairs — a float round-up of t*n must
+    // not shorten the prefix
+    val prefixLen =
+      (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int")
     // rn is the 1-based position in the (df, hash) GLOBAL total order —
     // consistent across docs, so the positional filter's
     // earliest-common-token argument holds here exactly as in the

@@ -209,6 +209,17 @@ object Pq {
       rerank)
   }
 
+  /** Coarse quantizer shared by every IVFADC variant: deterministic
+    * seeds (rows id < cells), one quantized-mean Lloyd refinement,
+    * lazily checkpointed (C rows — the refinement subtree runs once).
+    */
+  private def coarseQuantizer(corp: DataFrame, cells: Int): DataFrame = {
+    val seeds = corp.where(col("id") < cells)
+      .select(col("id").cast("int").as("cell"),
+        col("v").as("cv"), col("n2").as("cn2"))
+    Ivf.refine(Ivf.assign(corp, seeds)).localCheckpoint(false)
+  }
+
   /** Build the three IVFADC index frames once — the OFFLINE half a
     * production deployment persists: the centroid table (C rows), the
     * PQ codebook (M×K rows), and the encoded corpus
@@ -220,10 +231,7 @@ object Pq {
   def buildIvfPqIndex(corpus: DataFrame, cells: Int, m: Int,
                       codes: Int): (DataFrame, DataFrame, DataFrame) = {
     val corp = corpus.select(col("id"), col("v"), col("n2"))
-    val seeds = corp.where(col("id") < cells)
-      .select(col("id").cast("int").as("cell"),
-        col("v").as("cv"), col("n2").as("cn2"))
-    val cents = Ivf.refine(Ivf.assign(corp, seeds)).localCheckpoint(false)
+    val cents = coarseQuantizer(corp, cells)
     val cellOf = Ivf.assign(corp, cents).select(col("id"), col("cell"))
     val cb = train(corp, m, codes).localCheckpoint(false)
     val encoded = encode(corp, cb, m)
@@ -279,10 +287,7 @@ object Pq {
                       rerank: Int = 50): DataFrame = {
     val corp = corpus.select(col("id"), col("v"), col("n2"))
     val qs = queries.select(col("id"), col("v"), col("n2"))
-    val seeds = corp.where(col("id") < cells)
-      .select(col("id").cast("int").as("cell"),
-        col("v").as("cv"), col("n2").as("cn2"))
-    val cents = Ivf.refine(Ivf.assign(corp, seeds)).localCheckpoint(false)
+    val cents = coarseQuantizer(corp, cells)
     // residual frame (id, v := v − cv[cell], cell, n2): feeds BOTH the
     // codebook training and the encode scan — materialize once. n2
     // stays the ORIGINAL vector's exact norm (the ADC denominator).

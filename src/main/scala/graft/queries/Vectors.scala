@@ -138,8 +138,11 @@ object Vectors {
       val (cents, cb, encoded) =
         graft.operators.Pq.buildIvfPqIndex(corpus, cells = 8, m = 8,
           codes = 16)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_idx").toString
+      // deterministic per-sf path + overwrite, NOT a fresh temp dir per
+      // call: bench/probe loops invoke this repeatedly and a fresh dir
+      // each time would leak an encoded-corpus copy per run
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_idx_" +
+        java.lang.Integer.toHexString(d.hashCode)
       encoded.write.mode("overwrite").partitionBy("cell").parquet(dir)
       graft.operators.Pq.searchIvfPq(corpus.where(col("id") < 5),
           s.read.parquet(dir), cents, cb, corpus,

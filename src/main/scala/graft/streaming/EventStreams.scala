@@ -74,13 +74,26 @@ object EventStreams {
     */
   def tumblingCountsViaDisk(spark: org.apache.spark.sql.SparkSession,
                             sfDir: String): DataFrame = {
-    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // deterministic per-sf scratch root, recreated fresh each call:
+    // repeated invocations (bench loops, Verify reruns) must not leak
+    // a staged-source + sink + checkpoint triple per run, and a stale
+    // checkpoint from a previous code version must not resume into
+    // this run's sink
+    val root = Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ev_stream_" + java.lang.Integer.toHexString(sfDir.hashCode))
+    def reset(p: java.nio.file.Path): java.nio.file.Path = {
+      if (Files.exists(p))
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => { Files.delete(f); () })
+      Files.createDirectories(p)
+    }
     // the file source wants a directory; driver sf dirs ship a single
     // parquet FILE (stage it), GenSf writes Spark-style directories
     val src = new java.io.File(s"$sfDir/events.parquet")
     val srcDir = if (src.isDirectory) src.getPath else {
-      val tmp = Files.createTempDirectory("ev_stream_src")
+      val tmp = reset(root.resolve("src"))
       Files.copy(src.toPath, tmp.resolve("events.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
       tmp.toString
@@ -96,8 +109,8 @@ object EventStreams {
         raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
-    val outDir = Files.createTempDirectory("ev_stream_out").toString
-    val chkDir = Files.createTempDirectory("ev_stream_chk").toString
+    val outDir = reset(root.resolve("out")).toString
+    val chkDir = reset(root.resolve("chk")).toString
     val q = tumblingCounts(stream).writeStream
       .format("parquet").option("path", outDir)
       .option("checkpointLocation", chkDir)

@@ -32,6 +32,10 @@ try:
     attempted = set(json.load(open(f"{OUT}/attempted.json")))
 except FileNotFoundError:
     attempted = None
+except json.JSONDecodeError as e:
+    print(f"WARN: {OUT}/attempted.json unreadable ({e}); treating all "
+          "absent outputs as subset skips")
+    attempted = None
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:

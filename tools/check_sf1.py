@@ -104,11 +104,14 @@ def measured_depths(log_path):
                 # the max rounds — a global min across accumulated log
                 # lines could take a 0-edge fixpoint from an older,
                 # smaller run and vacuously "cover" absent depth lines
-                # of the run actually being checked
+                # of the run actually being checked. Ties on rounds keep
+                # the LARGER edge count: "emptied" (edges == 0) grants
+                # vacuous coverage downstream, so ambiguity must resolve
+                # toward requiring proof, never toward granting it.
                 if r > pr:
                     depths[key] = (r, e)
                 elif r == pr:
-                    depths[key] = (r, min(pe, e))
+                    depths[key] = (r, max(pe, e))
     return depths
 
 
@@ -245,10 +248,20 @@ def main():
     # form) — an absent output for them is the documented skip, not a
     # missing-dump red. Mirrors graft.Verify.quadraticExact.
     quadratic_excluded = {"graph_common_neighbors"}
-    # Verify only auto-excludes the quadratic variants at sf >= 0.1 —
-    # the skip row must not paper over a genuine crash at smaller SFs
-    # where the variant is supposed to run. SF is read off the sweep
-    # dir's trailing sf<number>, same rule graft.Verify applies.
+    # Verify's OWN record of what it tried to dump (attempted.json,
+    # written before any query launches, since r11) is the
+    # authoritative skip criterion — it already encodes the subset and
+    # quadratic-exclusion logic, so this side can't disagree with
+    # Verify about whether an absent output is a documented exclusion
+    # or a crash (re-deriving the SF from the path did disagree: a
+    # trailing slash made Verify parse sf=0 and RUN the quadratic
+    # variant while the old rule here still recorded the skip).
+    try:
+        attempted = set(json.load(open(f"{OUT}/attempted.json")))
+    except Exception:
+        attempted = None
+    # legacy fallback for output dirs without attempted.json: the old
+    # trailing-sf<number> parse, same shape graft.Verify applies
     m_sf = re.search(r"sf([0-9.]+)/?$", SF)
     sweep_sf = float(m_sf.group(1)) if m_sf else 0.0
     for name in sorted(oracle):
@@ -256,18 +269,28 @@ def main():
             continue
         files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
         if not files:
-            if name in quadratic_excluded and sweep_sf >= 0.1:
+            skip_reason = None
+            if attempted is not None and name not in attempted:
+                skip_reason = (
+                    "skipped: excluded by this Verify run "
+                    "(attempted.json; quadratic-exact variant — see the "
+                    "capped sibling's own row)"
+                    if name in quadratic_excluded
+                    else "skipped: not attempted by this Verify run "
+                         "(subset)")
+            elif (attempted is None and name in quadratic_excluded
+                  and sweep_sf >= 0.1):
+                skip_reason = ("skipped: exact-but-quadratic variant, "
+                               "mechanically excluded at sf>=0.1 "
+                               "(Verify.quadraticExact; no "
+                               "attempted.json in this output dir)")
+            if skip_reason is not None:
                 results[name] = {
                     "rows_match": None, "schema_match": None,
                     "hash_match": None, "spark_rows": None,
-                    "oracle_rows": None,
-                    "err": ("skipped: exact-but-quadratic variant, "
-                            "mechanically excluded at sf>=0.1 "
-                            "(Verify.quadraticExact; see the capped "
-                            "sibling's own row for its result)"),
+                    "oracle_rows": None, "err": skip_reason,
                     "sql_sha": sha[name]}
-                print(f"  SKIP {name} (quadratic-exact, excluded)",
-                      flush=True)
+                print(f"  SKIP {name}: {skip_reason}", flush=True)
                 json.dump(results, open(ARTIFACT, "w"), indent=2)
                 continue
             results[name] = {"rows_match": False, "schema_match": False,
