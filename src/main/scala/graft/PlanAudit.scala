@@ -13,6 +13,33 @@ import org.apache.spark.sql.execution.FormattedMode
   * table in PlanFamilySpec if the change is intentional.
   */
 object PlanAudit {
+
+  /** Number of partition-less window operators (`Window.orderBy` with
+    * no partitionBy — "Moving all data to a single partition") in the
+    * query's physical plan. Nonzero is only acceptable over frames
+    * PROVABLY bounded at any scale (a day spine, a top-k list, a
+    * fixed histogram); over raw- or aggregate-grain frames it is the
+    * classic 100 TB scale-killer. Verify emits this per query
+    * (plan_audit.json) and PlanShapeSpec pins the allowlist.
+    *
+    * Walks the AQE-resolved plan if present; window operators hidden
+    * behind an eager localCheckpoint taken at query-BUILD time are
+    * not visible here (none of the catalog's checkpointed subplans
+    * contain windows — the checkpoint boundaries wrap narrow range
+    * layouts and fixpoint states).
+    */
+  def globalWindowCount(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case w: WindowExecBase if w.partitionSpec.isEmpty => w
+    }.size
+  }
+
   def main(args: Array[String]): Unit = {
     val pattern = args.headOption.getOrElse("^(text_|dedup_)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
@@ -30,15 +57,16 @@ object PlanAudit {
       .filter(n => re.findFirstIn(n).isDefined)
     for (n <- names) {
       try {
-        val p = SparkEntry.queries(n)(spark, sfDir)
-          .queryExecution.explainString(FormattedMode)
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val p = df.queryExecution.explainString(FormattedMode)
         def c(rx: String) = rx.r.findAllIn(p).size
         println(s"AUDIT|$n|scans=${c("\\(\\d+\\) Scan parquet")}" +
           s"|gens=${c("\\(\\d+\\) Generate")}" +
           s"|exch=${c("\\(\\d+\\) Exchange")}" +
           s"|ckpt=${c("\\(\\d+\\) Scan ExistingRDD")}" +
           s"|cartesian=${c("CartesianProduct")}" +
-          s"|bnlj=${c("BroadcastNestedLoopJoin")}")
+          s"|bnlj=${c("BroadcastNestedLoopJoin")}" +
+          s"|gwin=${globalWindowCount(df)}")
       } catch {
         case t: Throwable => println(s"AUDIT|$n|ERROR ${t.getMessage}")
       }

@@ -98,12 +98,20 @@ object Verify {
       attempted.map(t => q(t._1)).mkString("[", ",", "]"))
 
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // Per-query partition-less-window count (PlanAudit.globalWindowCount)
+    // → plan_audit.json: the mechanical catch for the single-partition
+    // WindowExec scale-killer class, computed from the SAME DataFrame
+    // the dump ran (no re-execution of eagerly-built queries).
+    val gwin = new java.util.concurrent.ConcurrentHashMap[String, Int]()
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                tag: String): Boolean = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        try gwin.put(name, PlanAudit.globalWindowCount(df))
+        catch { case _: Throwable => () } // audit is best-effort
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs$tag")
         true
       } catch {
@@ -122,6 +130,12 @@ object Verify {
     // its broadcast build this way in r11), not query bugs: retry each
     // once serially with the whole JVM to itself before reporting.
     failed.forEach(name => { runOne(name, SparkEntry.queries(name), " (serial retry)"); () })
+
+    import scala.jdk.CollectionConverters._
+    Files.writeString(Paths.get(s"$outDir/plan_audit.json"),
+      gwin.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: {${q("global_windows")}: $v}" }
+        .mkString("{", ",", "}"))
 
 
     spark.stop()

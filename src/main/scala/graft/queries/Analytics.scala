@@ -711,29 +711,28 @@ object Analytics {
     "stats_ks_statistic" -> ((s, d) => {
       // A27: exact two-sample Kolmogorov–Smirnov distance between the
       // click and view value distributions — D = max |ECDF₁ − ECDF₂|
-      // evaluated at every sample point. Running conditional counts
-      // over one global value sort; ECDFs are double ratios of exact
-      // integers, so both engines compute identical doubles and the
-      // max picks the same point. Scaled to e9 for the hash. (The
-      // global sort is single-keyed: at corpus scale run it per
-      // segment key, same plan per group.)
+      // evaluated at every sample point. The running conditional
+      // counts under the one global value order come from
+      // TotalOrder.ordered — a range exchange + per-partition offset
+      // broadcast — NOT a partition-less window (which would sort the
+      // whole event corpus through a single reducer at 100 TB). The
+      // same pass hands back the two grand totals, so n1/n2 need no
+      // second aggregate. ECDFs are double ratios of exact integers,
+      // so both engines compute identical doubles and the max picks
+      // the same point; scaled to e9 for the hash.
       val ev = Tables.events(s, d)
         .where(col("event_type").isin("click", "view"))
         .select(col("event_type"),
           round(col("value") * 100, 0).cast("long").as("x"),
           col("event_id"))
-      val tot = ev.agg(
-        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n1"),
-        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n2"))
-      val w = Window.orderBy(col("x"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("c1", sum(when(col("event_type") === "click", 1L)
-            .otherwise(0L)).over(w))
-        .withColumn("c2", sum(when(col("event_type") === "view", 1L)
-            .otherwise(0L)).over(w))
-        .crossJoin(tot) // 1-row aggregate: broadcast NL, no data motion
-        .select(round(abs(col("c1").cast("double") / col("n1").cast("double")
-            - col("c2").cast("double") / col("n2").cast("double")) * 1e9)
+      val ord = graft.operators.TotalOrder.ordered(ev,
+        Seq(col("x"), col("event_id")),
+        Seq(when(col("event_type") === "click", 1L).otherwise(0L) -> "c1",
+            when(col("event_type") === "view", 1L).otherwise(0L) -> "c2"))
+      val (n1, n2) = (ord.totalSums(0), ord.totalSums(1))
+      ord.df
+        .select(round(abs(col("c1").cast("double") / lit(n1.toDouble)
+            - col("c2").cast("double") / lit(n2.toDouble)) * 1e9)
           .cast("long").as("d_e9"))
         .agg(max(col("d_e9")).as("ks_d_e9"))
     }),

@@ -73,17 +73,27 @@ object Robustness {
         .orderBy("l_orderkey", "l_linenumber")),
     "sort_nulls_ordering" -> ((s, d) => {
       // Explicit NULLS FIRST / NULLS LAST: engines disagree on default
-      // null placement, so portable sorts must pin it. Both ranks ride
-      // one ordering each; the rank column makes placement observable
-      // to the oracle hash.
+      // null placement, so portable sorts must pin it. Each rank is a
+      // distributed total-order pass (TotalOrder.withRowNumber — the
+      // frame is the raw customer table, so a partition-less
+      // row_number window would single-reducer it at scale), joined
+      // back on the unique key; the rank column makes placement
+      // observable to the oracle hash.
+      import graft.operators.TotalOrder
       val c = t(s, d, "customer")
-        .withColumn("val",
-          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
-      val nf = Window.orderBy(col("val").asc_nulls_first, col("c_custkey"))
-      val nl = Window.orderBy(col("val").desc_nulls_last, col("c_custkey").desc)
-      c.select(col("c_custkey"), col("val"),
-               row_number().over(nf).as("rn_nulls_first"),
-               row_number().over(nl).as("rn_nulls_last"))
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))
+            .as("val"))
+        .localCheckpoint() // feeds two independent total-order rankings
+      def rank(ord: Seq[org.apache.spark.sql.Column], out: String) =
+        TotalOrder.withRowNumber(c, ord, out)
+          .select(col("c_custkey"), col(out).cast("int").as(out))
+      c.join(rank(Seq(col("val").asc_nulls_first, col("c_custkey")),
+               "rn_nulls_first"), "c_custkey")
+        .join(rank(Seq(col("val").desc_nulls_last, col("c_custkey").desc),
+               "rn_nulls_last"), "c_custkey")
+        .select(col("c_custkey"), col("val"),
+               col("rn_nulls_first"), col("rn_nulls_last"))
         .orderBy("c_custkey")
     }),
     "limit_offset_page" -> ((s, d) =>

@@ -603,24 +603,31 @@ object Stats {
     "rfm_segments" -> ((s, d) => {
       // A40: RFM segmentation — the classic CRM triad: Recency (last
       // order date), Frequency (order count), Monetary (exact cent
-      // total) per customer, each cut into quintiles by ntile over a
-      // TOTAL order (value, then custkey — ntile needs the total
-      // order or engines tie-break differently), concatenated into
-      // the familiar 3-digit segment code. Three window passes over
-      // the same customer-sized aggregate; rollup by segment.
+      // total) per customer, each cut into quintiles over a TOTAL
+      // order (value, then custkey — ntile needs the total order or
+      // engines tie-break differently), concatenated into the
+      // familiar 3-digit segment code. Each quintile cut is
+      // TotalOrder.withNtile — distributed global rank + the SQL
+      // NTILE bucket formula — because a partition-less ntile window
+      // sorts the whole customer aggregate through one reducer; the
+      // three cuts join back on the unique custkey. Rollup by
+      // segment.
       val per = t(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate")).as("last_dt"),
           count(lit(1)).as("freq"),
           sum(round(col("o_totalprice") * 100, 0).cast("long"))
             .as("cents"))
-      val wR = Window.orderBy(col("last_dt"), col("o_custkey"))
-      val wF = Window.orderBy(col("freq"), col("o_custkey"))
-      val wM = Window.orderBy(col("cents"), col("o_custkey"))
+        .localCheckpoint() // feeds three independent total-order cuts
+      import graft.operators.TotalOrder
+      def cut(key: org.apache.spark.sql.Column, out: String) =
+        TotalOrder.withNtile(per.select(col("o_custkey"), key),
+            Seq(key, col("o_custkey")), 5, out)
+          .select(col("o_custkey"), col(out))
       per
-        .withColumn("r", ntile(5).over(wR))
-        .withColumn("f", ntile(5).over(wF))
-        .withColumn("m", ntile(5).over(wM))
+        .join(cut(col("last_dt"), "r"), "o_custkey")
+        .join(cut(col("freq"), "f"), "o_custkey")
+        .join(cut(col("cents"), "m"), "o_custkey")
         .withColumn("segment",
           concat(col("r").cast("string"), col("f").cast("string"),
             col("m").cast("string")))
@@ -656,20 +663,22 @@ object Stats {
       // classed A/B/C at 70%/90% cumulative share. The class test is
       // CROSS-MULTIPLIED integer arithmetic (cum·100 ≤ 70·total on
       // exact cents — the zscore-exact trick applied to running
-      // shares), so boundaries cannot drift between engines. One
-      // customer-sized window after the revenue aggregate; per-class
-      // rollup emits counts and share fixed-point e6.
+      // shares), so boundaries cannot drift between engines. The
+      // running revenue share under the (cents DESC, custkey) total
+      // order is TotalOrder.withRunningSum — range exchange +
+      // per-partition offsets, not a partition-less window that
+      // would drag every customer through one reducer — and the same
+      // pass returns the grand total, so no second full-frame window
+      // for the denominator. Per-class rollup emits counts and share
+      // fixed-point e6.
       val rev = t(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
           .as("cents"))
-      val wCum = Window.orderBy(col("cents").desc, col("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.orderBy(col("cents").desc, col("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      rev
-        .withColumn("cum", sum(col("cents")).over(wCum))
-        .withColumn("total", sum(col("cents")).over(wAll))
+      val ord = graft.operators.TotalOrder.withRunningSum(rev,
+        Seq(col("cents").desc, col("o_custkey")), col("cents"), "cum")
+      ord.df
+        .withColumn("total", lit(ord.totalSums(0)))
         .withColumn("cls",
           when(col("cum") * 100 <= col("total") * 70, "A")
             .when(col("cum") * 100 <= col("total") * 90, "B")
@@ -766,18 +775,26 @@ object Stats {
       val times = users.groupBy(col("t_min"))
         .agg(count(lit(1)).as("cnt"),
           sum(when(col("event"), 1L).otherwise(0L)).as("d"))
-      val wOrd = Window.orderBy(col("t_min"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wAll = Window.orderBy(col("t_min"))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      times
+      // The risk table is distinct-minute-sized — proportional to the
+      // observation SPAN, so both ordered cumsums go through
+      // TotalOrder (range exchange + offset broadcast) rather than a
+      // partition-less window: a year of events is half a million
+      // rows through one reducer, a non-issue; a decade of seconds
+      // wouldn't be. Pass 1 also returns the grand cnt total (the
+      // at-risk denominator), pass 2 accumulates the filtered hazard
+      // terms.
+      import graft.operators.TotalOrder
+      val cum = TotalOrder.withRunningSum(times, Seq(col("t_min")),
+        col("cnt"), "cum_cnt")
+      val atRisk = cum.df
         .withColumn("n_risk",
-          sum(col("cnt")).over(wAll) - sum(col("cnt")).over(wOrd) + col("cnt"))
+          lit(cum.totalSums(0)) - col("cum_cnt") + col("cnt"))
         .where(col("d") > 0)
         .withColumn("term",
           round(lit(1000000.0) * col("d").cast("double")
             / col("n_risk").cast("double"), 0).cast("long"))
-        .withColumn("cumhaz_fp_e6", sum(col("term")).over(wOrd))
+      TotalOrder.withRunningSum(atRisk, Seq(col("t_min")),
+          col("term"), "cumhaz_fp_e6").df
         .select(col("t_min"), col("n_risk"), col("d"), col("cumhaz_fp_e6"))
         .orderBy("t_min")
     }),
@@ -993,17 +1010,17 @@ object Stats {
       // standard fix). ENTIRELY integer: within-source rank rn of ns,
       // target global index ⌈N·rn/ns⌉ via the (a+b−1)/b trick (exact
       // under 2^53), one join against the globally-ranked values —
-      // no doubles anywhere. The global row_number here is an
-      // unpartitioned window (fine at verify scale); at 100 TB swap
-      // it for the distributed global rank: range-partitioned sort +
-      // per-partition offsets (Packing.withRunningOffset — the
-      // sample_weighted_systematic machinery), identical output.
+      // no doubles anywhere. The global ranking of values is the
+      // distributed total-order pass (TotalOrder.withRowNumber:
+      // range-partitioned sort + per-partition offset broadcast), not
+      // a partition-less window — a corpus-sized single-reducer sort
+      // at 100 TB. The per-source rank keeps its partitionBy(source)
+      // window: that one scales (state is per-source).
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
         .localCheckpoint() // feeds the per-source AND global rankings
       val wS = Window.partitionBy(col("source"))
         .orderBy(col("n_chars"), col("doc_id"))
-      val wG = Window.orderBy(col("n_chars"), col("doc_id"))
       val n = docs.count()
       val ranked = docs
         .withColumn("rn", row_number().over(wS).cast("long"))
@@ -1012,10 +1029,10 @@ object Stats {
         .withColumn("gidx",
           floor((lit(n) * col("rn") + col("ns") - 1)
             .cast("double") / col("ns").cast("double")).cast("long"))
-      val globalVals = docs
-        .select(col("n_chars").as("cal_n_chars"), col("doc_id").as("gd"))
-        .withColumn("gidx", row_number().over(
-          Window.orderBy(col("cal_n_chars"), col("gd"))).cast("long"))
+      val globalVals = graft.operators.TotalOrder.withRowNumber(
+          docs.select(col("n_chars").as("cal_n_chars"),
+            col("doc_id").as("gd")),
+          Seq(col("cal_n_chars"), col("gd")), "gidx")
         .select(col("gidx"), col("cal_n_chars"))
       ranked.join(globalVals, "gidx")
         .select(col("doc_id"), col("source"), col("n_chars"),

@@ -355,4 +355,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(idxScan.get.contains("dynamicpruning"),
       s"expected a DPP PartitionFilter on the index scan:\n${idxScan.get}")
   }
+
+  test("catalog-wide: no partition-less WindowExec outside the bounded-" +
+       "frame allowlist (the single-reducer total-order scale-killer)") {
+    // `Window.orderBy` with no partitionBy moves ALL data to one
+    // partition. The only acceptable carriers are frames PROVABLY
+    // bounded at any data scale; everything raw- or aggregate-grain
+    // must go through graft.operators.TotalOrder (range exchange +
+    // per-partition offset broadcast). A new query that reintroduces
+    // a global window fails here, not on the cluster.
+    val allow = Map(
+      "basket_size_distribution" -> 1, // distinct basket sizes: bounded histogram
+      "interpolate_linear_days" -> 3,  // calendar day spine: bounded by span
+      "text_zipf_slope" -> 1           // top-1000 token ranks: fixed k
+    )
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val g = graft.PlanAudit.globalWindowCount(
+        SparkEntry.queries(n)(spark, sf("sf0.001")))
+      if (g != allow.getOrElse(n, 0)) Some(s"$n: $g global windows " +
+        s"(allowed ${allow.getOrElse(n, 0)})") else None
+    }
+    assert(bad.isEmpty,
+      s"partition-less WindowExec outside the allowlist:\n${bad.mkString("\n")}")
+  }
 }
