@@ -110,4 +110,68 @@ object Triangles {
       .groupBy("node")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("tri_cnt"))
   }
+
+  /** The oriented edge list with both endpoints' sorted out-neighbour
+    * arrays attached — the shared front half of the ADJACENCY-
+    * INTERSECTION formulation ([[countAdjacency]]/[[perNodeAdjacency]]).
+    *
+    * Why this beats the wedge join at scale: e1⋈e2 materializes and
+    * SHUFFLES every wedge (Σ outdeg² rows — 1.4 B at sf1 on the
+    * co-purchase graph) into the closing join. Here the same Σ outdeg²
+    * work happens ROW-LOCALLY: two edge-sized hash joins attach the
+    * (≤ O(√m) under degree orientation) neighbour arrays, and the
+    * merge-scan intersection streams inside the projection — the wide
+    * rows are never exchanged, nothing edge²-sized is ever resident.
+    * One edge-sized checkpoint (the shared join input) instead of the
+    * wedge pipeline's two.
+    *
+    * Node ids are cast to long; output columns `u`, `v`, `nu`, `nv`
+    * (inner joins: an edge whose head has no out-neighbours closes no
+    * triangle and is dropped — it would contribute 0).
+    */
+  private def withNeighborArrays(oriented: DataFrame): DataFrame = {
+    val e = oriented
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      .localCheckpoint(false) // adj build + probe side read the same blocks
+    val adj = e.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    e.join(adj.select(col("u"), col("nbrs").as("nu")), "u")
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), "v")
+  }
+
+  /** Exact triangle count via sorted-adjacency intersection:
+    * Σ over oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)| — each triangle's
+    * unique two-out-edge corner counts it exactly once. The intersect
+    * is the native merge-scan expression (SortedLongIntersectSize),
+    * O(|nu|+|nv|) per edge, zero allocation. Same value as [[count]]
+    * (pinned in TrianglesSpec) with no wedge-sized shuffle.
+    */
+  def countAdjacency(oriented: DataFrame): DataFrame = {
+    graft.functions.expressions.SortedLongIntersectSize
+      .register(oriented.sparkSession)
+    withNeighborArrays(oriented)
+      .select(expr("graft_sorted_long_intersect_size(nu, nv)")
+        .cast("long").as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("triangles"))
+  }
+
+  /** [[perNode]] via adjacency intersection: per edge (u,v) with
+    * t = |N⁺(u) ∩ N⁺(v)| > 0, credit u and v with t and every member
+    * of the intersection with 1 — one projection emits all three
+    * credit kinds, so only credit rows (3 × #triangles, vs Σ outdeg²
+    * wedges) reach the per-node aggregate.
+    */
+  def perNodeAdjacency(oriented: DataFrame): DataFrame = {
+    val inter = array_intersect(col("nu"), col("nv"))
+    withNeighborArrays(oriented)
+      .select(explode(concat(
+        array(struct(col("u").as("node"), size(inter).cast("long").as("c")),
+              struct(col("v").as("node"), size(inter).cast("long").as("c"))),
+        transform(inter, w =>
+          struct(w.as("node"), lit(1L).as("c"))))).as("cr"))
+      .select(col("cr.node").as("node"), col("cr.c").as("c"))
+      .where(col("c") > 0)
+      .groupBy("node")
+      .agg(sum(col("c")).as("tri_cnt"))
+  }
 }

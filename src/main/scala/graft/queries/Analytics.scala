@@ -30,21 +30,23 @@ object Analytics {
     // ---- graph: triangle counting ---------------------------------------
     "graph_triangle_count" -> ((s, d) => {
       // G5: exact triangle count over the part co-purchase graph
-      // (parts sharing an order are adjacent). Edges are oriented
-      // low-id -> high-id so each triangle is enumerated exactly once
-      // as (u<v<w); the count is then two equi-joins over the oriented
-      // edge list — the standard distributed formulation (at 100 TB,
-      // orient by DEGREE instead of id so the fan-out join's probe
-      // side is every node's low-degree neighbours; count unchanged).
-      // Edge building dedups (order, part) first so M:N lineitems
-      // don't multiply pairs.
+      // (parts sharing an order are adjacent). Edges oriented by
+      // DEGREE (low -> high), which bounds every out-neighbourhood at
+      // O(√m) even under power-law hubs; the count is then the
+      // sorted-adjacency intersection (Triangles.countAdjacency):
+      // Σ_edges |N⁺(u) ∩ N⁺(v)| via the native merge-scan expression
+      // — the wedge set (Σ outdeg², 1.4 B rows at sf1) is never
+      // materialized or shuffled, unlike the two-equi-join wedge
+      // formulation (kept as Triangles.count, equality pinned in
+      // TrianglesSpec). Edge building dedups (order, part) first so
+      // M:N lineitems don't multiply pairs.
       val pp = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
       val e = pp.as("a")
         .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      graft.operators.Triangles.count(
+      graft.operators.Triangles.countAdjacency(
         graft.operators.Triangles.orientByDegree(e))
     }),
     "bucketed_join_colocated" -> ((s, d) => {
@@ -141,13 +143,16 @@ object Analytics {
     }),
     "graph_clustering_coeff" -> ((s, d) => {
       // G7: local clustering coefficient per part — per-node triangle
-      // credit (Triangles.perNode, degree-oriented so no hub blows up
-      // the wedge join) over (deg choose 2). The coefficient is one
-      // double division of exact integers, identical in both engines.
-      // The expensive pp self-join feeds degree, orientation, AND the
-      // final join, so the canonical edge list is materialized ONCE
-      // and its degree frame (node-sized) shared between the
-      // orientation and the (deg choose 2) denominator.
+      // credit via sorted-adjacency intersection
+      // (Triangles.perNodeAdjacency: only credit rows, 3×#triangles,
+      // reach the aggregate — no wedge-sized shuffle; degree
+      // orientation bounds each row's merge scan at O(√m)) over
+      // (deg choose 2). The coefficient is one double division of
+      // exact integers, identical in both engines. The expensive pp
+      // self-join feeds degree, orientation, AND the final join, so
+      // the canonical edge list is materialized ONCE and its degree
+      // frame (node-sized) shared between the orientation and the
+      // (deg choose 2) denominator.
       val pp = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -156,7 +161,7 @@ object Analytics {
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
       val canon = graft.operators.Triangles.orientById(raw).localCheckpoint()
       val deg = graft.operators.Triangles.degrees(canon).localCheckpoint()
-      val tri = graft.operators.Triangles.perNode(
+      val tri = graft.operators.Triangles.perNodeAdjacency(
         graft.operators.Triangles.orientByDegreeCanonical(canon, deg))
       deg.where(col("deg") >= 2)
         .join(tri, Seq("node"), "left")

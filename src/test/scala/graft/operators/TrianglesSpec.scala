@@ -70,6 +70,46 @@ class TrianglesSpec extends SparkSpec {
     assert(credited === 3 * total)
   }
 
+  test("adjacency-intersection count equals the wedge-join count on " +
+       "closed forms and the testdata graph") {
+    val k4 = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    assert(Triangles.countAdjacency(Triangles.orientById(k4))
+      .head().getLong(0) === 4L)
+    val c4 = edges((1, 2), (2, 3), (3, 4), (4, 1))
+    assert(Triangles.countAdjacency(Triangles.orientById(c4))
+      .head().getLong(0) === 0L)
+    val pp = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = pp.as("a")
+      .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val wedge = triangles(e)
+    assert(Triangles.countAdjacency(Triangles.orientByDegree(e))
+      .head().getLong(0) === wedge)
+    assert(Triangles.countAdjacency(Triangles.orientById(e))
+      .head().getLong(0) === wedge)
+  }
+
+  test("perNodeAdjacency equals perNode per node (both orientations)") {
+    val k4 = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    val pn = Triangles.perNodeAdjacency(Triangles.orientById(k4))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pn === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val pp = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = pp.as("a")
+      .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val oriented = Triangles.orientByDegree(e)
+    val viaWedge = Triangles.perNode(oriented)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAdj = Triangles.perNodeAdjacency(oriented)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAdj === viaWedge)
+  }
+
   test("degree orientation emits each canonical edge exactly once") {
     val star = edges((1, 2), (1, 3), (1, 4), (2, 3))
     val oriented = Triangles.orientByDegree(star)
