@@ -33,8 +33,11 @@ import graft.functions.TextFns.hash60
 object LayoutOps {
   type Q = (SparkSession, String) => DataFrame
 
+  // fresh dir per invocation (parallel Verify + bench reruns never
+  // collide), deleted on JVM exit via Scratch — bare
+  // createTempDirectory leaked one staged-table copy per run
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.Scratch.tempDir(prefix).toString
 
   /** documents content fingerprint per source — count + order-
     * invariant XOR of per-row 60-bit md5 hashes over (id | text).

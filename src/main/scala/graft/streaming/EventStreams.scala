@@ -76,13 +76,15 @@ object EventStreams {
                             sfDir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    // deterministic per-sf scratch root, recreated fresh each call:
-    // repeated invocations (bench loops, Verify reruns) must not leak
-    // a staged-source + sink + checkpoint triple per run, and a stale
-    // checkpoint from a previous code version must not resume into
-    // this run's sink
-    val root = Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_ev_stream_" + java.lang.Integer.toHexString(sfDir.hashCode))
+    // deterministic per-(sf, JVM) scratch root, recreated fresh each
+    // call: repeated invocations (bench loops, Verify reruns) within a
+    // JVM must not leak a staged-source + sink + checkpoint triple per
+    // run, a stale checkpoint from a previous code version must not
+    // resume into this run's sink, and two concurrent JVMs (Bench +
+    // Verify on the same sf) must never race one root's mode-overwrite
+    // reset — the PID suffix keeps them disjoint and Scratch deletes
+    // the root on JVM exit
+    val root = graft.Scratch.jvmDir("graft_ev_stream", sfDir)
     def reset(p: java.nio.file.Path): java.nio.file.Path = {
       if (Files.exists(p))
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -118,6 +120,19 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // The streaming≡batch hash guarantee assumes ALL source files land
+    // in ONE data micro-batch: were AvailableNow ever to split them
+    // (maxFilesPerTrigger set, or a source outgrowing the default
+    // 1000-file batch) with out-of-order timestamps ACROSS files, the
+    // watermark would evict late rows between batches and the oracle
+    // compare would misreport the drop as an engine bug. Pin the
+    // assumption loudly instead of letting it decay silently.
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches <= 1,
+      s"tumblingCountsViaDisk expected a single data micro-batch but " +
+        s"ran $dataBatches — the source split across triggers, so " +
+        s"watermark eviction between batches can drop late rows and " +
+        s"the batch-oracle compare is no longer sound for this run")
     spark.read.parquet(outDir)
   }
 

@@ -45,9 +45,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-ok, bad, absent = [], [], []
+ok, bad, absent, stale = [], [], [], []
 for name in sorted(oracle):
     files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
+    # The inverse gate: an output that EXISTS but is not in this run's
+    # attempted list is a leftover from a previous run into the same
+    # out dir — comparing it would red/green a row this run never
+    # produced. Skip it loudly instead.
+    if files and attempted is not None and name not in attempted:
+        stale.append(name)
+        continue
     if not files:
         # oracle_sql.json always carries the FULL catalog; a subset
         # Verify run only dumps some outputs. Absent outputs are
@@ -100,9 +107,13 @@ for name in sorted(oracle):
                 break
     bad.append((name, detail))
 
-print(f"PASS {len(ok)}/{len(oracle) - len(absent)}"
+print(f"PASS {len(ok)}/{len(oracle) - len(absent) - len(stale)}"
       + (f" (skipped {len(absent)} without dumped outputs — subset run)"
          if absent else ""))
+if stale:
+    print(f"WARN: {len(stale)} STALE outputs present but not in this "
+          f"run's attempted list (previous run's leftovers, NOT checked): "
+          + ", ".join(stale))
 for n in ok:
     print(f"  ok   {n}")
 for n, why in bad:

@@ -99,19 +99,15 @@ def measured_depths(log_path):
             if m:
                 key = (m.group(1), m.group(2))
                 r, e = int(m.group(3)), int(m.group(4))
-                pr, pe = depths.get(key, (-1, 0))
-                # keep the edge count from the SAME line that supplied
-                # the max rounds — a global min across accumulated log
-                # lines could take a 0-edge fixpoint from an older,
-                # smaller run and vacuously "cover" absent depth lines
-                # of the run actually being checked. Ties on rounds keep
-                # the LARGER edge count: "emptied" (edges == 0) grants
-                # vacuous coverage downstream, so ambiguity must resolve
-                # toward requiring proof, never toward granting it.
-                if r > pr:
-                    depths[key] = (r, e)
-                elif r == pr:
-                    depths[key] = (r, max(pe, e))
+                # LAST line per key wins: the sweep workflow appends
+                # solo reruns (2>>) after the parallel pass, and a log
+                # that accumulated older runs would otherwise
+                # contaminate the current run's depths (an old
+                # smaller-SF 0-edge fixpoint grants vacuous coverage;
+                # an old deeper run masks a regression in unroll
+                # coverage). The newest measurement for each
+                # (kind, param) is the one this sweep actually ran.
+                depths[key] = (r, e)
     return depths
 
 
@@ -258,7 +254,14 @@ def main():
     # variant while the old rule here still recorded the skip).
     try:
         attempted = set(json.load(open(f"{OUT}/attempted.json")))
-    except Exception:
+    except FileNotFoundError:
+        attempted = None
+    except (json.JSONDecodeError, OSError) as e:
+        # a corrupt/truncated attempted.json silently downgrading crash
+        # detection to the legacy sf-parse heuristic must leave a trace
+        # (mirrors tools/check.py)
+        print(f"WARN: {OUT}/attempted.json unreadable ({e}); falling "
+              "back to the legacy sf-parse skip heuristic", flush=True)
         attempted = None
     # legacy fallback for output dirs without attempted.json: the old
     # trailing-sf<number> parse, same shape graft.Verify applies
@@ -341,6 +344,28 @@ def main():
         print(f"  ok   {name}" if res["hash_match"]
               else f"  FAIL {name}: {res}", flush=True)
         json.dump(results, open(ARTIFACT, "w"), indent=2)
+    # The quadratic-exact skip message points at the capped sibling as
+    # the production evidence — so VERIFY the sibling is actually green
+    # in this sweep before letting the claim stand. A skip whose
+    # justification is red (or absent) is itself a red.
+    SIBLING = {"graph_common_neighbors": "graph_common_neighbors_capped"}
+    for name, sib in SIBLING.items():
+        row = results.get(name)
+        if not row or not (row.get("err") or "").startswith("skipped"):
+            continue
+        sib_row = results.get(sib)
+        if sib_row and sib_row.get("hash_match"):
+            row["err"] += f" [sibling {sib} verified green this sweep]"
+        else:
+            state = ("absent" if not sib_row
+                     else sib_row.get("err") or "hash mismatch")
+            row["err"] = None
+            row["hash_match"] = False
+            row["rows_match"] = False
+            row["schema_match"] = False
+            row["err"] = (f"SKIP INVALID: capped sibling {sib} not green "
+                          f"this sweep ({state})")
+            print(f"  FAIL {name}: {row['err']}", flush=True)
     json.dump(results, open(ARTIFACT, "w"), indent=2)
     green = sum(1 for r in results.values() if r["hash_match"])
     skipped = sum(1 for r in results.values()
