@@ -44,7 +44,13 @@ object BenchScale {
     // must stay cell-pruned, never full-corpus). The residual variant
     // shares the plan class, so it rides the probe but not the
     // headline set (ann_ivfpq_adc covers the class there).
-    "ann_ivfpq_adc", "ann_ivfpq_residual", "ann_ivfpq_persisted")
+    "ann_ivfpq_adc", "ann_ivfpq_residual", "ann_ivfpq_persisted",
+    // round-12: the self-routing cluster variant — on the saturated
+    // synthetic corpus it must pick the LSH pair path and hold the
+    // sf1→sf3 exponent near-linear where the exact-join sibling
+    // measured 1.91; its routing metric rides along as the (cheap)
+    // diagnostic row.
+    "dedup_cluster_cc_auto", "dedup_prefix_saturation")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq

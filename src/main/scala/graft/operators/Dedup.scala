@@ -104,6 +104,84 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Saturation diagnostic for the exact PPJoin path — the cheap
+    * pre-flight that tells you whether [[jaccardPairs]]' candidate
+    * join is about to go quadratic. On open-vocabulary (Heaps-law)
+    * text, per-shingle document frequency stays ~constant as the
+    * corpus grows and the prefix buckets stay small; on
+    * template-heavy/bounded-vocabulary data (logs, boilerplate HTML,
+    * a saturated synthetic generator) the shingle space SATURATES, DF
+    * grows ∝ n, and the candidate bound Σ c·(c−1)/2 over prefix
+    * buckets grows ∝ n² — the measured sf1→sf3 1.91 exponent on
+    * dedup_cluster_cc traced to exactly this. One scan + one
+    * bucket-sized aggregate, no joins: run it BEFORE the pair join
+    * (that is what [[pairsAuto]] does).
+    *
+    * Output (single row, all exact integers + two fixed-point
+    * ratios): n_docs (docs with ≥1 shingle), n_prefix_tokens,
+    * n_buckets, max_bucket, cand_pairs_bound, avg_df_fp_e3,
+    * cand_per_doc_fp_e3.
+    */
+  def prefixSaturationStats(docs: DataFrame, idCol: String,
+                            textCol: String,
+                            threshold: Double): DataFrame = {
+    graft.functions.expressions.ShingleHashes.register(docs.sparkSession)
+    val base = docs
+      .select(col(idCol).as("doc"),
+        expr(s"graft_shingle_hashes($textCol, 3)").as("sh"))
+      .withColumn("n", size(col("sh")))
+      .where(col("n") > 0)
+    val prefixLen =
+      (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int")
+    val buckets = base
+      .select(explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("c"))
+    val nd = base.agg(count(lit(1)).as("n_docs"))
+    buckets
+      .agg(sum(col("c")).as("n_prefix_tokens"),
+        count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        // summed as exact LONGS (a double sum would drift with
+        // partition order); c·(c−1) is even, halved once at the end
+        sum(col("c") * (col("c") - 1)).as("cand2x"))
+      .crossJoin(nd) // 1-row aggregate: broadcast, no data motion
+      .select(col("n_docs"), col("n_prefix_tokens"), col("n_buckets"),
+        col("max_bucket"), expr("cand2x DIV 2").as("cand_pairs_bound"))
+      .select(col("n_docs"), col("n_prefix_tokens"), col("n_buckets"),
+        col("max_bucket"), col("cand_pairs_bound"),
+        round(lit(1000.0) * col("n_prefix_tokens").cast("double")
+          / col("n_buckets").cast("double"), 0).cast("long")
+          .as("avg_df_fp_e3"),
+        round(lit(1000.0) * col("cand_pairs_bound").cast("double")
+          / col("n_docs").cast("double"), 0).cast("long")
+          .as("cand_per_doc_fp_e3"))
+  }
+
+  /** Near-dup pairs with SELF-SELECTING strategy: measure the PPJoin
+    * prefix-bucket candidate bound ([[prefixSaturationStats]] — one
+    * cheap aggregate), then run the EXACT prefix-filtered join while
+    * the bound stays under `maxCandPerDoc` candidates per document,
+    * and fall back to the MinHash-LSH candidate path (same exact
+    * Jaccard verification on the shortlist) once the corpus is
+    * saturated and the exact join's Σ c² term would go quadratic.
+    * The routing compare is pure integer cross-multiplication
+    * (bound > maxCandPerDoc · n_docs), so an engine mirroring the
+    * same rule routes identically at every scale. LSH recall below
+    * the band s-curve is the documented trade — the alternative on a
+    * saturated corpus is an O(n²) join that never finishes.
+    * Emits (d1, d2, jac) like both underlying paths.
+    */
+  def pairsAuto(docs: DataFrame, idCol: String, textCol: String,
+                threshold: Double, maxCandPerDoc: Long = 64): DataFrame = {
+    val stats = prefixSaturationStats(docs, idCol, textCol, threshold)
+      .select(col("cand_pairs_bound"), col("n_docs")).head()
+    val saturated =
+      stats.getLong(0) > maxCandPerDoc * stats.getLong(1)
+    if (saturated) minhashLshPairs(docs, idCol, textCol,
+      threshold = threshold)
+    else jaccardPairs(docs, idCol, textCol, threshold)
+  }
+
   /** EXACT Jaccard pairs like [[jaccardPairs]], but the PPJoin global
     * shingle order is ASCENDING DOCUMENT FREQUENCY (ties by hash)
     * instead of raw hash order. On Zipf-distributed corpora the

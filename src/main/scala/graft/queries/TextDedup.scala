@@ -216,6 +216,31 @@ object TextDedup {
         .select(col("node").as("doc"), col("component").as("cluster"))
         .orderBy("doc")
     }),
+    "dedup_prefix_saturation" -> ((s, d) =>
+      // The pre-flight diagnostic for the exact PPJoin path: prefix-
+      // bucket census (bucket count, max, candidate-pair bound Σ c·
+      // (c−1)/2, candidates per doc). On Heaps-law text the bound per
+      // doc stays flat as the corpus grows; on bounded-vocabulary
+      // data it grows ∝ n — the measured sf1→sf3 1.91 exponent on
+      // dedup_cluster_cc is this number exploding. One scan + one
+      // bucket aggregate, no joins; pairsAuto routes on it.
+      Dedup.prefixSaturationStats(t(s, d, "documents"),
+        "doc_id", "text", 0.5)),
+    "dedup_cluster_cc_auto" -> ((s, d) => {
+      // dedup_cluster_cc with SELF-SELECTING pair strategy
+      // (Dedup.pairsAuto): the saturation bound above decides, by
+      // pure integer compare (cand_pairs_bound > 64 · n_docs), between
+      // the exact PPJoin pairs and MinHash-LSH candidates (exact-
+      // verified) — so a template-heavy corpus can't silently drag
+      // the pipeline into the quadratic regime. The oracle mirrors
+      // the SAME routing rule in SQL, so both engines pick the same
+      // branch at every SF.
+      val pairs = Dedup.pairsAuto(t(s, d, "documents"),
+        "doc_id", "text", 0.5)
+      graft.operators.Components.connectedAuto(pairs, "d1", "d2")
+        .select(col("node").as("doc"), col("component").as("cluster"))
+        .orderBy("doc")
+    }),
     "dedup_component_size_hist" -> ((s, d) => {
       // G12/C11: size distribution of NEAR-dup components — the
       // observability counterpart to dedup_cluster_cc (which emits
@@ -1078,6 +1103,70 @@ object TextDedup {
          |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
          |          FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d1, d2
+         |  FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
+         |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
+         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |          UNION SELECT d2, d1 FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node)
+         |SELECT node AS doc, min(r) AS cluster
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_prefix_saturation" ->
+      s"""WITH $shinglesSql,
+         |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+         |pref AS (
+         |  SELECT doc, h FROM (
+         |    SELECT sh.doc, h, n,
+         |      row_number() OVER (PARTITION BY sh.doc ORDER BY h) AS rn
+         |    FROM sh JOIN sz USING (doc))
+         |  WHERE rn <= n - ceil(0.5 * n - 1e-9) + 1),
+         |b AS (SELECT h, count(*) AS c FROM pref GROUP BY 1),
+         |d AS (SELECT count(*) AS n_docs FROM sz)
+         |SELECT n_docs,
+         |  CAST(sum(c) AS BIGINT) AS n_prefix_tokens,
+         |  count(*) AS n_buckets,
+         |  CAST(max(c) AS BIGINT) AS max_bucket,
+         |  CAST(sum(c * (c - 1)) // 2 AS BIGINT) AS cand_pairs_bound,
+         |  CAST(round(1000.0 * CAST(sum(c) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 0) AS BIGINT) AS avg_df_fp_e3,
+         |  CAST(round(1000.0 * CAST(sum(c * (c - 1)) // 2 AS DOUBLE)
+         |    / CAST(n_docs AS DOUBLE), 0) AS BIGINT) AS cand_per_doc_fp_e3
+         |FROM b, d GROUP BY n_docs""".stripMargin,
+    "dedup_cluster_cc_auto" ->
+      s"""WITH RECURSIVE $shinglesSql,
+         |$minhashSigSql,
+         |$bandSql,
+         |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+         |pref AS (
+         |  SELECT doc, h FROM (
+         |    SELECT sh.doc, h, n,
+         |      row_number() OVER (PARTITION BY sh.doc ORDER BY h) AS rn
+         |    FROM sh JOIN sz USING (doc))
+         |  WHERE rn <= n - ceil(0.5 * n - 1e-9) + 1),
+         |b AS (SELECT h, count(*) AS c FROM pref GROUP BY 1),
+         |met AS (SELECT
+         |  (SELECT CAST(sum(c * (c - 1)) // 2 AS BIGINT) FROM b)
+         |    > 64 * (SELECT count(*) FROM sz) AS saturated),
+         |cand_exact AS (SELECT a.doc AS d1, b.doc AS d2
+         |               FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc
+         |               GROUP BY 1, 2),
+         |cand_lsh AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+         |             FROM banded a JOIN banded b ON a.doc < b.doc
+         |               AND (a.b0 = b.b0 OR a.b1 = b.b1
+         |                    OR a.b2 = b.b2 OR a.b3 = b.b3)),
+         |cand AS (
+         |  SELECT d1, d2 FROM cand_exact
+         |  WHERE NOT (SELECT saturated FROM met)
+         |  UNION
+         |  SELECT d1, d2 FROM cand_lsh WHERE (SELECT saturated FROM met)),
+         |inter AS (SELECT d1, d2, count(*) AS i
+         |          FROM cand JOIN sh a ON d1 = a.doc
+         |                    JOIN sh b ON d2 = b.doc AND a.h = b.h
+         |          GROUP BY 1, 2),
          |pairs AS (
          |  SELECT d1, d2
          |  FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
