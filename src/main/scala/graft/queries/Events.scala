@@ -46,6 +46,25 @@ object Events {
           dbl(col("sum_value")).as("sum_value"))
         .orderBy("window_start", "event_type")
     }),
+    "events_session_stream" -> ((s, d) => {
+      // The STREAMING session-window aggregate driven through a real
+      // file source and parquet sink (EventStreams.
+      // sessionWindowsViaDisk) — the second stateful mode with a
+      // disk-level oracle: session-MERGE state + watermark eviction
+      // end-to-end, not just keyed window counting. Both sides keep
+      // only sessions whose END is one full gap below the 2h
+      // watermark (end <= max_ts - 2h - 30min): every such session is
+      // provably emitted under either eviction-boundary convention,
+      // and no event arriving later could have merged into it.
+      val sink = graft.streaming.EventStreams.sessionWindowsViaDisk(s, d)
+      val maxTs = Tables.events(s, d)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val cutoff = maxTs - 2L * 3600L * 1000000L - 1800L * 1000000L
+      sink.where(unix_micros(col("session_end")) <= cutoff)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("cnt"), dbl(col("sum_value")).as("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
     "events_sessionize" -> ((s, d) => {
       // 30-min-gap sessionization via lag + running sum — the batch
       // analog of flatMapGroupsWithState session windows.
@@ -170,6 +189,31 @@ object Events {
          |WHERE epoch_us(date_trunc('hour', ts)) <=
          |      (SELECT max(epoch_us(ts)) - 14400000000 FROM ev)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_session_stream" ->
+      // batch gaps-and-islands mirror of the streaming session-window
+      // disk path, restricted to the same closed-session horizon
+      // (session end <= max_ts - 2h - 30min, one full gap below the
+      // watermark); session end = last event + gap, the
+      // session_window() convention
+      s"""WITH $evSql,
+         |x AS (SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+         |        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+         |      THEN 1 ELSE 0 END AS ns
+         |      FROM ev),
+         |s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM x),
+         |g AS (SELECT user_id, min(ts) AS session_start,
+         |        max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |        count(*) AS cnt,
+         |        CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+         |          AS sum_value
+         |      FROM s GROUP BY user_id, sid)
+         |SELECT user_id, session_start, session_end, cnt, sum_value
+         |FROM g
+         |WHERE epoch_us(session_end) <=
+         |      (SELECT max(epoch_us(ts)) - 9000000000 FROM ev)
+         |ORDER BY 1, 2""".stripMargin,
     "events_sessionize" ->
       s"""WITH $evSql,
          |x AS (SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER

@@ -73,8 +73,41 @@ object EventStreams {
     * (`events_tumbling_stream`).
     */
   def tumblingCountsViaDisk(spark: org.apache.spark.sql.SparkSession,
-                            sfDir: String): DataFrame = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+                            sfDir: String): DataFrame =
+    viaDisk(spark, sfDir, "graft_ev_stream", tumblingCounts)
+
+  /** Disk-level oracle path for [[sessionWindows]] — the second
+    * STATEFUL mode driven file-source → parquet-sink (session-merge
+    * state + watermark eviction end-to-end, where tumbling only
+    * exercises keyed window aggregation). `value` is summed as
+    * DECIMAL(12,2) for the same order-independence reason as
+    * [[tumblingCounts]]. Compared against the batch gaps-and-islands
+    * DuckDB oracle (`events_session_stream`).
+    */
+  def sessionWindowsViaDisk(spark: org.apache.spark.sql.SparkSession,
+                            sfDir: String): DataFrame =
+    viaDisk(spark, sfDir, "graft_ev_sess", ev =>
+      ev.withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(12,2)")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("cnt"), col("sum_value")))
+
+  /** Shared disk-level oracle harness: stage the sf dir's events table
+    * as a file-source directory, run `transform` through a parquet
+    * sink with `Trigger.AvailableNow`, assert the single-data-batch
+    * assumption, and read the sink back. `prefix` keys the scratch
+    * root — DISTINCT per caller, because Verify runs catalog queries
+    * concurrently in one JVM and two modes sharing a root would race
+    * its reset.
+    */
+  private def viaDisk(spark: org.apache.spark.sql.SparkSession,
+                      sfDir: String, prefix: String,
+                      transform: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // deterministic per-(sf, JVM) scratch root, recreated fresh each
     // call: repeated invocations (bench loops, Verify reruns) within a
@@ -84,7 +117,7 @@ object EventStreams {
     // Verify on the same sf) must never race one root's mode-overwrite
     // reset — the PID suffix keeps them disjoint and Scratch deletes
     // the root on JVM exit
-    val root = graft.Scratch.jvmDir("graft_ev_stream", sfDir)
+    val root = graft.Scratch.jvmDir(prefix, sfDir)
     def reset(p: java.nio.file.Path): java.nio.file.Path = {
       if (Files.exists(p))
         Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -113,7 +146,7 @@ object EventStreams {
     }
     val outDir = reset(root.resolve("out")).toString
     val chkDir = reset(root.resolve("chk")).toString
-    val q = tumblingCounts(stream).writeStream
+    val q = transform(stream).writeStream
       .format("parquet").option("path", outDir)
       .option("checkpointLocation", chkDir)
       .outputMode("append")
@@ -129,7 +162,7 @@ object EventStreams {
     // assumption loudly instead of letting it decay silently.
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
     require(dataBatches <= 1,
-      s"tumblingCountsViaDisk expected a single data micro-batch but " +
+      s"viaDisk($prefix) expected a single data micro-batch but " +
         s"ran $dataBatches — the source split across triggers, so " +
         s"watermark eviction between batches can drop late rows and " +
         s"the batch-oracle compare is no longer sound for this run")
