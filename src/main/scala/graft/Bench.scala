@@ -54,6 +54,11 @@ object Bench {
     // materialize-vs-recompute class that regressed charlm in r6
     // stays watched by the stopwatch as well as the plan-shape spec.
     "text_langid_ngram",
+    // round-12 addition: the self-routing cluster variant — at bench
+    // scale (sf0.1) the saturated corpus routes it to the LSH pair
+    // path, so this row times diagnostic + LSH + verify + contraction
+    // next to dedup_cluster_cc's exact path.
+    "dedup_cluster_cc_auto",
     // round-11 addition: the IVFADC composition (IVF cell probe ×
     // PQ ADC) — the production ANN scan shape; benched next to
     // ann_ivf_kmeans so a regression back toward the full-corpus ADC
