@@ -1136,42 +1136,60 @@ object TextDedup {
          |  CAST(round(1000.0 * CAST(sum(c * (c - 1)) // 2 AS DOUBLE)
          |    / CAST(n_docs AS DOUBLE), 0) AS BIGINT) AS cand_per_doc_fp_e3
          |FROM b, d GROUP BY n_docs""".stripMargin,
+    // NOTE on AS MATERIALIZED: DuckDB 1.0 INLINES every CTE
+    // reference — each of the ~10 references to the shingle set would
+    // re-run the whole upstream pipeline (and the recursive `reach`
+    // member would re-run it once per iteration): measured >60 GB of
+    // temp spill and an oracle timeout at sf1. Materializing the
+    // shared/heavy CTEs pins single evaluation; the shared fragments
+    // ($shinglesSql/$minhashSigSql/$bandSql) stay untouched so the
+    // other oracles' SQL (and their sweep-resume hashes) don't move.
     "dedup_cluster_cc_auto" ->
       s"""WITH RECURSIVE $shinglesSql,
          |$minhashSigSql,
          |$bandSql,
-         |sz AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+         |shm AS MATERIALIZED (SELECT doc, h FROM sh),
+         |bandedm AS MATERIALIZED (SELECT doc, b0, b1, b2, b3 FROM banded),
+         |sz AS MATERIALIZED (SELECT doc, count(*) AS n FROM shm GROUP BY 1),
          |pref AS (
          |  SELECT doc, h FROM (
-         |    SELECT sh.doc, h, n,
-         |      row_number() OVER (PARTITION BY sh.doc ORDER BY h) AS rn
-         |    FROM sh JOIN sz USING (doc))
+         |    SELECT shm.doc, h, n,
+         |      row_number() OVER (PARTITION BY shm.doc ORDER BY h) AS rn
+         |    FROM shm JOIN sz USING (doc))
          |  WHERE rn <= n - ceil(0.5 * n - 1e-9) + 1),
          |b AS (SELECT h, count(*) AS c FROM pref GROUP BY 1),
-         |met AS (SELECT
+         |met AS MATERIALIZED (SELECT
          |  (SELECT CAST(sum(c * (c - 1)) // 2 AS BIGINT) FROM b)
          |    > 64 * (SELECT count(*) FROM sz) AS saturated),
+         |sh_ex AS (SELECT doc, h FROM shm
+         |          WHERE NOT (SELECT saturated FROM met)),
+         |banded_l AS MATERIALIZED (SELECT doc, b0, b1, b2, b3 FROM bandedm
+         |            WHERE (SELECT saturated FROM met)),
          |cand_exact AS (SELECT a.doc AS d1, b.doc AS d2
-         |               FROM sh a JOIN sh b ON a.h = b.h AND a.doc < b.doc
+         |               FROM sh_ex a JOIN sh_ex b ON a.h = b.h AND a.doc < b.doc
          |               GROUP BY 1, 2),
-         |cand_lsh AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
-         |             FROM banded a JOIN banded b ON a.doc < b.doc
-         |               AND (a.b0 = b.b0 OR a.b1 = b.b1
-         |                    OR a.b2 = b.b2 OR a.b3 = b.b3)),
-         |cand AS (
+         |cand_lsh AS (SELECT DISTINCT d1, d2 FROM (
+         |  SELECT a.doc AS d1, b.doc AS d2 FROM banded_l a
+         |    JOIN banded_l b ON a.b0 = b.b0 AND a.doc < b.doc
+         |  UNION SELECT a.doc, b.doc FROM banded_l a
+         |    JOIN banded_l b ON a.b1 = b.b1 AND a.doc < b.doc
+         |  UNION SELECT a.doc, b.doc FROM banded_l a
+         |    JOIN banded_l b ON a.b2 = b.b2 AND a.doc < b.doc
+         |  UNION SELECT a.doc, b.doc FROM banded_l a
+         |    JOIN banded_l b ON a.b3 = b.b3 AND a.doc < b.doc)),
+         |cand AS MATERIALIZED (
          |  SELECT d1, d2 FROM cand_exact
-         |  WHERE NOT (SELECT saturated FROM met)
          |  UNION
-         |  SELECT d1, d2 FROM cand_lsh WHERE (SELECT saturated FROM met)),
+         |  SELECT d1, d2 FROM cand_lsh),
          |inter AS (SELECT d1, d2, count(*) AS i
-         |          FROM cand JOIN sh a ON d1 = a.doc
-         |                    JOIN sh b ON d2 = b.doc AND a.h = b.h
+         |          FROM cand JOIN shm a ON d1 = a.doc
+         |                    JOIN shm b ON d2 = b.doc AND a.h = b.h
          |          GROUP BY 1, 2),
          |pairs AS (
          |  SELECT d1, d2
          |  FROM inter JOIN sz x ON d1 = x.doc JOIN sz y ON d2 = y.doc
          |  WHERE CAST(i AS DOUBLE) / (x.n + y.n - i) >= 0.5),
-         |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+         |edges AS MATERIALIZED (SELECT d1 AS a, d2 AS b FROM pairs
          |          UNION SELECT d2, d1 FROM pairs),
          |reach(node, r) AS (
          |  SELECT a, a FROM edges

@@ -55,6 +55,9 @@ BUDGET_OVERRIDE = {
     "text_cdc_chunks": 900,
     "dedup_repeated_spans": 900,
     "dedup_cluster_cc": 600,
+    # the auto variant's oracle mirrors the LSH routing at sf>=0.1:
+    # 128 minhashes per doc in SQL plus four banded equi-joins
+    "dedup_cluster_cc_auto": 900,
     "dedup_component_size_hist": 600,
     "graph_ktruss": 900,
     "graph_truss_decomposition": 1200,
