@@ -50,7 +50,12 @@ object BenchScale {
     // sf1→sf3 exponent near-linear where the exact-join sibling
     // measured 1.91; its routing metric rides along as the (cheap)
     // diagnostic row.
-    "dedup_cluster_cc_auto", "dedup_prefix_saturation")
+    "dedup_cluster_cc_auto", "dedup_prefix_saturation",
+    // round-12: the sorted-neighborhood entity-resolution variant —
+    // the linear-candidate fix for the measured n² growth of the
+    // fixed-key blocking in entity_resolution_e2e (sf1→sf3 exponent
+    // 1.65); its row is the proof the 8n candidate rule holds.
+    "entity_resolution_snm")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq

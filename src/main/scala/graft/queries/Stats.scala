@@ -829,6 +829,47 @@ object Stats {
             .as("canonical_key"))
         .orderBy("p_partkey")
     }),
+    "entity_resolution_snm" -> ((s, d) => {
+      // C8b: the SCALE path for entity resolution. The e2e variant
+      // blocks on (brand, size) — a FIXED key space, so block sizes
+      // grow ∝ corpus and the within-block pair join grows ∝ n²
+      // (measured: candidate pairs 20M → 180M for 3× input, sf1→sf3
+      // time exponent 1.65). The sorted-neighborhood method
+      // (Hernández & Stolfo 1995) replaces the all-pairs block join:
+      // sort each block by (name, key) and compare every record to
+      // its next W = 8 neighbors only — candidates are exactly 8n,
+      // the sort is a partition-parallel window (one per block, no
+      // global order), and the match rule + clustering are unchanged.
+      // Like graph_common_neighbors_capped and dedup_cluster_cc_auto,
+      // the W-window is part of the operator's DEFINITION (the oracle
+      // applies the identical rule), so the result is exact for the
+      // SNM semantics; matches sorting farther than W apart are the
+      // documented recall trade.
+      graft.functions.expressions.DamerauLevenshtein.register(s)
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_name"))
+      val w = Window.partitionBy(col("p_brand"), col("p_size"))
+        .orderBy(col("p_name"), col("p_partkey"))
+      val withLeads = p.withColumn("nbrs", array((1 to 8).map(i =>
+        struct(lead(col("p_name"), i).over(w).as("n"),
+               lead(col("p_partkey"), i).over(w).as("k"))): _*))
+      val pairs = withLeads
+        .select(col("p_partkey"), col("p_name"), explode(col("nbrs")).as("nb"))
+        .where(col("nb.k").isNotNull &&
+          call_function("graft_damerau_levenshtein",
+            col("p_name"), col("nb.n")) <= 2)
+        .select(least(col("p_partkey"), col("nb.k")).as("x"),
+                greatest(col("p_partkey"), col("nb.k")).as("y"))
+        .distinct()
+      val clusters = graft.operators.Components.connectedAuto(pairs, "x", "y")
+      p.join(clusters.select(col("node").as("p_partkey"),
+              col("component")), Seq("p_partkey"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("component"), col("p_partkey"))
+            .as("canonical_key"))
+        .orderBy("p_partkey")
+    }),
     "anomaly_rolling_zscore" -> ((s, d) => {
       // A36: streaming-shaped anomaly detection — each event scored
       // against the PRECEDING 20 events of its type (never itself:
@@ -1755,6 +1796,37 @@ object Stats {
         |   AND a.p_partkey < b.p_partkey
         |   AND damerau_levenshtein(a.p_name, b.p_name) <= 2),
         |edges AS (SELECT x AS a, y AS b FROM pairs
+        |          UNION SELECT y, x FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node),
+        |cl AS (SELECT node, min(r) AS component FROM reach GROUP BY 1)
+        |SELECT p.p_partkey,
+        |  CAST(coalesce(cl.component, p.p_partkey) AS BIGINT)
+        |    AS canonical_key
+        |FROM p LEFT JOIN cl ON p.p_partkey = cl.node
+        |ORDER BY p.p_partkey""".stripMargin,
+    // AS MATERIALIZED: DuckDB 1.0 inlines CTEs per reference, and the
+    // recursive reach member would re-run the neighbor scoring per
+    // iteration — pin single evaluation (same fix as the
+    // dedup_cluster_cc_auto oracle).
+    "entity_resolution_snm" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT p_partkey, p_brand, p_size, p_name FROM part),
+        |o AS (
+        |  SELECT p_partkey, p_brand, p_size, p_name,
+        |    row_number() OVER (PARTITION BY p_brand, p_size
+        |                       ORDER BY p_name, p_partkey) AS rn
+        |  FROM p),
+        |pairs AS MATERIALIZED (
+        |  SELECT DISTINCT least(a.p_partkey, b.p_partkey) AS x,
+        |         greatest(a.p_partkey, b.p_partkey) AS y
+        |  FROM o a JOIN o b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |   AND b.rn BETWEEN a.rn + 1 AND a.rn + 8
+        |  WHERE damerau_levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS MATERIALIZED (SELECT x AS a, y AS b FROM pairs
         |          UNION SELECT y, x FROM pairs),
         |reach(node, r) AS (
         |  SELECT a, a FROM edges
