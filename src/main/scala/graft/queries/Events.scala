@@ -65,6 +65,19 @@ object Events {
           col("cnt"), dbl(col("sum_value")).as("sum_value"))
         .orderBy("user_id", "session_start")
     }),
+    "events_interval_stream" -> ((s, d) => {
+      // The stream-stream interval JOIN driven through the disk-level
+      // harness (EventStreams.intervalJoinViaDisk) — the third
+      // stateful mode with an on-disk oracle, and the first two-input
+      // one: click and purchase legs are filters of the same staged
+      // file source. Inner matches emit eagerly and the watermark
+      // only advances after the single AvailableNow batch, so the
+      // sink equals the batch join exactly — no horizon filter.
+      graft.streaming.EventStreams.intervalJoinViaDisk(s, d)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
     "events_sessionize" -> ((s, d) => {
       // 30-min-gap sessionization via lag + running sum — the batch
       // analog of flatMapGroupsWithState session windows.
@@ -189,6 +202,21 @@ object Events {
          |WHERE epoch_us(date_trunc('hour', ts)) <=
          |      (SELECT max(epoch_us(ts)) - 14400000000 FROM ev)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_interval_stream" ->
+      // batch mirror of the streaming interval-join disk path: each
+      // purchase pairs with the same user's clicks from the preceding
+      // 5 minutes; inner matches are watermark-independent, so the
+      // mirror is the plain time-bound join with no horizon clause
+      s"""WITH $evSql,
+         |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+         |      FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+         |      FROM ev WHERE event_type = 'purchase')
+         |SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts
+         |FROM c JOIN p ON c.user_id = p.user_id
+         | AND purchase_ts >= click_ts
+         | AND purchase_ts <= click_ts + INTERVAL 5 MINUTE
+         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "events_session_stream" ->
       // batch gaps-and-islands mirror of the streaming session-window
       // disk path, restricted to the same closed-session horizon

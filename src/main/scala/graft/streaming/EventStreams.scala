@@ -104,6 +104,23 @@ object EventStreams {
     * concurrently in one JVM and two modes sharing a root would race
     * its reset.
     */
+  /** Disk-level oracle path for the stream-stream [[intervalJoin]] —
+    * the third stateful mode on the viaDisk harness, and the first
+    * TWO-INPUT one: both join legs are event-type filters over the
+    * same staged file source (a streaming self-join), so the harness'
+    * single-micro-batch guarantee covers both sides at once. INNER
+    * join matches are emitted eagerly (they never wait on the
+    * watermark, unlike outer/semi null rows), and the watermark only
+    * advances after the single AvailableNow batch completes, so no
+    * buffered row is evicted before it can match: the sink holds
+    * exactly the batch-join result and needs no horizon filter.
+    */
+  def intervalJoinViaDisk(spark: org.apache.spark.sql.SparkSession,
+                          sfDir: String): DataFrame =
+    viaDisk(spark, sfDir, "graft_ev_ij", ev =>
+      intervalJoin(ev.filter(col("event_type") === "click"),
+                   ev.filter(col("event_type") === "purchase")))
+
   private def viaDisk(spark: org.apache.spark.sql.SparkSession,
                       sfDir: String, prefix: String,
                       transform: DataFrame => DataFrame): DataFrame = {
