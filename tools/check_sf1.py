@@ -358,7 +358,11 @@ def main():
             continue
         sib_row = results.get(sib)
         if sib_row and sib_row.get("hash_match"):
-            row["err"] += f" [sibling {sib} verified green this sweep]"
+            # idempotent under sweep resumes: each resume re-runs this
+            # block over the merged artifact, so append the note once
+            note = f" [sibling {sib} verified green this sweep]"
+            if note not in row["err"]:
+                row["err"] += note
         else:
             state = ("absent" if not sib_row
                      else sib_row.get("err") or "hash mismatch")
