@@ -55,7 +55,13 @@ object BenchScale {
     // the linear-candidate fix for the measured n² growth of the
     // fixed-key blocking in entity_resolution_e2e (sf1→sf3 exponent
     // 1.65); its row is the proof the 8n candidate rule holds.
-    "entity_resolution_snm")
+    "entity_resolution_snm",
+    // round-12: the hierarchical SemDeDup — the flat scaled variant's
+    // sf3→sf10 slope measured 1.31 (k ∝ n makes its n×k train/assign
+    // scans quadratic, crossover at n ≈ targetCell²/2 as its Scaladoc
+    // predicted); the two-level quantizer costs n·O(√k) and this row
+    // is the proof it holds the slope down where the flat form bends.
+    "dedup_semdedup_hier")
 
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq

@@ -175,4 +175,113 @@ object Similarity {
     val cells = math.max(8L, (n + targetCell - 1) / targetCell).toInt
     semDedupPairs(corpus, cells, threshold)
   }
+
+  /** Assign each member row (`id`, `v`, `n2`, `ccell`) to its nearest
+    * fine centroid (`ccell`, `j`, `cv`, `cn2`) WITHIN its own coarse
+    * cell; ties break to the lowest `j`. Same zero-corpus-shuffle
+    * shape as [[Ivf.assign]], except the broadcast carries one
+    * centroid array PER coarse cell and the join is an equi-join on
+    * `ccell` — each row scores only its coarse cell's ~√k fine
+    * centroids instead of all k.
+    */
+  private def assignWithin(members: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = broadcast(cents.groupBy(col("ccell"))
+      .agg(collect_list(struct(col("j"), col("cv"), col("cn2"))).as("cents")))
+    members.join(centArr, "ccell")
+      .select(col("id"), col("v"), col("n2"), col("ccell"),
+        aggregate(col("cents"),
+          struct(lit(-2.0d).as("best"), lit(-1).as("j")),
+          (acc, c) => {
+            val cos = qcosine(
+              call_function("graft_qdot", col("v"), c.getField("cv")),
+              col("n2"), c.getField("cn2"))
+            when(cos > acc.getField("best") ||
+                 (cos === acc.getField("best") &&
+                  c.getField("j") < acc.getField("j")),
+              struct(cos.as("best"), c.getField("j").as("j")))
+              .otherwise(acc)
+          }).getField("j").as("j"))
+  }
+
+  /** One Lloyd refinement per (ccell, j) fine cell — [[Ivf.refine]]
+    * with the two-part key. Empty fine cells drop out (no rows).
+    */
+  private def refineWithin(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("ccell"), col("j"), posexplode(col("v")).as(Seq("pos", "q")))
+      .groupBy(col("ccell"), col("j"), col("pos"))
+      .agg((sum(col("q")).cast("double") / count(lit(1))).as("mean"))
+      .withColumn("cq", floor(col("mean") + 0.5d).cast("long"))
+      .groupBy(col("ccell"), col("j"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
+        x => x.getField("cq")).as("cv"))
+      .withColumn("cn2", call_function("graft_qdot", col("cv"), col("cv")))
+
+  /** HIERARCHICAL scale-sized SemDeDup: the same cells = max(8,
+    * ceil(n/targetCell)) pair math as [[semDedupPairsScaled]], but the
+    * quantizer is two-level so training + assignment cost n·O(√k)
+    * instead of n·k.
+    *
+    * Why: the flat scaled variant's n×k assignment scan is quadratic
+    * in the corpus once k ∝ n — measured: its sf3→sf10 slope is 1.31,
+    * with the crossover at n ≈ targetCell²/2 exactly where its
+    * Scaladoc predicted. This is that Scaladoc's promised fix: a
+    * k1 = ⌈√k⌉-way coarse level (seeds id < k1, one quantized-mean
+    * Lloyd step — [[Ivf]] verbatim), then f = ⌈k/k1⌉ fine cells
+    * trained and assigned WITHIN each coarse cell (seeds = the f
+    * lowest-id members, one Lloyd step, both restricted to the cell's
+    * members). Every step touches each corpus row O(k1 + f) = O(√k)
+    * times; the only data-sized exchanges are the ccell hash
+    * repartitions. At true cluster scale the same construction
+    * recurses (depth log k), keeping per-row cost polylog.
+    *
+    * The trade vs the flat variant: fine cells refine against only
+    * their coarse cell's members, so cell boundaries differ from the
+    * flat k-means' and near-dups straddling a coarse boundary are
+    * missed — the standard hierarchical-quantizer recall trade, same
+    * family as nprobe=1 IVF search. Pairs remain a subset of the
+    * exhaustive [[nearDupPairs]] with bit-identical cosines, and the
+    * whole pipeline (integer dots, floor(mean + 0.5) requantization,
+    * row_number seeding) is mirrored step-for-step by the DuckDB
+    * oracle, so the variant is hash-checked, not trusted.
+    *
+    * Output: (cell = ccell·f + j, id1, id2, cos) for pairs with
+    * cos ≥ threshold sharing a fine cell.
+    */
+  def semDedupPairsHier(corpus: DataFrame, targetCell: Int,
+                        threshold: Double): DataFrame = {
+    val corp = corpus.select(col("id"), col("v"), col("n2"))
+    val n = corp.count()
+    val k = math.max(8L, (n + targetCell - 1) / targetCell)
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toLong
+    val f = ((k + k1 - 1) / k1).toInt
+
+    val cSeeds = corp.where(col("id") < k1)
+      .select(col("id").cast("int").as("cell"),
+        col("v").as("cv"), col("n2").as("cn2"))
+    val cCents = Ivf.refine(Ivf.assign(corp, cSeeds)).localCheckpoint(false)
+    // coarse membership feeds fine seeding, training and assignment —
+    // materialize once (lazy local checkpoint, ContextCleaner-freed)
+    val coarse = Ivf.assign(corp, cCents)
+      .withColumnRenamed("cell", "ccell").localCheckpoint(false)
+
+    val wSeed = Window.partitionBy(col("ccell")).orderBy(col("id"))
+    val fSeeds = coarse.withColumn("j", row_number().over(wSeed) - 1)
+      .where(col("j") < f)
+      .select(col("ccell"), col("j"), col("v").as("cv"), col("n2").as("cn2"))
+    val fCents = refineWithin(assignWithin(coarse, fSeeds))
+      .localCheckpoint(false)
+    val asg = assignWithin(coarse, fCents)
+
+    asg.as("a").join(asg.as("b"),
+        col("a.ccell") === col("b.ccell") && col("a.j") === col("b.j") &&
+        col("a.id") < col("b.id"))
+      .select((col("a.ccell").cast("long") * f + col("a.j")).cast("int")
+          .as("cell"),
+        col("a.id").as("id1"), col("b.id").as("id2"),
+        qcosine(expr("graft_qdot(a.v, b.v)"), col("a.n2"), col("b.n2"))
+          .as("cos"))
+      .where(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cell"), col("cos"))
+  }
 }

@@ -102,6 +102,19 @@ object Vectors {
           threshold = 0.45)
         .select(col("id1"), col("id2"), col("cell"), col("cos"))
         .orderBy("id1", "id2")),
+    "dedup_semdedup_hier" -> ((s, d) =>
+      // The HIERARCHICAL scale path: same cells = max(8, ceil(n/250))
+      // pair math as dedup_semdedup_scaled, but a two-level quantizer
+      // (⌈√k⌉ coarse cells, fine cells trained/assigned within each
+      // coarse cell) cuts training + assignment from n·k to n·O(√k) —
+      // the flat variant's measured sf3→sf10 slope is 1.31 because
+      // k ∝ n makes its n×k scans quadratic. The DuckDB oracle
+      // mirrors both levels step-for-step (seeding by row_number,
+      // quantized-mean Lloyd, integer dots), so the variant is
+      // hash-checked at every SF.
+      Similarity.semDedupPairsHier(prepped(s, d), targetCell = 250,
+          threshold = 0.45)
+        .orderBy("id1", "id2")),
     "ann_ivf_kmeans" -> ((s, d) => {
       // REAL IVF: deterministic seeds (vec_id < 8) -> one Lloyd
       // refinement over quantized integer means -> nprobe=2 probing.
@@ -259,6 +272,59 @@ object Vectors {
     */
   private val scaledCellsSql =
     "SELECT GREATEST(8, CAST(ceil(count(*) / 250.0) AS BIGINT)) FROM embeddings"
+
+  /** Hierarchical-quantizer parameters, mirroring
+    * `Similarity.semDedupPairsHier`: k = the scale-sized cell count,
+    * k1 = ⌈√k⌉ coarse cells, f = ⌈k/k1⌉ fine cells per coarse cell.
+    * ceil(sqrt()) agrees across engines (IEEE sqrt is correctly
+    * rounded); f uses integer ceil on both sides.
+    */
+  private val hierParamsSql =
+    s"""hp AS (SELECT ($scaledCellsSql) AS k),
+       |hp2 AS (SELECT k,
+       |          CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k1,
+       |          (k + CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) - 1)
+       |            // CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS f
+       |        FROM hp)""".stripMargin
+
+  /** Fine-level CTE chain for the hierarchical SemDeDup: expects the
+    * coarse chain (`ivfAssignSqlFor(k1)` → `asg`) above it. Seeds =
+    * the f lowest-vec_id members per coarse cell, one quantized-mean
+    * Lloyd step, reassignment — all joined on `ccell` so every step
+    * mirrors `Similarity.assignWithin`/`refineWithin` exactly. The
+    * heavy membership frames are MATERIALIZED (DuckDB 1.0 inlines
+    * every CTE reference — the round-12 cluster_cc lesson).
+    */
+  private lazy val hierFineSql =
+    s"""casg AS MATERIALIZED (SELECT vec_id, v, n2, cell AS ccell FROM asg),
+       |fseed0 AS (SELECT ccell, vec_id, v, n2,
+       |             row_number() OVER (PARTITION BY ccell
+       |               ORDER BY vec_id) - 1 AS j
+       |           FROM casg),
+       |fseeds AS (SELECT ccell, CAST(j AS INT) AS j, v AS cv, n2 AS cn2
+       |           FROM fseed0 WHERE j < (SELECT f FROM hp2)),
+       |fs0 AS (SELECT x.vec_id, x.v, x.n2, x.ccell, s.j,
+       |          row_number() OVER (PARTITION BY x.vec_id
+       |            ORDER BY ${cosFor("x.v", "s.cv", "x.n2", "s.cn2")} DESC,
+       |                     s.j) AS rn
+       |        FROM casg x JOIN fseeds s ON s.ccell = x.ccell),
+       |fa0 AS (SELECT vec_id, v, n2, ccell, j FROM fs0 WHERE rn = 1),
+       |fcomp AS (SELECT ccell, j, k AS pos,
+       |            CAST(floor(CAST(sum(v[k]) AS DOUBLE) / count(*) + 0.5)
+       |              AS BIGINT) AS cq
+       |          FROM fa0, UNNEST(range(1, 65)) AS r(k) GROUP BY 1, 2, 3),
+       |fcents AS (SELECT ccell, j, list(cq ORDER BY pos) AS cv
+       |           FROM fcomp GROUP BY 1, 2),
+       |fcn AS (SELECT ccell, j, cv,
+       |          CAST(list_sum(list_transform(cv, p -> p * p)) AS BIGINT) AS cn2
+       |        FROM fcents),
+       |fs1 AS (SELECT x.vec_id, x.v, x.n2, x.ccell, c.j,
+       |          row_number() OVER (PARTITION BY x.vec_id
+       |            ORDER BY ${cosFor("x.v", "c.cv", "x.n2", "c.cn2")} DESC,
+       |                     c.j) AS rn
+       |        FROM casg x JOIN fcn c ON c.ccell = x.ccell),
+       |fasg AS MATERIALIZED (SELECT vec_id, v, n2, ccell, j
+       |                      FROM fs1 WHERE rn = 1)""".stripMargin
 
   /** IVFADC mirror, shared by the in-memory and persisted-index
     * paths (identical math - persistence only changes the layout).
@@ -430,6 +496,22 @@ object Vectors {
          |    ${cosFor("a.v", "b.v", "a.n2", "b.n2")} AS cos
          |  FROM asg a JOIN asg b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id)
+         |WHERE cos >= 0.45
+         |ORDER BY 1, 2""".stripMargin,
+    "dedup_semdedup_hier" ->
+      // two-level mirror: the shared coarse chain sized k1, then the
+      // fine chain (seed-by-row_number, Lloyd, reassign) per coarse
+      // cell; pairs share a (ccell, j) fine cell, cell = ccell·f + j.
+      s"""WITH $prepSql,
+         |$hierParamsSql,
+         |${ivfAssignSqlFor("SELECT k1 FROM hp2")},
+         |$hierFineSql
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |    CAST(a.ccell * (SELECT f FROM hp2) + a.j AS INT) AS cell,
+         |    ${cosFor("a.v", "b.v", "a.n2", "b.n2")} AS cos
+         |  FROM fasg a JOIN fasg b
+         |    ON a.ccell = b.ccell AND a.j = b.j AND a.vec_id < b.vec_id)
          |WHERE cos >= 0.45
          |ORDER BY 1, 2""".stripMargin,
     "ann_ivf_kmeans" ->

@@ -36,6 +36,27 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("semDedupPairsHier is a subset of the exhaustive near-dup pairs " +
+       "with identical cosines") {
+    val corpus = Similarity.prep(
+      graft.Tables.t(spark, sf("sf0.001"), "embeddings"),
+      "vec_id", "embedding", Some("label"))
+    val brute = Similarity.nearDupPairs(corpus, 0.45)
+      .select("id1", "id2", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val hier = Similarity.semDedupPairsHier(corpus, targetCell = 250,
+        threshold = 0.45)
+      .select("id1", "id2", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(hier.nonEmpty)
+    hier.foreach { case (a, b, c) =>
+      assert(brute.contains((a, b)),
+        s"($a,$b) in hier semdedup but not in brute force")
+      assert(brute((a, b)) === c)
+    }
+  }
+
   test("gopher repetition fractions are sane and keep is their " +
        "threshold conjunction") {
     val rows = q("text_gopher_repetition")
