@@ -139,9 +139,53 @@ object BenchScale {
     val out = s"""{"metric":"scaling","runs":$nRuns,"queries":$json}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
       "BENCH_SFSCALE.json")
+    // MERGE into an existing artifact instead of clobbering it: a
+    // SPARK_GRAFT_SCALE_ONLY dev run with the default output path once
+    // replaced the full 31-row board with a single-query file (r12,
+    // commit 921fd90). Per-query, this run's sf cells and exponents
+    // override the old row's same-named fields; rows (and cells) this
+    // run did not probe are preserved verbatim. Exponents are never
+    // recomputed from merged cells — mixing JVM populations across
+    // days would fabricate a slope no single run measured.
+    val merged = {
+      val p = java.nio.file.Paths.get(outPath)
+      if (!java.nio.file.Files.exists(p)) out
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val prev = om.readTree(java.nio.file.Files.readString(p))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val now = om.readTree(out)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        val pq = prev.`with`("queries"); val nq = now.`with`("queries")
+        val it = nq.fieldNames()
+        while (it.hasNext) {
+          val name = it.next()
+          (pq.get(name), nq.get(name)) match {
+            case (old: com.fasterxml.jackson.databind.node.ObjectNode,
+                  neu: com.fasterxml.jackson.databind.node.ObjectNode) =>
+              // Field-by-field, skipping nulls: a single-SF probe has
+              // no exponent (JSON null) and must not blank the old
+              // row's measured slope.
+              val fit = neu.fieldNames()
+              while (fit.hasNext) {
+                val f = fit.next()
+                if (!neu.get(f).isNull) { old.set(f, neu.get(f)); () }
+              }
+            case _ => pq.set(name, nq.get(name)); ()
+          }
+        }
+        prev.put("runs", nRuns)
+        om.writeValueAsString(prev)
+      } catch {
+        case e: Exception => // unparseable -> overwrite, but loudly
+          System.err.println(s"[scale] WARN: could not merge into " +
+            s"existing $outPath (${e}); overwriting")
+          out
+      }
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (out + "\n").getBytes("UTF-8"))
-    println(out)
+      (merged + "\n").getBytes("UTF-8"))
+    println(merged)
     spark.stop()
   }
 }

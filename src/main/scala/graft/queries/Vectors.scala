@@ -277,14 +277,21 @@ object Vectors {
     * `Similarity.semDedupPairsHier`: k = the scale-sized cell count,
     * k1 = ⌈√k⌉ coarse cells, f = ⌈k/k1⌉ fine cells per coarse cell.
     * ceil(sqrt()) agrees across engines (IEEE sqrt is correctly
-    * rounded); f uses integer ceil on both sides.
+    * rounded); f uses integer ceil on both sides. The ceil-division
+    * is spelled floor((a)/CAST(b AS DOUBLE)) rather than DuckDB's
+    * `//` operator, which at the start of a continuation line reads
+    * like a C-style comment and invites a silent-miscompile edit.
+    * Double division is exact here: a, b ≪ 2^53 and when a/b lands
+    * on an integer the quotient is exactly representable.
     */
   private val hierParamsSql =
     s"""hp AS (SELECT ($scaledCellsSql) AS k),
        |hp2 AS (SELECT k,
        |          CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS k1,
-       |          (k + CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) - 1)
-       |            // CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS f
+       |          CAST(floor(
+       |            (k + CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) - 1)
+       |            / CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS DOUBLE)
+       |          ) AS BIGINT) AS f
        |        FROM hp)""".stripMargin
 
   /** Fine-level CTE chain for the hierarchical SemDeDup: expects the
