@@ -119,10 +119,19 @@ object Bench {
     // timing) and is listed in "errors".
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
 
-    def runBlock(nRunsBlock: Int): Seq[(String, Seq[Double])] =
+    // Total stop-the-world GC time across all collectors, ms. The
+    // per-run delta rides along in "stats" so a min elevated across a
+    // whole 5-run block (r12: sql_exists_correlated 0.72 s clean vs
+    // 4.84 s in the driver window) can be split into "JVM was
+    // collecting" vs "host was contended" from the artifact alone.
+    def gcMs(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .stream().mapToLong(b => math.max(0L, b.getCollectionTime)).sum()
+
+    def runBlock(nRunsBlock: Int): Seq[(String, Seq[(Double, Long)])] =
       selected.filter(SparkEntry.queries.contains).map { name =>
         val fn = SparkEntry.queries(name)
-        def timed(): (Boolean, Double) = {
+        def timed(): (Boolean, Double, Long) = {
           // Operators persist shared intermediates; each invocation
           // builds fresh frames, so drop the previous run's cache
           // entries or they accumulate and thrash the heap.
@@ -133,14 +142,16 @@ object Bench {
           // later queries run in
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
+          val g0 = gcMs()
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
                    catch { case t: Throwable =>
                      System.err.println(s"WARN Bench: $name failed: $t"); false }
-          (ok, (System.nanoTime() - t0) / 1e9)
+          (ok, (System.nanoTime() - t0) / 1e9, gcMs() - g0)
         }
         timed() // warmup, discarded
-        val good = (1 to nRunsBlock).map(_ => timed()).collect { case (true, t) => t }
+        val good = (1 to nRunsBlock).map(_ => timed())
+          .collect { case (true, t, g) => (t, g) }
         name -> good
       }
 
@@ -148,18 +159,24 @@ object Bench {
     // the default locale, which would emit decimal commas on de_DE)
     def fmt(d: Double) =
       String.format(java.util.Locale.US, "%.6f", Double.box(d))
-    def minsJson(results: Seq[(String, Seq[Double])]) =
-      results.map { case (k, ts) =>
-        "\"" + k + "\":" + (if (ts.nonEmpty) fmt(ts.min) else "-1.0")
+    def minsJson(results: Seq[(String, Seq[(Double, Long)])]) =
+      results.map { case (k, rs) =>
+        "\"" + k + "\":" + (if (rs.nonEmpty) fmt(rs.map(_._1).min) else "-1.0")
       }.mkString("{", ",", "}")
-    def statsJson(results: Seq[(String, Seq[Double])]) =
-      results.map { case (k, ts) =>
-        if (ts.isEmpty) "\"" + k + "\":null"
+    def statsJson(results: Seq[(String, Seq[(Double, Long)])]) =
+      results.map { case (k, rs) =>
+        if (rs.isEmpty) "\"" + k + "\":null"
         else {
+          val ts = rs.map(_._1)
           val mean = ts.sum / ts.size
           val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
+          // gc_ms_min_run = GC time inside the run that produced the
+          // min (the published number); gc_ms_max = worst run's GC.
+          val gcOfMin = rs.minBy(_._1)._2
           "\"" + k + "\":{\"min\":" + fmt(ts.min) + ",\"mean\":" + fmt(mean) +
             ",\"stddev\":" + fmt(sd) + ",\"max\":" + fmt(ts.max) +
+            ",\"gc_ms_min_run\":" + gcOfMin +
+            ",\"gc_ms_max\":" + rs.map(_._2).max +
             ",\"runs\":" + ts.size + "}"
         }
       }.mkString("{", ",", "}")
@@ -167,7 +184,7 @@ object Bench {
     val results = runBlock(nRuns)
     val failed = results.collect { case (k, ts) if ts.isEmpty => "\"" + k + "\"" }
     val errs = failed.mkString("[", ",", "]")
-    val total = results.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+    val total = results.collect { case (_, rs) if rs.nonEmpty => rs.map(_._1).min }.sum
 
     // Secondary block re-times the OPPOSITE adaptive mode (AQE-off
     // when the primary is AQE-on) so the artifact carries both modes
@@ -183,12 +200,108 @@ object Bench {
         spark.conf.set("spark.sql.adaptive.enabled", (!aqePrimary).toString)
         val r = runBlock(nAqeRuns)
         spark.conf.set("spark.sql.adaptive.enabled", aqePrimary.toString)
-        val totalAqe = r.collect { case (_, ts) if ts.nonEmpty => ts.min }.sum
+        val totalAqe = r.collect { case (_, rs) if rs.nonEmpty => rs.map(_._1).min }.sum
         s""","secondary":{"aqe":${!aqePrimary},"total":${fmt(totalAqe)},"queries":${minsJson(r)},"stats":${statsJson(r)},"runs":$nAqeRuns}"""
       }
 
+    // ---- Solo-rerun adjudicator ----------------------------------
+    // Rounds 11 and 12 both needed hand-run fresh-JVM reruns to decide
+    // whether a bench mover was a regression or in-context JVM/host
+    // noise (r12: sql_exists_correlated 0.72 s clean vs 4.84 s min in
+    // the 48-query driver JVM, code unchanged). This formalizes that:
+    // after the timed blocks, any query whose in-context min exceeds
+    // BOTH 1.5x and +0.25 s over the previous round's min (from the
+    // newest BENCH_r*_full.json, or SPARK_GRAFT_PREV_BENCH) is
+    // re-timed in a FRESH child JVM running only that query, and the
+    // artifact carries a machine-readable band verdict — no hand
+    // archaeology. Child JVMs inherit this JVM's args (heap,
+    // add-opens) and classpath; SPARK_GRAFT_ADJUDICATE=off disables
+    // (set in the children so recursion is impossible).
+    val adjBlock = {
+      val enabled =
+        sys.env.getOrElse("SPARK_GRAFT_ADJUDICATE", "on") != "off"
+      val prevPath = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
+        val rx = "BENCH_r(\\d+)_full\\.json".r
+        val dir = new java.io.File(".").listFiles()
+        Option(dir).toSeq.flatten.flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f.getName)); case _ => None
+        }).sortBy(-_._1).headOption.map(_._2)
+      }
+      val prevMins: Map[String, Double] = prevPath.flatMap { p =>
+        try {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(p)))
+          val q = root.get("queries")
+          if (q == null || !q.isObject) None
+          else {
+            val it = q.fieldNames()
+            val b = Map.newBuilder[String, Double]
+            while (it.hasNext) {
+              val n = it.next(); b += n -> q.get(n).asDouble(-1.0)
+            }
+            Some(b.result().filter(_._2 > 0))
+          }
+        } catch { case _: Exception => None }
+      }.getOrElse(Map.empty)
+      val movers = results.collect {
+        case (name, rs) if rs.nonEmpty && prevMins.contains(name) &&
+          rs.map(_._1).min > math.max(prevMins(name) * 1.5,
+                                      prevMins(name) + 0.25) =>
+          (name, rs.map(_._1).min, prevMins(name))
+      }.sortBy { case (_, cur, prev) => -(cur - prev) }
+        .take(sys.env.getOrElse("SPARK_GRAFT_ADJ_MAX", "4").toInt)
+      if (!enabled || movers.isEmpty) ""
+      else {
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments
+        val verdicts = movers.map { case (name, ctxMin, prevMin) =>
+          val tmp = java.nio.file.Files.createTempFile("adj_", ".json")
+          val cmd = new java.util.ArrayList[String]()
+          cmd.add(javaBin)
+          jvmArgs.forEach(a => { cmd.add(a); () })
+          cmd.add("-cp"); cmd.add(System.getProperty("java.class.path"))
+          cmd.add("graft.Bench")
+          val pb = new ProcessBuilder(cmd)
+          pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+          pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "3")
+          pb.environment().put("SPARK_GRAFT_AQE_RUNS", "0")
+          pb.environment().put("SPARK_GRAFT_ADJUDICATE", "off")
+          pb.environment().put("SPARK_GRAFT_BENCH_OUT", tmp.toString)
+          pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+          pb.redirectErrorStream(true)
+          pb.redirectOutput(new java.io.File("/dev/null"))
+          val soloMin: Double = try {
+            val proc = pb.start()
+            val done = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+            if (!done) { proc.destroyForcibly(); -1.0 }
+            else {
+              val om = new com.fasterxml.jackson.databind.ObjectMapper()
+              om.readTree(java.nio.file.Files.readString(tmp))
+                .get("queries").get(name).asDouble(-1.0)
+            }
+          } catch { case t: Throwable =>
+            System.err.println(s"WARN Bench adjudicate $name: $t"); -1.0
+          } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+          val verdict =
+            if (soloMin < 0) "solo_failed"
+            else if (soloMin <= math.max(prevMin * 1.5, prevMin + 0.25))
+              "in_band_solo" // context effect, not a code regression
+            else "regressed"
+          System.err.println(s"[adjudicate] $name prev=${fmt(prevMin)} " +
+            s"ctx=${fmt(ctxMin)} solo=${fmt(soloMin)} -> $verdict")
+          "\"" + name + "\":{\"prev_min\":" + fmt(prevMin) +
+            ",\"ctx_min\":" + fmt(ctxMin) +
+            ",\"solo_min\":" + fmt(soloMin) +
+            ",\"verdict\":\"" + verdict + "\"}"
+        }
+        s""","adjudication":{"prev":"${prevPath.getOrElse("")}","movers":{${verdicts.mkString(",")}}}"""
+      }
+    }
+
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${minsJson(results)},"stats":${statsJson(results)},"errors":$errs,"warmup":1,"runs":$nRuns,"aqe_primary":$aqePrimary$aqeBlock,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${minsJson(results)},"stats":${statsJson(results)},"errors":$errs,"warmup":1,"runs":$nRuns,"aqe_primary":$aqePrimary$aqeBlock$adjBlock,"sf":"$sfDir"}"""
     // The driver's tail capture truncated BENCH_r05's stdout — also
     // write the full JSON to a file so the artifact can't be clipped.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
