@@ -27,6 +27,73 @@ object Verify {
     */
   val quadraticExact: Set[String] = Set("graph_common_neighbors")
 
+  /** MEASURED quadratic fences for the n²-by-definition rows (each
+    * with a shipped linear sibling): at sf ≥ 0.1, each row's own
+    * cheap census runs first and the row is skipped — with the
+    * measured numbers in the reason — only when the candidate bound
+    * crosses the SAME 64-candidates-per-row integer gate that
+    * [[graft.operators.Dedup.pairsAuto]] routes on. The fence is a
+    * measurement, not a name list: on an open-vocabulary corpus whose
+    * prefix buckets stay small, the census passes and the exact rows
+    * run at any SF. SPARK_GRAFT_INCLUDE_QUADRATIC=true overrides.
+    * Fenced names + reasons land in `outDir/fenced.json` so the
+    * check tools report the census, not a generic subset skip.
+    *
+    * Census per row — sf1→sf3 exponent each fence answers for:
+    * - dedup_ngram_jaccard (1.90) / dedup_cluster_cc (1.91): PPJoin
+    *   prefix-bucket bound Σ c·(c−1)/2 vs 64·n_docs (saturated
+    *   synthetic corpus measured 1,098 candidates/doc at sf1).
+    *   Siblings: dedup_cluster_cc_auto (0.50), dedup_minhash_lsh
+    *   (0.54).
+    * - dedup_semdedup (1.24): pinned cells=8 ⇒ within-cell pair bound
+    *   ≈ n²/16; gate n/16 > 64. Siblings: dedup_semdedup_scaled
+    *   (0.83), dedup_semdedup_hier (0.39 top decade).
+    * - entity_resolution_e2e (1.65): (brand, size) block census
+    *   Σ c·(c−1)/2 vs 64·n (fixed key count ⇒ |block| ∝ n).
+    *   Sibling: entity_resolution_snm (8n candidates by construction).
+    */
+  val measuredQuadratic: Set[String] = Set(
+    "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_semdedup",
+    "entity_resolution_e2e")
+
+  def measuredQuadraticReason(spark: SparkSession, sfDir: String,
+                              name: String): Option[String] = {
+    import org.apache.spark.sql.functions._
+    val gate = 64L
+    name match {
+      case "dedup_ngram_jaccard" | "dedup_cluster_cc" =>
+        val r = graft.operators.Dedup.prefixSaturationStats(
+            Tables.t(spark, sfDir, "documents"), "doc_id", "text", 0.5)
+          .select(col("cand_pairs_bound"), col("n_docs")).head()
+        val (cand, n) = (r.getLong(0), r.getLong(1))
+        if (cand > gate * n) Some(
+          s"fenced: measured PPJoin prefix candidate bound $cand over " +
+          s"$n docs (${cand / math.max(1L, n)}/doc) exceeds the " +
+          s"$gate/doc routing gate; linear siblings: " +
+          "dedup_cluster_cc_auto, dedup_minhash_lsh") else None
+      case "dedup_semdedup" =>
+        val n = Tables.t(spark, sfDir, "embeddings").count()
+        val bound = n * n / 16 // 8 pinned cells, |cell| ~ n/8
+        if (bound > gate * n) Some(
+          s"fenced: pinned cells=8 within-cell pair bound ~n^2/16 = " +
+          s"$bound over $n vectors (${bound / math.max(1L, n)}/vec) " +
+          s"exceeds the $gate/vec gate; linear siblings: " +
+          "dedup_semdedup_scaled, dedup_semdedup_hier") else None
+      case "entity_resolution_e2e" =>
+        val p = Tables.t(spark, sfDir, "part")
+        val n = p.count()
+        val cand = p.groupBy(col("p_brand"), col("p_size"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1)).as("c2")).head().getLong(0) / 2
+        if (cand > gate * n) Some(
+          s"fenced: measured (brand,size) block candidate pairs $cand " +
+          s"over $n parts (${cand / math.max(1L, n)}/part) exceeds the " +
+          s"$gate/part gate; linear sibling: entity_resolution_snm")
+        else None
+      case _ => None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names — dump only that
@@ -59,6 +126,26 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
+    // Measured fences (see measuredQuadraticReason): census first,
+    // skip only on a crossed gate. Applied at sf ≥ 0.1 even to
+    // explicit subsets — the fence is a measurement, and the env var
+    // is the documented override — where the static quadraticExact
+    // name list keeps its subsets-always-run behavior.
+    val envIncludeQuadratic =
+      sys.env.getOrElse("SPARK_GRAFT_INCLUDE_QUADRATIC", "false") == "true"
+    val fenced: Map[String, String] =
+      if (envIncludeQuadratic || sfNum < 0.1) Map.empty
+      else measuredQuadratic.toSeq.sorted
+        .filter(n => only.forall(_.contains(n)))
+        .flatMap { n =>
+          val r = try measuredQuadraticReason(spark, sfDir, n)
+                  catch { case e: Exception =>
+                    System.err.println(s"[verify] census for $n failed " +
+                      s"($e); running the row unfenced"); None }
+          r.foreach(reason => System.err.println(s"[verify] $n $reason"))
+          r.map(n -> _)
+        }.toMap
+
     val pool = Executors.newFixedThreadPool(
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "8").toInt)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
@@ -66,6 +153,7 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .filter { case (name, _) =>
         includeQuadratic || !quadraticExact.contains(name) }
+      .filter { case (name, _) => !fenced.contains(name) }
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -96,6 +184,12 @@ object Verify {
     // instead of reading them as a benign subset skip.
     Files.writeString(Paths.get(s"$outDir/attempted.json"),
       attempted.map(t => q(t._1)).mkString("[", ",", "]"))
+    // Measured-fence reasons (may be empty): check.py/check_sf1.py
+    // report these verbatim instead of a generic subset skip.
+    Files.writeString(Paths.get(s"$outDir/fenced.json"),
+      fenced.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
 
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     // Per-query partition-less-window count (PlanAudit.globalWindowCount)

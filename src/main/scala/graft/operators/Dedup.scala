@@ -289,6 +289,56 @@ object Dedup {
     * lookups — the corpus-wide shingle exchange is gone, which is what
     * survives a 100 TB corpus.
     */
+  /** (doc, band, key) LSH band keys — the bucket-join key material
+    * shared by [[minhashLshPairs]] and [[lshBucketCensus]]. Expects
+    * `base` columns (doc, sig) with sig = k-component minhash.
+    */
+  private def bandedKeys(base: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rpb = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val comps = (0 until rpb).map(r => element_at(col("sig"), b * rpb + r + 1))
+      struct(lit(b).as("band"), md5(concat_ws("|", comps: _*)).as("key"))
+    }
+    base.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Work-count census for the LSH candidate path — the measured
+    * counterpart of [[prefixSaturationStats]] for the BUCKETED
+    * strategy: bucket sizes per (band, key) and the candidate bound
+    * Σ c·(c−1)/2, i.e. the number of pair rows the band self-join in
+    * [[minhashLshPairs]] can emit before dedup/verify. One scan + one
+    * bucket-sized aggregate, no joins. On any corpus where LSH is the
+    * right route, cand_per_doc stays O(bands · dup-cluster size) —
+    * flat in n — while the exact path's prefix census grows ∝ n.
+    * Output (single row): n_docs, n_band_rows, n_buckets, max_bucket,
+    * cand_pairs_bound, cand_per_doc_fp_e3.
+    */
+  def lshBucketCensus(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16, bands: Int = 4): DataFrame = {
+    graft.functions.expressions.MinHashSignature.register(docs.sparkSession)
+    graft.functions.expressions.ShingleHashes.register(docs.sparkSession)
+    val base = docs
+      .select(col(idCol).as("doc"),
+        expr(s"graft_shingle_hashes($textCol, 3)").as("sh"))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig", expr(s"graft_minhash(sh, $k)"))
+    val buckets = bandedKeys(base, k, bands)
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("c"))
+    val nd = base.agg(count(lit(1)).as("n_docs"))
+    buckets
+      .agg(sum(col("c")).as("n_band_rows"),
+        count(lit(1)).as("n_buckets"),
+        max(col("c")).as("max_bucket"),
+        sum(col("c") * (col("c") - 1)).as("cand2x"))
+      .crossJoin(nd)
+      .select(col("n_docs"), col("n_band_rows"), col("n_buckets"),
+        col("max_bucket"), expr("cand2x DIV 2").as("cand_pairs_bound"),
+        round(lit(1000.0) * (expr("cand2x DIV 2")).cast("double")
+          / col("n_docs").cast("double"), 0).cast("long")
+          .as("cand_per_doc_fp_e3"))
+  }
+
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
@@ -304,12 +354,7 @@ object Dedup {
       .localCheckpoint(false) // lazy: first action materializes; blocks
       // freed by ContextCleaner when the plan is GC'd — persist()
       // would pin an input-sized cache entry per call (see Packing)
-    val bandStructs = (0 until bands).map { b =>
-      val comps = (0 until rpb).map(r => element_at(col("sig"), b * rpb + r + 1))
-      struct(lit(b).as("band"), md5(concat_ws("|", comps: _*)).as("key"))
-    }
-    val banded = base.select(col("doc"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandedKeys(base, k, bands)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.doc") < col("y.doc"))

@@ -78,6 +78,35 @@ object Events {
           col("click_ts"), col("purchase_ts"))
         .orderBy("user_id", "click_id", "purchase_id")
     }),
+    "events_interval_left_stream" -> ((s, d) => {
+      // LEFT OUTER stream-stream interval join through the disk-level
+      // harness (EventStreams.intervalJoinLeftOuterViaDisk) — the
+      // watermark-proven null-emission case: a click's null row exists
+      // in the sink only once the final watermark passes
+      // click_ts + 5min. Horizon filter, derived like the session
+      // mode's: final global wm = least(max click_ts, max purchase_ts)
+      // − 1h (min over the two legs' per-input watermarks); a click at
+      // wm − 5min is the emission boundary, so both sides keep null
+      // rows only for clicks a further full maxDelay + 1min below it
+      // (click_ts <= wm − 11min) — provably emitted under any
+      // eviction-boundary convention (strict/non-strict, ±ms
+      // state-watermark adjustments). Matched rows emit eagerly like
+      // the inner mode and carry no horizon clause.
+      val sink = graft.streaming.EventStreams
+        .intervalJoinLeftOuterViaDisk(s, d)
+      val ev = Tables.events(s, d)
+      val maxClick = ev.where(col("event_type") === "click")
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val maxPurchase = ev.where(col("event_type") === "purchase")
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val cutoff = math.min(maxClick, maxPurchase) -
+        3600L * 1000000L - 660L * 1000000L // wm − (10min + 1min) slack
+      sink.where(col("purchase_id").isNotNull ||
+          unix_micros(col("click_ts")) <= cutoff)
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
     "events_sessionize" -> ((s, d) => {
       // 30-min-gap sessionization via lag + running sum — the batch
       // analog of flatMapGroupsWithState session windows.
@@ -216,6 +245,28 @@ object Events {
          |FROM c JOIN p ON c.user_id = p.user_id
          | AND purchase_ts >= click_ts
          | AND purchase_ts <= click_ts + INTERVAL 5 MINUTE
+         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "events_interval_left_stream" ->
+      // batch mirror of the streaming LEFT OUTER interval-join disk
+      // path: matched pairs carry no horizon clause (emitted eagerly);
+      // null rows only for clicks below the same derived cutoff the
+      // Spark side applies — final wm = least(max click, max purchase)
+      // − 1h, null-emission boundary wm − 5min, kept only at
+      // click_ts <= wm − 11min (a full extra maxDelay + 1min of slack)
+      s"""WITH $evSql,
+         |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+         |      FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+         |      FROM ev WHERE event_type = 'purchase'),
+         |wm AS (SELECT least((SELECT max(epoch_us(click_ts)) FROM c),
+         |                    (SELECT max(epoch_us(purchase_ts)) FROM p))
+         |              - 3600000000 AS w)
+         |SELECT c.user_id, click_id, purchase_id, click_ts, purchase_ts
+         |FROM c LEFT JOIN p ON c.user_id = p.user_id
+         | AND purchase_ts >= click_ts
+         | AND purchase_ts <= click_ts + INTERVAL 5 MINUTE
+         |WHERE purchase_id IS NOT NULL
+         |   OR epoch_us(click_ts) <= (SELECT w - 660000000 FROM wm)
          |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
     "events_session_stream" ->
       // batch gaps-and-islands mirror of the streaming session-window

@@ -121,6 +121,28 @@ object EventStreams {
       intervalJoin(ev.filter(col("event_type") === "click"),
                    ev.filter(col("event_type") === "purchase")))
 
+  /** Disk-level oracle path for [[intervalJoinLeftOuter]] — the HARD
+    * join mode on the viaDisk harness: unlike inner matches (emitted
+    * eagerly), a null row for an unmatched click exists in the sink
+    * ONLY once the watermark has proven no purchase can still arrive
+    * (wm > click_ts + maxDelay), so this path exercises
+    * watermark-driven outer-row emission end-to-end: the AvailableNow
+    * data batch buffers both legs and emits the inner matches, the
+    * final watermark is computed from that batch's max event times
+    * (global wm = min over legs of max(ts) − horizon), and the
+    * trailing no-data micro-batch (numInputRows = 0 — it does not
+    * trip the single-DATA-batch assertion) evicts expired click state
+    * and appends the null rows. Clicks younger than wm − maxDelay
+    * stay in state, provably-unmatched-or-not, and never reach the
+    * sink — the consumer query applies the boundary-safe horizon
+    * filter (see `events_interval_left_stream`).
+    */
+  def intervalJoinLeftOuterViaDisk(spark: org.apache.spark.sql.SparkSession,
+                                   sfDir: String): DataFrame =
+    viaDisk(spark, sfDir, "graft_ev_ijlo", ev =>
+      intervalJoinLeftOuter(ev.filter(col("event_type") === "click"),
+                            ev.filter(col("event_type") === "purchase")))
+
   private def viaDisk(spark: org.apache.spark.sql.SparkSession,
                       sfDir: String, prefix: String,
                       transform: DataFrame => DataFrame): DataFrame = {

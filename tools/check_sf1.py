@@ -247,6 +247,12 @@ def main():
     # form) — an absent output for them is the documented skip, not a
     # missing-dump red. Mirrors graft.Verify.quadraticExact.
     quadratic_excluded = {"graph_common_neighbors"}
+    # Measured-fence skips (Verify census artifact; absent in older
+    # output dirs): name -> reason with the measured candidate counts.
+    try:
+        fenced = json.load(open(f"{OUT}/fenced.json"))
+    except (FileNotFoundError, json.JSONDecodeError, OSError):
+        fenced = {}
     # Verify's OWN record of what it tried to dump (attempted.json,
     # written before any query launches, since r11) is the
     # authoritative skip criterion — it already encodes the subset and
@@ -276,7 +282,12 @@ def main():
         files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
         if not files:
             skip_reason = None
-            if attempted is not None and name not in attempted:
+            if name in fenced:
+                # measured quadratic fence: Verify ran the row's own
+                # census and it crossed the candidate gate; the reason
+                # carries the measured numbers
+                skip_reason = "skipped: " + fenced[name]
+            elif attempted is not None and name not in attempted:
                 skip_reason = (
                     "skipped: excluded by this Verify run "
                     "(attempted.json; quadratic-exact variant — see the "
