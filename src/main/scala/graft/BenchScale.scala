@@ -70,9 +70,16 @@ object BenchScale {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_SCALE_RUNS", "3").toInt
+    // Shuffle-partition override for spill-band probes: the default
+    // (= cpus) sizes per-partition working sets for the common case;
+    // the corpus-explode rows at sf3 carry ~1 GiB/partition at 32,
+    // and raising the count trades scheduling overhead for staying
+    // inside the execution-memory band (measured per row below).
+    val shuffleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -166,20 +166,7 @@ object TextDedup {
       // bucketed by content, never all-pairs; the ≥ 2 floor drops
       // coincidental single-chunk collisions.
       val dc = cdcChunks(s, d).select("doc_id", "chunk_md5").distinct()
-      // Prefilter to chunk hashes seen in ≥ 2 DISTINCT docs
-      // (min(doc_id) ≠ max(doc_id) — min/max partial-combine
-      // map-side, so the census exchange carries ~one row per
-      // distinct md5): both self-join legs and the pair groupBy then
-      // hold only genuinely-shared chunks, the ~10% tail on this
-      // corpus — the sf3 single-box heap band (exponent 1.07) was the
-      // full 37M-row set paying those shuffles for matches that
-      // mostly didn't exist.
-      val shared = dc.groupBy("chunk_md5")
-        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-        .where(col("mn") =!= col("mx"))
-        .select("chunk_md5")
-      val dcs = dc.join(shared, Seq("chunk_md5"), "left_semi")
-      dcs.as("a").join(dcs.as("b"),
+      dc.as("a").join(dc.as("b"),
           col("a.chunk_md5") === col("b.chunk_md5") &&
             col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -790,33 +777,29 @@ object TextDedup {
       // exact.
       graft.functions.expressions.RollingHashes.register(s)
       val (w, b, m) = (40, 31, 1099511627689L)
-      val hashed = t(s, d, "documents")
+      val spans = t(s, d, "documents")
         .select(col("doc_id"),
-          call_function("graft_rolling_hashes", col("text"),
-            lit(w), lit(b), lit(m)).as("hs"))
-        .where(size(col("hs")) > 0)
-      val spans = hashed.select(col("doc_id"), explode(col("hs")).as("h"))
+          explode(call_function("graft_rolling_hashes", col("text"),
+            lit(w), lit(b), lit(m))).as("h"))
       // "h occurs in ≥ 2 distinct docs" ⟺ min(doc_id) ≠ max(doc_id)
-      // per h: min/max partial-combine MAP-SIDE, so this exchange
-      // carries ~one row per distinct h — where the former
-      // count_distinct plan shuffled the full 37M-span (h, doc_id)
-      // set through its distinct-expand, the sf3 heap band the 1.07/
-      // 1.12 exponents traced to. n_spans never re-aggregates the
-      // span set at all (it is the hash-array length, map-side), and
-      // the only full-span shuffle left is the semi join against the
-      // shared-h set — which AQE broadcasts while that set fits.
-      val shared = spans.groupBy("h")
+      // per h: min/max partial-combine MAP-SIDE into one (mn, mx) row
+      // per distinct h, where count_distinct's distinct-expand
+      // shuffled the full (h, doc_id) span set — the heavier half of
+      // the r12 sf3 heap band (and its GC-cliff dispersion: the old
+      // plan's same-code sf3 cells ranged 27–55 s across four r13
+      // probe JVMs; this one held 31.8/32.9). The assembly join stays
+      // INNER (hstats covers every h, but Catalyst cannot prove it) —
+      // a cardinality-preserving left-join assembly was measurably
+      // optimized AWAY under Bench's count() action.
+      val hstats = spans.groupBy("h")
         .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-        .where(col("mn") =!= col("mx"))
-        .select("h")
-      val nShared = spans.join(shared, Seq("h"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-      hashed.select(col("doc_id"), size(col("hs")).cast("long").as("n_spans"))
-        .join(nShared, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_spans"),
-          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-          (coalesce(col("n_shared"), lit(0L)).cast("double")
-            / col("n_spans")).as("dup_frac"))
+      spans.join(hstats, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("mn") =!= col("mx"), 1L).otherwise(0L))
+            .as("n_shared"))
+        .select(col("doc_id"), col("n_spans"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_spans")).as("dup_frac"))
         .orderBy("doc_id")
     }),
     "mixture_temperature" -> ((s, d) => {
