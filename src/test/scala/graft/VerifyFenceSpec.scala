@@ -1,0 +1,46 @@
+package graft
+
+/** The measured quadratic fence (Verify.measuredQuadraticReason) must
+  * be a MEASUREMENT, not a name list: the same row passes the gate on
+  * a corpus whose census is small and trips it only when its own
+  * candidate bound crosses the 64-per-row routing rule. Pinned at
+  * sf0.01, where the censuses are cheap and the numbers are known
+  * (prefix bound ~13/doc, block pairs ~1/part, pinned-cell bound
+  * n/16 > 64 once n > 1024 vectors).
+  */
+class VerifyFenceSpec extends SparkSpec {
+
+  test("prefix census below the gate does NOT fence the exact-Jaccard " +
+    "rows at sf0.01") {
+    assert(Verify.measuredQuadraticReason(spark, sf("sf0.01"),
+      "dedup_ngram_jaccard").isEmpty)
+    assert(Verify.measuredQuadraticReason(spark, sf("sf0.01"),
+      "dedup_cluster_cc").isEmpty)
+  }
+
+  test("block census below the gate does NOT fence entity_resolution_e2e " +
+    "at sf0.01") {
+    assert(Verify.measuredQuadraticReason(spark, sf("sf0.01"),
+      "entity_resolution_e2e").isEmpty)
+  }
+
+  test("the pinned-cells bound does NOT trip at sf0.01 (500 vectors, " +
+    "bound 31/vec < 64) and DOES at sf0.1 (2,000 vectors, 125/vec), " +
+    "with the measured numbers in the reason") {
+    assert(Verify.measuredQuadraticReason(spark, sf("sf0.01"),
+      "dedup_semdedup").isEmpty)
+    val r = Verify.measuredQuadraticReason(spark, sf("sf0.1"),
+      "dedup_semdedup")
+    assert(r.isDefined)
+    assert(r.get.contains("cells=8"))
+    assert(r.get.contains("dedup_semdedup_scaled"))
+    // reason carries the measured vector count, not a canned string
+    val n = Tables.t(spark, sf("sf0.1"), "embeddings").count()
+    assert(r.get.contains(s"over $n vectors"))
+  }
+
+  test("unfenced names never produce a reason") {
+    assert(Verify.measuredQuadraticReason(spark, sf("sf0.01"),
+      "q1_agg").isEmpty)
+  }
+}
