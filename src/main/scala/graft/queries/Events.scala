@@ -107,6 +107,42 @@ object Events {
           col("click_ts"), col("purchase_ts"))
         .orderBy("user_id", "click_id", "purchase_id")
     }),
+    "events_interval_full_stream" -> ((s, d) => {
+      // FULL OUTER stream-stream interval join through the disk-level
+      // harness — null rows on BOTH sides, each under its own derived
+      // horizon: unmatched clicks emit once wm > click_ts + 5min,
+      // unmatched purchases once wm > purchase_ts (candidate clicks
+      // lie in [purchase_ts − 5min, purchase_ts]); both sides keep
+      // null rows only 11min of slack below the final wm so the
+      // compare is independent of any eviction-boundary convention.
+      val sink = graft.streaming.EventStreams
+        .intervalJoinFullOuterViaDisk(s, d)
+      val ev = Tables.events(s, d)
+      val maxClick = ev.where(col("event_type") === "click")
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val maxPurchase = ev.where(col("event_type") === "purchase")
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val cutoff = math.min(maxClick, maxPurchase) -
+        3600L * 1000000L - 660L * 1000000L
+      sink.where(
+          (col("purchase_id").isNotNull && col("click_id").isNotNull) ||
+          (col("purchase_id").isNull &&
+            unix_micros(col("click_ts")) <= cutoff) ||
+          (col("click_id").isNull &&
+            unix_micros(col("purchase_ts")) <= cutoff))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }),
+    "events_interval_semi_stream" -> ((s, d) =>
+      // LEFT SEMI through the disk-level harness: matched clicks emit
+      // eagerly on first match (at most once, no purchase columns, no
+      // inner fanout) and unmatched clicks are dropped silently at
+      // eviction — the sink equals the batch semi join exactly, no
+      // horizon clause, same reasoning as the inner mode.
+      graft.streaming.EventStreams.intervalJoinLeftSemiViaDisk(s, d)
+        .select(col("user_id"), col("click_id"), col("click_ts"))
+        .orderBy("user_id", "click_id")),
     "events_sessionize" -> ((s, d) => {
       // 30-min-gap sessionization via lag + running sum — the batch
       // analog of flatMapGroupsWithState session windows.
@@ -268,6 +304,47 @@ object Events {
          |WHERE purchase_id IS NOT NULL
          |   OR epoch_us(click_ts) <= (SELECT w - 660000000 FROM wm)
          |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+    "events_interval_full_stream" ->
+      // batch mirror of the streaming FULL OUTER interval-join disk
+      // path: matched rows unconditionally; click-side null rows below
+      // the wm − 11min horizon (null-emission boundary wm − 5min);
+      // purchase-side null rows below the same cutoff (boundary wm,
+      // since candidate clicks lie within 5min at or before the
+      // purchase) — both with a full extra maxDelay + 1min of slack
+      s"""WITH $evSql,
+         |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+         |      FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+         |      FROM ev WHERE event_type = 'purchase'),
+         |wm AS (SELECT least((SELECT max(epoch_us(click_ts)) FROM c),
+         |                    (SELECT max(epoch_us(purchase_ts)) FROM p))
+         |              - 3600000000 AS w)
+         |SELECT coalesce(c.user_id, p.user_id) AS user_id,
+         |       click_id, purchase_id, click_ts, purchase_ts
+         |FROM c FULL JOIN p ON c.user_id = p.user_id
+         | AND purchase_ts >= click_ts
+         | AND purchase_ts <= click_ts + INTERVAL 5 MINUTE
+         |WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+         |   OR (purchase_id IS NULL AND
+         |       epoch_us(click_ts) <= (SELECT w - 660000000 FROM wm))
+         |   OR (click_id IS NULL AND
+         |       epoch_us(purchase_ts) <= (SELECT w - 660000000 FROM wm))
+         |ORDER BY user_id, click_id, purchase_id""".stripMargin,
+    "events_interval_semi_stream" ->
+      // batch mirror of the streaming LEFT SEMI disk path: matched
+      // clicks at most once, watermark-independent (semi rows emit
+      // eagerly), so the mirror is the plain semi join — no horizon
+      s"""WITH $evSql,
+         |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+         |      FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+         |      FROM ev WHERE event_type = 'purchase')
+         |SELECT c.user_id, click_id, click_ts
+         |FROM c WHERE EXISTS (SELECT 1 FROM p
+         |  WHERE p.user_id = c.user_id
+         |    AND purchase_ts >= click_ts
+         |    AND purchase_ts <= click_ts + INTERVAL 5 MINUTE)
+         |ORDER BY c.user_id, click_id""".stripMargin,
     "events_session_stream" ->
       // batch gaps-and-islands mirror of the streaming session-window
       // disk path, restricted to the same closed-session horizon

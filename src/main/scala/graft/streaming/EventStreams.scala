@@ -143,6 +143,35 @@ object EventStreams {
       intervalJoinLeftOuter(ev.filter(col("event_type") === "click"),
                             ev.filter(col("event_type") === "purchase")))
 
+  /** Disk-level oracle path for [[intervalJoinFullOuter]] — null rows
+    * on BOTH sides are watermark-gated: an unmatched click emits once
+    * wm > click_ts + maxDelay (as in the left-outer mode), an
+    * unmatched purchase once wm > purchase_ts (its candidate clicks
+    * lie in [purchase_ts − maxDelay, purchase_ts], so the moment the
+    * watermark passes the purchase itself no match can still arrive).
+    * The consumer applies the boundary-safe horizon on each side's
+    * null rows (`events_interval_full_stream`).
+    */
+  def intervalJoinFullOuterViaDisk(spark: org.apache.spark.sql.SparkSession,
+                                   sfDir: String): DataFrame =
+    viaDisk(spark, sfDir, "graft_ev_ijfo", ev =>
+      intervalJoinFullOuter(ev.filter(col("event_type") === "click"),
+                            ev.filter(col("event_type") === "purchase")))
+
+  /** Disk-level oracle path for [[intervalJoinLeftSemi]] — semi
+    * matches emit EAGERLY on first match (they never wait on the
+    * watermark: the row is provably in the result the moment one
+    * purchase lands), and unmatched clicks are silently dropped at
+    * eviction, never emitted. With the single AvailableNow data batch
+    * the sink therefore equals the batch semi join exactly — no
+    * horizon filter, same reasoning as the inner mode.
+    */
+  def intervalJoinLeftSemiViaDisk(spark: org.apache.spark.sql.SparkSession,
+                                  sfDir: String): DataFrame =
+    viaDisk(spark, sfDir, "graft_ev_ijls", ev =>
+      intervalJoinLeftSemi(ev.filter(col("event_type") === "click"),
+                           ev.filter(col("event_type") === "purchase")))
+
   private def viaDisk(spark: org.apache.spark.sql.SparkSession,
                       sfDir: String, prefix: String,
                       transform: DataFrame => DataFrame): DataFrame = {
