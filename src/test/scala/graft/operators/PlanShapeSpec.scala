@@ -356,6 +356,24 @@ class PlanShapeSpec extends SparkSpec {
       s"expected a DPP PartitionFilter on the index scan:\n${idxScan.get}")
   }
 
+  test("dedup_repeated_spans: the shared-span census aggregates min/max " +
+       "per hash — no distinct-Expand, and the doc aggregate partial-" +
+       "combines map-side") {
+    val p = plan("dedup_repeated_spans")
+    // count_distinct plans an Expand that shuffles the full span set;
+    // the min≠max census must keep the exchange one-row-per-hash
+    assert(!p.contains("Expand"),
+      s"distinct-expand reintroduced into the span census:\n$p")
+    // the census must reach the exchange as a partial aggregate
+    // (map-side combine), not shuffle raw span rows
+    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
+    // assembly stays an inner join on the hash (a cardinality-
+    // preserving outer assembly is optimized away under count() and
+    // the bench rows then measure nothing)
+    assert(!p.contains("LeftOuter"),
+      s"outer assembly is count()-prunable; keep the inner join:\n$p")
+  }
+
   test("catalog-wide: no partition-less WindowExec outside the bounded-" +
        "frame allowlist (the single-reducer total-order scale-killer)") {
     // `Window.orderBy` with no partitionBy moves ALL data to one
