@@ -128,10 +128,20 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .stream().mapToLong(b => math.max(0L, b.getCollectionTime)).sum()
 
-    def runBlock(nRunsBlock: Int): Seq[(String, Seq[(Double, Long)])] =
+    // 1-minute system load average, sampled per run: this JVM drives
+    // ~cpus of load itself, so a sample far above `cpus` during a slow
+    // block is the external-contention fingerprint the r12 blowup
+    // (sql_exists_correlated 0.72 → 4.84 s on unchanged code in the
+    // driver window) lacked — with it in the artifact, that
+    // adjudication is one field lookup instead of a rerun campaign.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+
+    def runBlock(nRunsBlock: Int): Seq[(String, Seq[(Double, Long, Double)])] =
       selected.filter(SparkEntry.queries.contains).map { name =>
         val fn = SparkEntry.queries(name)
-        def timed(): (Boolean, Double, Long) = {
+        def timed(): (Boolean, Double, Long, Double) = {
           // Operators persist shared intermediates; each invocation
           // builds fresh frames, so drop the previous run's cache
           // entries or they accumulate and thrash the heap.
@@ -147,11 +157,11 @@ object Bench {
           val ok = try { fn(spark, sfDir).count(); true }
                    catch { case t: Throwable =>
                      System.err.println(s"WARN Bench: $name failed: $t"); false }
-          (ok, (System.nanoTime() - t0) / 1e9, gcMs() - g0)
+          (ok, (System.nanoTime() - t0) / 1e9, gcMs() - g0, loadAvg())
         }
         timed() // warmup, discarded
         val good = (1 to nRunsBlock).map(_ => timed())
-          .collect { case (true, t, g) => (t, g) }
+          .collect { case (true, t, g, l) => (t, g, l) }
         name -> good
       }
 
@@ -159,11 +169,11 @@ object Bench {
     // the default locale, which would emit decimal commas on de_DE)
     def fmt(d: Double) =
       String.format(java.util.Locale.US, "%.6f", Double.box(d))
-    def minsJson(results: Seq[(String, Seq[(Double, Long)])]) =
+    def minsJson(results: Seq[(String, Seq[(Double, Long, Double)])]) =
       results.map { case (k, rs) =>
         "\"" + k + "\":" + (if (rs.nonEmpty) fmt(rs.map(_._1).min) else "-1.0")
       }.mkString("{", ",", "}")
-    def statsJson(results: Seq[(String, Seq[(Double, Long)])]) =
+    def statsJson(results: Seq[(String, Seq[(Double, Long, Double)])]) =
       results.map { case (k, rs) =>
         if (rs.isEmpty) "\"" + k + "\":null"
         else {
@@ -171,12 +181,15 @@ object Bench {
           val mean = ts.sum / ts.size
           val sd = math.sqrt(ts.map(t => (t - mean) * (t - mean)).sum / ts.size)
           // gc_ms_min_run = GC time inside the run that produced the
-          // min (the published number); gc_ms_max = worst run's GC.
+          // min (the published number); gc_ms_max = worst run's GC;
+          // load_max = highest 1-min system loadavg sampled across the
+          // query's runs (external-contention fingerprint).
           val gcOfMin = rs.minBy(_._1)._2
           "\"" + k + "\":{\"min\":" + fmt(ts.min) + ",\"mean\":" + fmt(mean) +
             ",\"stddev\":" + fmt(sd) + ",\"max\":" + fmt(ts.max) +
             ",\"gc_ms_min_run\":" + gcOfMin +
             ",\"gc_ms_max\":" + rs.map(_._2).max +
+            ",\"load_max\":" + fmt(rs.map(_._3).max) +
             ",\"runs\":" + ts.size + "}"
         }
       }.mkString("{", ",", "}")
