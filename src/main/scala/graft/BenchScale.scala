@@ -63,6 +63,42 @@ object BenchScale {
     // is the proof it holds the slope down where the flat form bends.
     "dedup_semdedup_hier")
 
+  /** Merge a fresh scaling run into the existing artifact text.
+    * Per-query, the new run's fields override same-named fields on
+    * the old row FIELD-BY-FIELD, with JSON nulls never overwriting
+    * (a single-SF probe has no exponent and must not blank a
+    * measured slope); rows and cells the run did not probe survive
+    * verbatim. Exponents are never recomputed from merged cells —
+    * mixing JVM populations across days would fabricate a slope no
+    * single run measured. Throws on unparseable input (the caller
+    * falls back to overwrite, loudly).
+    */
+  def mergeArtifacts(prevJson: String, nowJson: String,
+                     nRuns: Int): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val prev = om.readTree(prevJson)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val now = om.readTree(nowJson)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val pq = prev.`with`("queries"); val nq = now.`with`("queries")
+    val it = nq.fieldNames()
+    while (it.hasNext) {
+      val name = it.next()
+      (pq.get(name), nq.get(name)) match {
+        case (old: com.fasterxml.jackson.databind.node.ObjectNode,
+              neu: com.fasterxml.jackson.databind.node.ObjectNode) =>
+          val fit = neu.fieldNames()
+          while (fit.hasNext) {
+            val f = fit.next()
+            if (!neu.get(f).isNull) { old.set(f, neu.get(f)); () }
+          }
+        case _ => pq.set(name, nq.get(name)); ()
+      }
+    }
+    prev.put("runs", nRuns)
+    om.writeValueAsString(prev)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDirs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
@@ -176,33 +212,8 @@ object BenchScale {
     val merged = {
       val p = java.nio.file.Paths.get(outPath)
       if (!java.nio.file.Files.exists(p)) out
-      else try {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val prev = om.readTree(java.nio.file.Files.readString(p))
-          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        val now = om.readTree(out)
-          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        val pq = prev.`with`("queries"); val nq = now.`with`("queries")
-        val it = nq.fieldNames()
-        while (it.hasNext) {
-          val name = it.next()
-          (pq.get(name), nq.get(name)) match {
-            case (old: com.fasterxml.jackson.databind.node.ObjectNode,
-                  neu: com.fasterxml.jackson.databind.node.ObjectNode) =>
-              // Field-by-field, skipping nulls: a single-SF probe has
-              // no exponent (JSON null) and must not blank the old
-              // row's measured slope.
-              val fit = neu.fieldNames()
-              while (fit.hasNext) {
-                val f = fit.next()
-                if (!neu.get(f).isNull) { old.set(f, neu.get(f)); () }
-              }
-            case _ => pq.set(name, nq.get(name)); ()
-          }
-        }
-        prev.put("runs", nRuns)
-        om.writeValueAsString(prev)
-      } catch {
+      else try mergeArtifacts(java.nio.file.Files.readString(p), out, nRuns)
+      catch {
         case e: Exception => // unparseable -> overwrite, but loudly
           System.err.println(s"[scale] WARN: could not merge into " +
             s"existing $outPath (${e}); overwriting")
