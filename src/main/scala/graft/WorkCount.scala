@@ -72,6 +72,84 @@ object WorkCount {
         s""""max_bucket":${r.getLong(3)},"cand_pairs_bound":${r.getLong(4)},""" +
         s""""cand_per_doc_fp_e3":${r.getLong(5)}}""")
     }
+    if (probes("ivf")) {
+      // Runtime scan metrics for the persisted-index search: how many
+      // partitions/files of the cell-partitioned index the DPP-pruned
+      // scan ACTUALLY read, vs the total on disk. The constant-work
+      // claim is that reads track nprobe·queries (distinct probed
+      // cells), independent of corpus size.
+      val df = SparkEntry.queries("ann_ivfpq_persisted")(spark, sfDir)
+      df.count() // builds the index if absent; reruns reuse the marker
+      val df2 = SparkEntry.queries("ann_ivfpq_persisted")(spark, sfDir)
+      // execute THIS QueryExecution (df.count() plans a new one whose
+      // metrics the df2 handle never sees)
+      df2.queryExecution.toRdd.count()
+      // AQE final plans nest finished stages as QueryStageExec LEAVES
+      // (collect() never descends into them) — recurse explicitly
+      // through stage/reuse wrappers to reach the scans.
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+        val here = p match {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case _ => Nil
+        }
+        val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            Seq(r.child)
+          case other => other.children
+        }
+        here ++ kids.flatMap(allScans)
+      }
+      val scans = allScans(df2.queryExecution.executedPlan).filter(
+        _.metadata.getOrElse("Location", "").contains("graft_ivfpq_idx"))
+      val idxScan = scans.headOption
+      val mt = idxScan.map(_.metrics).getOrElse(Map.empty)
+      def m(k: String): Long =
+        mt.get(k).map(_.value).getOrElse(-1L)
+      val totalCells = {
+        val enc = new java.io.File(
+          graft.Scratch.sharedDir("graft_ivfpq_idx", sfDir)
+            .resolve("encoded").toString)
+        Option(enc.listFiles()).toSeq.flatten
+          .count(f => f.isDirectory && f.getName.startsWith("cell="))
+      }
+      // The catalog row probes 5 queries × nprobe 2 = 10 cells, which
+      // can legitimately cover all 8 — so also measure a SINGLE query
+      // (2 probed cells): the partitions actually read must drop to
+      // the probe count, proving the DPP prune skips cells at runtime.
+      val idxRoot = graft.Scratch.sharedDir("graft_ivfpq_idx", sfDir)
+      val corpus = graft.operators.Similarity.prep(
+        Tables.t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+        Some("label"))
+      val q1 = corpus.where(col("id") < 1)
+      val cents1 = spark.read.parquet(idxRoot.resolve("cents").toString)
+      val probed1 = graft.operators.Pq.probedCellsOf(q1, cents1, nprobe = 2)
+      val one = graft.operators.Pq.searchIvfPq(
+        q1,
+        spark.read.parquet(idxRoot.resolve("encoded").toString)
+          .where(col("cell").isin(probed1.map(Int.box): _*)),
+        cents1,
+        spark.read.parquet(idxRoot.resolve("cb").toString), corpus,
+        k = 10, nprobe = 2, m = 8, codes = 16, rerank = 50)
+      one.queryExecution.toRdd.count()
+      val oneScan = allScans(one.queryExecution.executedPlan).filter(
+        _.metadata.getOrElse("Location", "").contains("graft_ivfpq_idx"))
+        .headOption
+      def m1(k: String): Long = oneScan.map(_.metrics)
+        .getOrElse(Map.empty).get(k).map(_.value).getOrElse(-1L)
+      println(s"""{"probe":"ivf","sf":"$sfDir",""" +
+        s""""partitions_read":${m("numPartitions")},""" +
+        s""""files_read":${m("numFiles")},""" +
+        s""""total_cells_on_disk":$totalCells,""" +
+        s""""one_query_partitions_read":${m1("numPartitions")},""" +
+        s""""one_query_files_read":${m1("numFiles")},""" +
+        s""""nprobe":2,""" +
+        s""""scan_found":${idxScan.isDefined && oneScan.isDefined}}""")
+    }
     if (probes("prefix")) {
       val r = graft.operators.Dedup.prefixSaturationStats(
         Tables.t(spark, sfDir, "documents"), "doc_id", "text", 0.5)

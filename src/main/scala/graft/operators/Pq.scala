@@ -253,7 +253,11 @@ object Pq {
                   rerank: Int): DataFrame = {
     val corp = corpus.select(col("id"), col("v"), col("n2"))
     val qs = queries.select(col("id"), col("v"), col("n2"))
-    // (query, probed cell) × LUT — tiny, broadcast into the cell join
+    // (query, probed cell) × LUT — tiny, broadcast into the cell join.
+    // When `encoded` is an in-memory build (ivfTopK/adc) the hash join
+    // alone bounds the scoring; a PERSISTED cell-partitioned index
+    // must additionally be pre-filtered with [[probedCellsOf]] before
+    // reaching here, or the scan reads every cell (see that method).
     val probeLuts = broadcast(
       Ivf.probe(qs, cents, nprobe).select(col("query_id"), col("cell"))
         .join(lutsFor(qs, cb, m), "query_id"))
@@ -264,6 +268,25 @@ object Pq {
         adcCosine(m, codes).as("adc"))
     rerankExact(cands, corp, k, rerank)
   }
+
+  /** The distinct cell ids a query batch probes — bounded by
+    * nprobe·|queries| (the serving batch), so collecting them is a
+    * tiny job over the C-row centroid table. Callers searching a
+    * PERSISTED cell-partitioned index plant these as a literal
+    * `cell IN (...)` on the partition column BEFORE [[searchIvfPq]]:
+    * STATIC listing-time pruning, because Catalyst's dynamic
+    * partition pruning is not reliable here — measured on the
+    * cell-partitioned index, the inserted DPP filter was planned to
+    * `dynamicpruningexpression(true)` (broadcast-reuse lookup fails
+    * for this plan in both AQE modes) and the scan read ALL cells:
+    * 8/8 partitions, the whole 20k-row index for a 2-cell probe.
+    * In-memory callers (ivfTopK) skip it — with no partitions to
+    * prune, the extra action is pure job overhead.
+    */
+  def probedCellsOf(queries: DataFrame, cents: DataFrame,
+                    nprobe: Int): Seq[Int] =
+    Ivf.probe(queries.select(col("id"), col("v"), col("n2")), cents, nprobe)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSeq
 
   /** IVFADC with RESIDUAL encoding — the exact form of Jégou et al.
     * TPAMI'11 §IV: PQ codes quantize r = v − centroid(cell) instead

@@ -185,9 +185,20 @@ object Vectors {
         if (markerOk) { graft.Scratch.deleteRecursively(tmp); dir }
         else tmp // lost a pathological race: search our private copy
       }
-      graft.operators.Pq.searchIvfPq(corpus.where(col("id") < 5),
-          s.read.parquet(idxRoot.resolve("encoded").toString),
-          s.read.parquet(idxRoot.resolve("cents").toString),
+      val qs = corpus.where(col("id") < 5)
+      val cents = s.read.parquet(idxRoot.resolve("cents").toString)
+      // STATIC listing-time pruning of the cell-partitioned index:
+      // the probed cell ids (bounded by nprobe·|queries|) become a
+      // literal partition filter — Catalyst's DPP planned away to
+      // `dynamicpruningexpression(true)` here and read all 8 cells
+      // (see Pq.probedCellsOf). PlanShapeSpec pins the literal IN;
+      // WorkCount's ivf probe measures 2-of-8 partitions read for a
+      // one-query batch.
+      val probed = graft.operators.Pq.probedCellsOf(qs, cents, nprobe = 2)
+      graft.operators.Pq.searchIvfPq(qs,
+          s.read.parquet(idxRoot.resolve("encoded").toString)
+            .where(col("cell").isin(probed.map(Int.box): _*)),
+          cents,
           s.read.parquet(idxRoot.resolve("cb").toString), corpus,
           k = 10, nprobe = 2, m = 8, codes = 16, rerank = 50)
         .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))

@@ -347,13 +347,24 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("ann_ivfpq_persisted: the cell-partitioned index scan carries a " +
-       "dynamic-partition-pruning filter — unprobed cells never read") {
+       "LITERAL cell IN (...) partition filter — unprobed cells never " +
+       "listed, let alone read") {
+    // The r13 WorkCount runtime census caught the previous pin
+    // matching vacuously: the plan DID contain "dynamicpruning", but
+    // as dynamicpruningexpression(true) — Catalyst's broadcast-reuse
+    // lookup fails for this plan in both AQE modes and the rewritten
+    // filter read ALL 8 cells (20k rows for a 2-cell probe). The
+    // operator now plants the probed cells as a STATIC IN on the
+    // partition column (searchIvfPq collects the bounded
+    // nprobe·|queries| cell ids first), so the pin asserts the
+    // literal filter and rejects the planned-away DPP form.
     val p = plan("ann_ivfpq_persisted")
     val idxScan = p.split("\n\n").find(b =>
       b.contains("Scan parquet") && b.contains("graft_ivfpq_idx"))
     assert(idxScan.isDefined, s"persisted index scan missing:\n$p")
-    assert(idxScan.get.contains("dynamicpruning"),
-      s"expected a DPP PartitionFilter on the index scan:\n${idxScan.get}")
+    assert(idxScan.get.contains("cell") && idxScan.get.contains(" IN ("),
+      s"expected a literal cell IN (...) PartitionFilter on the index " +
+        s"scan:\n${idxScan.get}")
   }
 
   test("dedup_repeated_spans: the shared-span census aggregates min/max " +
