@@ -230,14 +230,25 @@ object Bench {
     // archaeology. Child JVMs inherit this JVM's args (heap,
     // add-opens) and classpath; SPARK_GRAFT_ADJUDICATE=off disables
     // (set in the children so recursion is impossible).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+
     val adjBlock = {
       val enabled =
         sys.env.getOrElse("SPARK_GRAFT_ADJUDICATE", "on") != "off"
       val prevPath = sys.env.get("SPARK_GRAFT_PREV_BENCH").orElse {
         val rx = "BENCH_r(\\d+)_full\\.json".r
         val dir = new java.io.File(".").listFiles()
+        // never adjudicate against this run's OWN output file — when
+        // the round artifact is regenerated in place, the newest
+        // BENCH_r*_full.json IS outPath and a self-comparison labels
+        // same-day band drift "regressed" (caught live in r13)
+        val self = java.nio.file.Paths.get(outPath)
+          .toAbsolutePath.normalize
         Option(dir).toSeq.flatten.flatMap(f => f.getName match {
-          case rx(n) => Some((n.toInt, f.getName)); case _ => None
+          case rx(n)
+            if f.toPath.toAbsolutePath.normalize != self =>
+            Some((n.toInt, f.getName))
+          case _ => None
         }).sortBy(-_._1).headOption.map(_._2)
       }
       val prevMins: Map[String, Double] = prevPath.flatMap { p =>
@@ -317,7 +328,6 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${minsJson(results)},"stats":${statsJson(results)},"errors":$errs,"warmup":1,"runs":$nRuns,"aqe_primary":$aqePrimary$aqeBlock$adjBlock,"sf":"$sfDir"}"""
     // The driver's tail capture truncated BENCH_r05's stdout — also
     // write the full JSON to a file so the artifact can't be clipped.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))
