@@ -63,6 +63,43 @@ object BenchScale {
     // is the proof it holds the slope down where the flat form bends.
     "dedup_semdedup_hier")
 
+  private def fmt(d: Double) =
+    String.format(java.util.Locale.US, "%.6f", Double.box(d))
+
+  /** Render the run's measured rows as the artifact JSON. Pure — the
+    * merge/clobber discipline around it is only as safe as this text
+    * being valid JSON, so it is spec-pinned (BenchScaleMergeSpec).
+    * Rows: (query, per-SF (sf, seconds) cells — NEVER empty; callers
+    * drop fully-fenced rows, see main — trimmed?). `trimmed` = the
+    * quadratic fence removed dirs, so the two largest KEPT cells span
+    * a different decade than the board's adjudicated sf1->sf3 slope:
+    * the exponent is emitted as null and the merge's null-never-
+    * overwrites rule preserves the measured slope.
+    */
+  def renderArtifact(rows: Seq[(String, Seq[(Double, Double)], Boolean)],
+                     nRuns: Int): String = {
+    val json = rows.map { case (name, perSf, trimmed) =>
+      val times = perSf.map { case (sf, t) => "\"sf" + sf + "\":" + fmt(t) }
+      val sorted = perSf.sortBy(_._1)
+      val exp =
+        if (trimmed || sorted.size < 2) "null"
+        else {
+          val (sfLo, tLo) = sorted(sorted.size - 2)
+          val (sfHi, tHi) = sorted.last
+          fmt(math.log(tHi / tLo) / math.log(sfHi / sfLo))
+        }
+      // per-row runs: the merge preserves rows from prior runs with
+      // different run counts, so the top-level "runs" only describes
+      // the latest contribution — the row-level field is the one that
+      // stays true for surviving cells.
+      "\"" + name + "\":{" + times.mkString(",") +
+        ",\"top_decade_exponent\":" + exp + ",\"runs\":" + nRuns + "}"
+    }.mkString("{", ",", "}")
+    // top-level runs = the LATEST merge contribution only (per-row
+    // "runs" is authoritative for cells that survived from older runs)
+    s"""{"metric":"scaling","runs":$nRuns,"queries":$json}"""
+  }
+
   /** Merge a fresh scaling run into the existing artifact text.
     * Per-query, the new run's fields override same-named fields on
     * the old row FIELD-BY-FIELD, with JSON nulls never overwriting
@@ -152,53 +189,48 @@ object BenchScale {
     // The artifact merge preserves their existing large-SF cells.
     val includeQuadratic =
       sys.env.getOrElse("SPARK_GRAFT_INCLUDE_QUADRATIC", "false") == "true"
-    val rows = selected.filter(SparkEntry.queries.contains).map { name =>
+    val rows = selected.filter(SparkEntry.queries.contains).flatMap { name =>
       val fn = SparkEntry.queries(name)
+      val trimmed = !includeQuadratic &&
+        Verify.measuredQuadratic.contains(name) &&
+        sfDirs.exists(d => sfOf(d) >= 1.0)
       val dirsFor =
-        if (includeQuadratic || !Verify.measuredQuadratic.contains(name))
-          sfDirs
+        if (!trimmed) sfDirs
         else {
-          val kept = sfDirs.filter(d => sfOf(d) < 1.0)
-          if (kept.size != sfDirs.size)
-            System.err.println(s"[scale] $name: skipping sf>=1 dirs " +
-              "(measured-quadratic definition row; " +
-              "SPARK_GRAFT_INCLUDE_QUADRATIC=true to include)")
-          kept
+          System.err.println(s"[scale] $name: skipping sf>=1 dirs " +
+            "(measured-quadratic definition row; " +
+            "SPARK_GRAFT_INCLUDE_QUADRATIC=true to include)")
+          sfDirs.filter(d => sfOf(d) < 1.0)
         }
-      val perSf = dirsFor.map { dir =>
-        def timed(): Double = {
-          spark.catalog.clearCache()
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
-          val t0 = System.nanoTime()
-          fn(spark, dir).count()
-          (System.nanoTime() - t0) / 1e9
+      // A fence that removes EVERY dir (the sweep was invoked with only
+      // sf>=1 dirs — the sf1/sf3 recipe the fence targets) leaves
+      // nothing measured: emit no row at all. A row with zero cells
+      // would render as `{,...}` (invalid JSON) and its merge would
+      // clobber the board via the overwrite fallback.
+      if (dirsFor.isEmpty) {
+        System.err.println(s"[scale] $name: fence removed every dir; " +
+          "no row emitted (existing board row survives the merge)")
+        None
+      } else {
+        val perSf = dirsFor.map { dir =>
+          def timed(): Double = {
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          timed() // warmup
+          val t = (1 to nRuns).map(_ => timed()).min
+          System.err.println(s"[scale] $name ${sfOf(dir)}: ${f"$t%.3f"}s")
+          dir -> t
         }
-        timed() // warmup
-        val t = (1 to nRuns).map(_ => timed()).min
-        System.err.println(s"[scale] $name ${sfOf(dir)}: ${f"$t%.3f"}s")
-        dir -> t
+        Some((name, perSf.map { case (d, t) => (sfOf(d), t) }, trimmed))
       }
-      name -> perSf
     }
 
-    def fmt(d: Double) =
-      String.format(java.util.Locale.US, "%.6f", Double.box(d))
-    val json = rows.map { case (name, perSf) =>
-      val times = perSf.map { case (d, t) => "\"sf" + sfOf(d) + "\":" + fmt(t) }
-      // top-decade exponent: slope between the two largest SFs
-      val sorted = perSf.sortBy { case (d, _) => sfOf(d) }
-      val exp =
-        if (sorted.size < 2) "null"
-        else {
-          val (dLo, tLo) = sorted(sorted.size - 2)
-          val (dHi, tHi) = sorted.last
-          fmt(math.log(tHi / tLo) / math.log(sfOf(dHi) / sfOf(dLo)))
-        }
-      "\"" + name + "\":{" + times.mkString(",") +
-        ",\"top_decade_exponent\":" + exp + "}"
-    }.mkString("{", ",", "}")
-    val out = s"""{"metric":"scaling","runs":$nRuns,"queries":$json}"""
+    val out = renderArtifact(rows, nRuns)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
       "BENCH_SFSCALE.json")
     // MERGE into an existing artifact instead of clobbering it: a
@@ -209,20 +241,34 @@ object BenchScale {
     // run did not probe are preserved verbatim. Exponents are never
     // recomputed from merged cells — mixing JVM populations across
     // days would fabricate a slope no single run measured.
-    val merged = {
-      val p = java.nio.file.Paths.get(outPath)
-      if (!java.nio.file.Files.exists(p)) out
-      else try mergeArtifacts(java.nio.file.Files.readString(p), out, nRuns)
-      catch {
-        case e: Exception => // unparseable -> overwrite, but loudly
-          System.err.println(s"[scale] WARN: could not merge into " +
-            s"existing $outPath (${e}); overwriting")
-          out
+    // The overwrite fallback is only safe when the NEW text is the
+    // parseable side — if THIS run produced unparseable JSON, writing
+    // it would clobber a good board with garbage (the exact failure
+    // the merge exists to prevent). Validate the new text first and
+    // refuse to touch the artifact if it doesn't parse.
+    val newParses =
+      try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+            true }
+      catch { case _: Exception => false }
+    if (!newParses) {
+      System.err.println(s"[scale] ERROR: this run's own JSON does not " +
+        s"parse; refusing to write $outPath. Unwritten payload:\n$out")
+    } else {
+      val merged = {
+        val p = java.nio.file.Paths.get(outPath)
+        if (!java.nio.file.Files.exists(p)) out
+        else try mergeArtifacts(java.nio.file.Files.readString(p), out, nRuns)
+        catch {
+          case e: Exception => // old side unparseable -> overwrite, loudly
+            System.err.println(s"[scale] WARN: could not merge into " +
+              s"existing $outPath (${e}); overwriting")
+            out
+        }
       }
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (merged + "\n").getBytes("UTF-8"))
+      println(merged)
     }
-    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (merged + "\n").getBytes("UTF-8"))
-    println(merged)
     spark.stop()
   }
 }

@@ -19,14 +19,163 @@ import org.apache.spark.sql.functions._
   *   (Dedup.prefixSaturationStats) — the same corpus's EXACT-path
   *   bound, the ∝ n contrast that justifies the routing.
   * - `ivf`: partitions of the persisted IVF-PQ index actually read by
-  *   a cell-pruned search (ann_ivfpq_persisted's DPP claim) vs total
-  *   index partitions. Constant claim: scanned cells = nprobe·queries
-  *   regardless of corpus size.
+  *   a cell-pruned search (ann_ivfpq_persisted's static cell-filter
+  *   claim) vs total index partitions. Constant claim: scanned cells
+  *   = nprobe·queries regardless of corpus size.
   *
-  * Usage: WorkCount <sfDir> [probe,...]  (default: all probes)
+  * Each probe is a callable function so WorkCountSpec can GATE the
+  * recorded invariants in `sbt test` — the r13 IVF-PQ bug (DPP
+  * planned to `dynamicpruningexpression(true)`, scan read 8/8 cells)
+  * was caught by a manually-run census after the plan-shape pin
+  * passed vacuously; the spec makes the next planned-away
+  * optimization fail CI instead of waiting for a human probe.
+  *
+  * Usage: WorkCount <sfDir> [probe,...]
+  * Default probe set: snm,lsh,prefix. `ivf` is OPT-IN (name it
+  * explicitly) — it builds/searches the persisted IVF-PQ index, the
+  * one expensive probe; the cheap censuses stay safe to run casually.
   * Prints one JSON line per probe.
   */
 object WorkCount {
+
+  /** SNM candidate census: rows and window-candidate count, against
+    * the 8n sorted-neighborhood bound.
+    */
+  final case class SnmCensus(rows: Long, candidates: Long) {
+    def bound8n: Long = 8 * rows
+  }
+
+  def snmCensus(spark: SparkSession, sfDir: String): SnmCensus = {
+    graft.functions.expressions.DamerauLevenshtein.register(spark)
+    val p = Tables.t(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("p_name"))
+    val n = p.count()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand"), col("p_size"))
+      .orderBy(col("p_name"), col("p_partkey"))
+    val withLeads = p.withColumn("nbrs", array((1 to 8).map(i =>
+      struct(lead(col("p_name"), i).over(w).as("n"),
+             lead(col("p_partkey"), i).over(w).as("k"))): _*))
+    val candRows = withLeads
+      .select(col("p_partkey"), explode(col("nbrs")).as("nb"))
+      .where(col("nb.k").isNotNull)
+      .count()
+    SnmCensus(n, candRows)
+  }
+
+  /** LSH band-bucket census, milli-candidates per doc in `candPerDocE3`
+    * (the flat-per-doc claim of the routed pair path).
+    */
+  final case class LshCensus(nDocs: Long, nBandRows: Long, nBuckets: Long,
+                             maxBucket: Long, candPairsBound: Long,
+                             candPerDocE3: Long)
+
+  def lshCensus(spark: SparkSession, sfDir: String): LshCensus = {
+    val r = graft.operators.Dedup.lshBucketCensus(
+      Tables.t(spark, sfDir, "documents"), "doc_id", "text").head()
+    LshCensus(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
+  }
+
+  /** Exact-PPJoin prefix census — the EXACT path's candidate bound on
+    * the same corpus (the contrast that justifies auto-routing).
+    */
+  final case class PrefixCensus(nDocs: Long, candPairsBound: Long,
+                                candPerDocE3: Long)
+
+  def prefixCensus(spark: SparkSession, sfDir: String): PrefixCensus = {
+    val r = graft.operators.Dedup.prefixSaturationStats(
+      Tables.t(spark, sfDir, "documents"), "doc_id", "text", 0.5)
+      .select(col("n_docs"), col("cand_pairs_bound"),
+        col("cand_per_doc_fp_e3")).head()
+    PrefixCensus(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Runtime scan metrics of the persisted IVF-PQ index: partitions
+    * and files ACTUALLY read (FileSourceScanExec metrics after
+    * execution) vs total cells on disk, for the 5-query catalog batch
+    * and for a single-query probe (whose reads must drop to its own
+    * nprobe cells — the constant-work claim).
+    */
+  final case class IvfCensus(catalogPartitionsRead: Long,
+                             catalogFilesRead: Long,
+                             totalCellsOnDisk: Int,
+                             oneQueryPartitionsRead: Long,
+                             oneQueryFilesRead: Long,
+                             nprobe: Int,
+                             scansFound: Boolean)
+
+  def ivfCensus(spark: SparkSession, sfDir: String): IvfCensus = {
+    val df = SparkEntry.queries("ann_ivfpq_persisted")(spark, sfDir)
+    df.count() // builds the index if absent; reruns reuse the marker
+    val df2 = SparkEntry.queries("ann_ivfpq_persisted")(spark, sfDir)
+    // execute THIS QueryExecution (df.count() plans a new one whose
+    // metrics the df2 handle never sees)
+    df2.queryExecution.toRdd.count()
+    // AQE final plans nest finished stages as QueryStageExec LEAVES
+    // (collect() never descends into them) — recurse explicitly
+    // through stage/reuse wrappers to reach the scans.
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val here = p match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case _ => Nil
+      }
+      val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          Seq(r.child)
+        case other => other.children
+      }
+      here ++ kids.flatMap(allScans)
+    }
+    val scans = allScans(df2.queryExecution.executedPlan).filter(
+      _.metadata.getOrElse("Location", "").contains("graft_ivfpq_idx"))
+    val idxScan = scans.headOption
+    val mt = idxScan.map(_.metrics).getOrElse(Map.empty)
+    def m(k: String): Long =
+      mt.get(k).map(_.value).getOrElse(-1L)
+    val totalCells = {
+      val enc = new java.io.File(
+        graft.Scratch.sharedDir("graft_ivfpq_idx", sfDir)
+          .resolve("encoded").toString)
+      Option(enc.listFiles()).toSeq.flatten
+        .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    }
+    // The catalog row probes 5 queries × nprobe 2 = 10 cells, which
+    // can legitimately cover all 8 — so also measure a SINGLE query
+    // (2 probed cells): the partitions actually read must drop to
+    // the probe count, proving the static cell filter prunes at
+    // listing time.
+    val idxRoot = graft.Scratch.sharedDir("graft_ivfpq_idx", sfDir)
+    val corpus = graft.operators.Similarity.prep(
+      Tables.t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      Some("label"))
+    val q1 = corpus.where(col("id") < 1)
+    val cents1 = spark.read.parquet(idxRoot.resolve("cents").toString)
+    val probed1 = graft.operators.Pq.probedCellsOf(q1, cents1, nprobe = 2)
+    val one = graft.operators.Pq.searchIvfPq(
+      q1,
+      spark.read.parquet(idxRoot.resolve("encoded").toString)
+        .where(col("cell").isin(probed1.map(Int.box): _*)),
+      cents1,
+      spark.read.parquet(idxRoot.resolve("cb").toString), corpus,
+      k = 10, nprobe = 2, m = 8, codes = 16, rerank = 50)
+    one.queryExecution.toRdd.count()
+    val oneScan = allScans(one.queryExecution.executedPlan).filter(
+      _.metadata.getOrElse("Location", "").contains("graft_ivfpq_idx"))
+      .headOption
+    def m1(k: String): Long = oneScan.map(_.metrics)
+      .getOrElse(Map.empty).get(k).map(_.value).getOrElse(-1L)
+    IvfCensus(m("numPartitions"), m("numFiles"), totalCells,
+      m1("numPartitions"), m1("numFiles"), 2,
+      idxScan.isDefined && oneScan.isDefined)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val probes: Set[String] =
@@ -45,119 +194,35 @@ object WorkCount {
     spark.sparkContext.setLogLevel("WARN")
 
     if (probes("snm")) {
-      graft.functions.expressions.DamerauLevenshtein.register(spark)
-      val p = Tables.t(spark, sfDir, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_size"),
-          col("p_name"))
-      val n = p.count()
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("p_brand"), col("p_size"))
-        .orderBy(col("p_name"), col("p_partkey"))
-      val withLeads = p.withColumn("nbrs", array((1 to 8).map(i =>
-        struct(lead(col("p_name"), i).over(w).as("n"),
-               lead(col("p_partkey"), i).over(w).as("k"))): _*))
-      val candRows = withLeads
-        .select(col("p_partkey"), explode(col("nbrs")).as("nb"))
-        .where(col("nb.k").isNotNull)
-        .count()
-      println(s"""{"probe":"snm","sf":"$sfDir","rows":$n,""" +
-        s""""candidates":$candRows,"bound_8n":${8 * n},""" +
-        s""""cand_per_row_fp_e3":${1000 * candRows / math.max(1, n)}}""")
+      val c = snmCensus(spark, sfDir)
+      println(s"""{"probe":"snm","sf":"$sfDir","rows":${c.rows},""" +
+        s""""candidates":${c.candidates},"bound_8n":${c.bound8n},""" +
+        s""""cand_per_row_fp_e3":${
+          1000 * c.candidates / math.max(1, c.rows)}}""")
     }
     if (probes("lsh")) {
-      val r = graft.operators.Dedup.lshBucketCensus(
-        Tables.t(spark, sfDir, "documents"), "doc_id", "text").head()
-      println(s"""{"probe":"lsh","sf":"$sfDir","n_docs":${r.getLong(0)},""" +
-        s""""n_band_rows":${r.getLong(1)},"n_buckets":${r.getLong(2)},""" +
-        s""""max_bucket":${r.getLong(3)},"cand_pairs_bound":${r.getLong(4)},""" +
-        s""""cand_per_doc_fp_e3":${r.getLong(5)}}""")
+      val r = lshCensus(spark, sfDir)
+      println(s"""{"probe":"lsh","sf":"$sfDir","n_docs":${r.nDocs},""" +
+        s""""n_band_rows":${r.nBandRows},"n_buckets":${r.nBuckets},""" +
+        s""""max_bucket":${r.maxBucket},"cand_pairs_bound":${r.candPairsBound},""" +
+        s""""cand_per_doc_fp_e3":${r.candPerDocE3}}""")
     }
     if (probes("ivf")) {
-      // Runtime scan metrics for the persisted-index search: how many
-      // partitions/files of the cell-partitioned index the DPP-pruned
-      // scan ACTUALLY read, vs the total on disk. The constant-work
-      // claim is that reads track nprobe·queries (distinct probed
-      // cells), independent of corpus size.
-      val df = SparkEntry.queries("ann_ivfpq_persisted")(spark, sfDir)
-      df.count() // builds the index if absent; reruns reuse the marker
-      val df2 = SparkEntry.queries("ann_ivfpq_persisted")(spark, sfDir)
-      // execute THIS QueryExecution (df.count() plans a new one whose
-      // metrics the df2 handle never sees)
-      df2.queryExecution.toRdd.count()
-      // AQE final plans nest finished stages as QueryStageExec LEAVES
-      // (collect() never descends into them) — recurse explicitly
-      // through stage/reuse wrappers to reach the scans.
-      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-        val here = p match {
-          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
-          case _ => Nil
-        }
-        val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            Seq(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            Seq(q.plan)
-          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-            Seq(r.child)
-          case other => other.children
-        }
-        here ++ kids.flatMap(allScans)
-      }
-      val scans = allScans(df2.queryExecution.executedPlan).filter(
-        _.metadata.getOrElse("Location", "").contains("graft_ivfpq_idx"))
-      val idxScan = scans.headOption
-      val mt = idxScan.map(_.metrics).getOrElse(Map.empty)
-      def m(k: String): Long =
-        mt.get(k).map(_.value).getOrElse(-1L)
-      val totalCells = {
-        val enc = new java.io.File(
-          graft.Scratch.sharedDir("graft_ivfpq_idx", sfDir)
-            .resolve("encoded").toString)
-        Option(enc.listFiles()).toSeq.flatten
-          .count(f => f.isDirectory && f.getName.startsWith("cell="))
-      }
-      // The catalog row probes 5 queries × nprobe 2 = 10 cells, which
-      // can legitimately cover all 8 — so also measure a SINGLE query
-      // (2 probed cells): the partitions actually read must drop to
-      // the probe count, proving the DPP prune skips cells at runtime.
-      val idxRoot = graft.Scratch.sharedDir("graft_ivfpq_idx", sfDir)
-      val corpus = graft.operators.Similarity.prep(
-        Tables.t(spark, sfDir, "embeddings"), "vec_id", "embedding",
-        Some("label"))
-      val q1 = corpus.where(col("id") < 1)
-      val cents1 = spark.read.parquet(idxRoot.resolve("cents").toString)
-      val probed1 = graft.operators.Pq.probedCellsOf(q1, cents1, nprobe = 2)
-      val one = graft.operators.Pq.searchIvfPq(
-        q1,
-        spark.read.parquet(idxRoot.resolve("encoded").toString)
-          .where(col("cell").isin(probed1.map(Int.box): _*)),
-        cents1,
-        spark.read.parquet(idxRoot.resolve("cb").toString), corpus,
-        k = 10, nprobe = 2, m = 8, codes = 16, rerank = 50)
-      one.queryExecution.toRdd.count()
-      val oneScan = allScans(one.queryExecution.executedPlan).filter(
-        _.metadata.getOrElse("Location", "").contains("graft_ivfpq_idx"))
-        .headOption
-      def m1(k: String): Long = oneScan.map(_.metrics)
-        .getOrElse(Map.empty).get(k).map(_.value).getOrElse(-1L)
+      val c = ivfCensus(spark, sfDir)
       println(s"""{"probe":"ivf","sf":"$sfDir",""" +
-        s""""partitions_read":${m("numPartitions")},""" +
-        s""""files_read":${m("numFiles")},""" +
-        s""""total_cells_on_disk":$totalCells,""" +
-        s""""one_query_partitions_read":${m1("numPartitions")},""" +
-        s""""one_query_files_read":${m1("numFiles")},""" +
-        s""""nprobe":2,""" +
-        s""""scan_found":${idxScan.isDefined && oneScan.isDefined}}""")
+        s""""partitions_read":${c.catalogPartitionsRead},""" +
+        s""""files_read":${c.catalogFilesRead},""" +
+        s""""total_cells_on_disk":${c.totalCellsOnDisk},""" +
+        s""""one_query_partitions_read":${c.oneQueryPartitionsRead},""" +
+        s""""one_query_files_read":${c.oneQueryFilesRead},""" +
+        s""""nprobe":${c.nprobe},""" +
+        s""""scan_found":${c.scansFound}}""")
     }
     if (probes("prefix")) {
-      val r = graft.operators.Dedup.prefixSaturationStats(
-        Tables.t(spark, sfDir, "documents"), "doc_id", "text", 0.5)
-        .select(col("n_docs"), col("cand_pairs_bound"),
-          col("cand_per_doc_fp_e3")).head()
-      println(s"""{"probe":"prefix","sf":"$sfDir","n_docs":${r.getLong(0)},""" +
-        s""""cand_pairs_bound":${r.getLong(1)},""" +
-        s""""cand_per_doc_fp_e3":${r.getLong(2)}}""")
+      val r = prefixCensus(spark, sfDir)
+      println(s"""{"probe":"prefix","sf":"$sfDir","n_docs":${r.nDocs},""" +
+        s""""cand_pairs_bound":${r.candPairsBound},""" +
+        s""""cand_per_doc_fp_e3":${r.candPerDocE3}}""")
     }
     spark.stop()
   }

@@ -45,4 +45,43 @@ class BenchScaleMergeSpec extends AnyFunSuite {
       BenchScale.mergeArtifacts("not json", """{"queries":{}}""", 1)
     }
   }
+
+  // ---- renderArtifact (the run's own JSON emission) ----------------
+
+  test("render: normal row carries cells, exponent, and per-row runs") {
+    val out = BenchScale.renderArtifact(
+      Seq(("a", Seq((1.0, 2.0), (3.0, 8.0)), false)), 2)
+    val row = q(out).get("a")
+    assert(row.get("sf1.0").asDouble() == 2.0)
+    assert(row.get("sf3.0").asDouble() == 8.0)
+    // slope log(8/2)/log(3/1) ≈ 1.2619
+    assert(math.abs(row.get("top_decade_exponent").asDouble() - 1.2619) < 1e-3)
+    assert(row.get("runs").asInt() == 2)
+    assert(om.readTree(out).get("runs").asInt() == 2)
+  }
+
+  test("render: a TRIMMED row emits a null exponent so the merge " +
+       "preserves the adjudicated large-SF slope") {
+    // fence removed sf>=1 dirs; the kept sub-sf1 decade measures a
+    // different (near-linear) slope that must NOT overwrite the
+    // board's measured quadratic exponent
+    val out = BenchScale.renderArtifact(
+      Seq(("a", Seq((0.01, 0.5), (0.1, 0.6)), true)), 1)
+    assert(q(out).get("a").get("top_decade_exponent").isNull)
+    // and the null-never-overwrites merge keeps the old slope
+    val m = q(BenchScale.mergeArtifacts(prev, out, 1))
+    assert(m.get("a").get("top_decade_exponent").asDouble() == 1.0)
+    assert(m.get("a").get("sf0.01").asDouble() == 0.5) // new cells land
+  }
+
+  test("render: zero rows still yields parseable JSON (empty queries)") {
+    // main drops fully-fenced rows BEFORE render; an all-fenced run
+    // renders an empty queries object, which must parse (the old
+    // code emitted `{,"top_decade_exponent":null}` — invalid — and
+    // the merge fallback then clobbered the board with it)
+    val out = BenchScale.renderArtifact(Nil, 1)
+    assert(q(out).size() == 0)
+    val m = q(BenchScale.mergeArtifacts(prev, out, 1))
+    assert(m.get("a").get("sf3.0").asDouble() == 3.0) // board intact
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+/** CI gate for the runtime work-count censuses (WORKCOUNTS.json).
+  *
+  * The r13 IVF-PQ bug — Catalyst planned the index scan's DPP filter
+  * to `dynamicpruningexpression(true)` and the "pruned" scan read all
+  * 8 cells — passed the plan-shape SUBSTRING pin vacuously and was
+  * only caught by a manually-run census. These asserts run the same
+  * probes in `sbt test`, so the next planned-away optimization fails
+  * CI instead of waiting for a human probe. Bounds cite
+  * WORKCOUNTS.json (sf1/sf3/sf10 cells) and the sf0.01 values
+  * measured 2026-08-15; they gate INVARIANTS (≤ bounds, contrast
+  * ratios), not wall-clock.
+  */
+class WorkCountSpec extends SparkSpec {
+  private val dir = sf("sf0.01")
+
+  test("snm: sorted-neighborhood candidates respect the 8n bound") {
+    // WORKCOUNTS sf1: 1,564,000 ≤ 1,600,000; sf0.01 measured 1,639.
+    val c = WorkCount.snmCensus(spark, dir)
+    assert(c.rows > 0)
+    assert(c.candidates <= c.bound8n,
+      s"SNM candidates ${c.candidates} exceed 8n=${c.bound8n}")
+  }
+
+  test("lsh: band-bucket candidates stay flat per doc") {
+    // The routed pair path's linear claim: WORKCOUNTS pins 183-186
+    // milli-candidates/doc at sf1/sf3/sf10 (sf0.01 measured 168). A
+    // regression that floods buckets (hash change, band misconfig)
+    // shows up as cand/doc exploding — gate an order of magnitude of
+    // headroom over the pinned band, far below the exact path's
+    // 13,358 here.
+    val c = WorkCount.lshCensus(spark, dir)
+    assert(c.nDocs > 0)
+    assert(c.candPerDocE3 <= 2000,
+      s"LSH cand/doc ${c.candPerDocE3}e-3 blew past the pinned " +
+        "flat band (~170-190e-3; gate 2000e-3)")
+  }
+
+  test("prefix census predicts the exact path's saturation (routing contrast)") {
+    // The diagnostic that justifies pairsAuto's exact->LSH routing:
+    // on this corpus the exact PPJoin bound per doc dwarfs the
+    // LSH-bucketed bound at every SF (sf0.01: 13,358 vs 168 e-3;
+    // sf1: 1,098,435 vs 183). Gate the contrast, not absolute cost.
+    val p = WorkCount.prefixCensus(spark, dir)
+    val l = WorkCount.lshCensus(spark, dir)
+    assert(p.candPerDocE3 > 10 * l.candPerDocE3,
+      s"prefix cand/doc ${p.candPerDocE3}e-3 no longer dominates " +
+        s"LSH's ${l.candPerDocE3}e-3 — the routing rationale changed; " +
+        "re-measure WORKCOUNTS.json before trusting pairsAuto")
+  }
+
+  test("ivf: persisted-index search reads only probed cells") {
+    // The r13 bug class: one query probes nprobe=2 cells, so the
+    // partition-pruned scan must READ exactly ≤ 2 of the 8 on-disk
+    // cells (WORKCOUNTS sf1/sf10: 2 of 8). If the static cell filter
+    // is ever dropped or planned away again, the scan reads all
+    // cells and this fails.
+    val c = WorkCount.ivfCensus(spark, dir)
+    assert(c.scansFound, "index FileSourceScanExec not found in plan")
+    assert(c.totalCellsOnDisk > 2,
+      s"index has ${c.totalCellsOnDisk} cells — too few for the " +
+        "prune assert to mean anything")
+    assert(c.oneQueryPartitionsRead <= c.nprobe,
+      s"one-query search read ${c.oneQueryPartitionsRead} partitions " +
+        s"of ${c.totalCellsOnDisk} (must be ≤ nprobe=${c.nprobe}: " +
+        "the cell prune was planned away — the r13 DPP-to-true bug)")
+    // the 5-query catalog batch may legitimately probe all cells, but
+    // never MORE than its own probed-cell bound (5 queries × nprobe)
+    assert(c.catalogPartitionsRead <= math.min(c.totalCellsOnDisk, 10),
+      s"catalog batch read ${c.catalogPartitionsRead} partitions, " +
+        s"over min(total=${c.totalCellsOnDisk}, 5*nprobe=10)")
+  }
+}
