@@ -138,6 +138,14 @@ object Bench {
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
 
+    // Warmup iterations before the timed runs. 1 covers per-plan
+    // codegen in the long-lived bench JVM; the adjudicator's fresh
+    // child JVMs set 2 — r13's solo rerun of `decontaminate` measured
+    // 1.27 s against a 0.33-0.39 s 5-run band because one warmup does
+    // not absorb a cold JVM's JIT + first-shuffle costs, and the
+    // resulting "regressed" verdict was a false positive.
+    val nWarmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
+
     def runBlock(nRunsBlock: Int): Seq[(String, Seq[(Double, Long, Double)])] =
       selected.filter(SparkEntry.queries.contains).map { name =>
         val fn = SparkEntry.queries(name)
@@ -159,7 +167,7 @@ object Bench {
                      System.err.println(s"WARN Bench: $name failed: $t"); false }
           (ok, (System.nanoTime() - t0) / 1e9, gcMs() - g0, loadAvg())
         }
-        timed() // warmup, discarded
+        (1 to nWarmups).foreach(_ => timed()) // warmups, discarded
         val good = (1 to nRunsBlock).map(_ => timed())
           .collect { case (true, t, g, l) => (t, g, l) }
         name -> good
@@ -223,13 +231,29 @@ object Bench {
     // noise (r12: sql_exists_correlated 0.72 s clean vs 4.84 s min in
     // the 48-query driver JVM, code unchanged). This formalizes that:
     // after the timed blocks, any query whose in-context min exceeds
-    // BOTH 1.5x and +0.25 s over the previous round's min (from the
+    // BOTH 1.3x and +0.25 s over the previous round's min (from the
     // newest BENCH_r*_full.json, or SPARK_GRAFT_PREV_BENCH) is
     // re-timed in a FRESH child JVM running only that query, and the
-    // artifact carries a machine-readable band verdict — no hand
-    // archaeology. Child JVMs inherit this JVM's args (heap,
-    // add-opens) and classpath; SPARK_GRAFT_ADJUDICATE=off disables
-    // (set in the children so recursion is impossible).
+    // artifact carries a machine-readable verdict — no hand
+    // archaeology. (The bar was 1.5x through r13; on rows with ~15%
+    // same-code stddev a 1.4x drift — graph_clustering_coeff
+    // 1.89 -> 2.67 s in the r13 driver window — never fired, leaving
+    // exactly the mover a human then had to arbitrate. 1.3x fires on
+    // such drift and lets the machine stamp it in_band_solo.)
+    //
+    // The verdict is CONDITIONED ON CAUSE, not on the bare solo time:
+    // the child samples its own GC and 1-min load, runs TWO warmups
+    // (one warmup left r13's solo `decontaminate` at 1.27 s — 2x
+    // slower than the contended context it was meant to arbitrate —
+    // and mislabeled it "regressed"; the builder's clean band was
+    // 0.33-0.39 s), and a solo min that still exceeds the band is
+    // split into contended (high load), gc_bound (collector-dominated
+    // run), unstable_solo (slower than the context it arbitrates —
+    // cold/dispersive measurement, never evidence of regression), or
+    // regressed (clean child reproduces the slowdown). Child JVMs
+    // inherit this JVM's args (heap, add-opens) and classpath;
+    // SPARK_GRAFT_ADJUDICATE=off disables (set in the children so
+    // recursion is impossible).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
 
     val adjBlock = {
@@ -268,10 +292,10 @@ object Bench {
           }
         } catch { case _: Exception => None }
       }.getOrElse(Map.empty)
+      def band(prev: Double): Double = math.max(prev * 1.3, prev + 0.25)
       val movers = results.collect {
         case (name, rs) if rs.nonEmpty && prevMins.contains(name) &&
-          rs.map(_._1).min > math.max(prevMins(name) * 1.5,
-                                      prevMins(name) + 0.25) =>
+          rs.map(_._1).min > band(prevMins(name)) =>
           (name, rs.map(_._1).min, prevMins(name))
       }.sortBy { case (_, cur, prev) => -(cur - prev) }
         .take(sys.env.getOrElse("SPARK_GRAFT_ADJ_MAX", "4").toInt)
@@ -290,34 +314,69 @@ object Bench {
           val pb = new ProcessBuilder(cmd)
           pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
           pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "3")
+          // TWO warmups in the fresh child: cold-JVM JIT/first-shuffle
+          // cost survives a single warmup and fabricates "regressed"
+          // (the r13 decontaminate false positive)
+          pb.environment().put("SPARK_GRAFT_BENCH_WARMUPS", "2")
           pb.environment().put("SPARK_GRAFT_AQE_RUNS", "0")
           pb.environment().put("SPARK_GRAFT_ADJUDICATE", "off")
           pb.environment().put("SPARK_GRAFT_BENCH_OUT", tmp.toString)
           pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
           pb.redirectErrorStream(true)
           pb.redirectOutput(new java.io.File("/dev/null"))
-          val soloMin: Double = try {
+          // (soloMin, child's gc-of-min-run ms, child's max 1-min load)
+          val (soloMin, soloGcMs, soloLoad): (Double, Long, Double) = try {
             val proc = pb.start()
             val done = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
-            if (!done) { proc.destroyForcibly(); -1.0 }
+            if (!done) { proc.destroyForcibly(); (-1.0, -1L, -1.0) }
             else {
               val om = new com.fasterxml.jackson.databind.ObjectMapper()
-              om.readTree(java.nio.file.Files.readString(tmp))
-                .get("queries").get(name).asDouble(-1.0)
+              val root = om.readTree(java.nio.file.Files.readString(tmp))
+              val s = root.get("stats").get(name)
+              (root.get("queries").get(name).asDouble(-1.0),
+               if (s == null || s.isNull) -1L
+               else s.get("gc_ms_min_run").asLong(-1L),
+               if (s == null || s.isNull) -1.0
+               else s.get("load_max").asDouble(-1.0))
             }
           } catch { case t: Throwable =>
-            System.err.println(s"WARN Bench adjudicate $name: $t"); -1.0
+            System.err.println(s"WARN Bench adjudicate $name: $t")
+            (-1.0, -1L, -1.0)
           } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+          // Verdict, conditioned on cause (every non-band verdict
+          // carries the gc/load fields that justify it):
+          //   in_band_solo  — clean child is inside the prev band:
+          //                   the context number was noise, not code.
+          //   contended     — child itself ran under external load
+          //                   (load_max far above this JVM's own
+          //                   ~cpus); nothing about the code is known.
+          //   gc_bound      — the child's min run spent >25% of its
+          //                   wall-clock collecting; heap pressure,
+          //                   not plan cost.
+          //   unstable_solo — child is slower than the contended
+          //                   context it was meant to arbitrate with
+          //                   low gc/load: dispersive measurement
+          //                   (this box shows ±70% on heavy shuffle
+          //                   rows), never evidence of regression.
+          //   regressed     — a clean, warmed, unloaded child
+          //                   reproduces the slowdown.
           val verdict =
             if (soloMin < 0) "solo_failed"
-            else if (soloMin <= math.max(prevMin * 1.5, prevMin + 0.25))
-              "in_band_solo" // context effect, not a code regression
+            else if (soloMin <= band(prevMin)) "in_band_solo"
+            else if (soloLoad > cpus.toDouble * 1.25) "contended"
+            else if (soloGcMs > 0.25 * soloMin * 1000) "gc_bound"
+            else if (soloMin > ctxMin * 1.2) "unstable_solo"
             else "regressed"
           System.err.println(s"[adjudicate] $name prev=${fmt(prevMin)} " +
-            s"ctx=${fmt(ctxMin)} solo=${fmt(soloMin)} -> $verdict")
+            s"ctx=${fmt(ctxMin)} solo=${fmt(soloMin)} " +
+            s"gc=${soloGcMs}ms load=${fmt(math.max(soloLoad, 0))} " +
+            s"-> $verdict")
           "\"" + name + "\":{\"prev_min\":" + fmt(prevMin) +
             ",\"ctx_min\":" + fmt(ctxMin) +
             ",\"solo_min\":" + fmt(soloMin) +
+            ",\"solo_gc_ms\":" + soloGcMs +
+            ",\"solo_load_max\":" + fmt(soloLoad) +
+            ",\"solo_warmups\":2" +
             ",\"verdict\":\"" + verdict + "\"}"
         }
         s""","adjudication":{"prev":"${prevPath.getOrElse("")}","movers":{${verdicts.mkString(",")}}}"""
