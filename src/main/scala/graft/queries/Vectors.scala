@@ -127,64 +127,42 @@ object Vectors {
         .orderBy("query_id", "rank")
     }),
     "ann_ivfpq_adc" -> ((s, d) => {
-      // IVFADC (operators/Pq.ivfTopK): the production ANN composition —
-      // IVF cell probing prunes the scan to nprobe cells, PQ ADC scores
-      // only the surviving candidates, exact re-rank on the shortlist.
-      // Same coarse quantizer as ann_ivf_kmeans, same codebook/ADC as
-      // ann_pq_adc; the oracle composes both mirrors so every stage
-      // stays bit-checked.
+      // IVFADC — the production ANN composition: IVF cell probing
+      // prunes the scan to nprobe cells, PQ ADC scores only the
+      // surviving candidates, exact re-rank on the shortlist. Searches
+      // the SHARED offline index (training + encoding are the
+      // build-once step a deployment amortizes — and with them inside
+      // the timed query this row dispersed 10.3-38.7 s across JVMs at
+      // sf3, drowning the scan it exists to watch). Contrast with
+      // ann_ivfpq_persisted: this row reads the encoded table with NO
+      // static cell filter, so the cell prune happens in the broadcast
+      // hash join on the scanned rows (PlanShapeSpec pins that join) —
+      // the in-memory/scan-all-score-probed shape — while persisted
+      // adds listing-time partition pruning (reads only probed cells).
+      // The fully in-query composition (train+encode+search one plan)
+      // remains covered by ann_ivfpq_residual and ann_ivf_kmeans.
+      // Same math either way (the build is deterministic) → same
+      // oracle, hash-matched.
       val corpus = prepped(s, d)
-      graft.operators.Pq.ivfTopK(corpus.where(col("id") < 5), corpus, 10,
-          cells = 8, nprobe = 2)
+      val idxRoot = sharedIvfPqIndex(s, d, corpus)
+      graft.operators.Pq.searchIvfPq(corpus.where(col("id") < 5),
+          s.read.parquet(idxRoot.resolve("encoded").toString),
+          s.read.parquet(idxRoot.resolve("cents").toString),
+          s.read.parquet(idxRoot.resolve("cb").toString), corpus,
+          k = 10, nprobe = 2, m = 8, codes = 16, rerank = 50)
         .select(col("query_id"), col("vec_id"), col("rank"), col("cos"))
         .orderBy("query_id", "rank")
     }),
     "ann_ivfpq_persisted" -> ((s, d) => {
       // The PERSISTED-index IVFADC path — the deployment shape: the
       // encoded corpus is written partitionBy(cell) (the offline build
-      // a production system runs once), read back, and searched. The
-      // broadcast probe join plants a dynamic-partition-pruning filter
-      // on the read-back scan, so unprobed cells' files are never read
-      // (PlanShapeSpec pins the DPP filter). Same math as
+      // a production system runs once), read back, and searched with a
+      // STATIC probed-cells partition filter, so unprobed cells' files
+      // are never read (PlanShapeSpec pins the literal filter;
+      // WorkCountSpec gates partitions READ). Same math as
       // ann_ivfpq_adc → same oracle, hash-matched.
       val corpus = prepped(s, d)
-      // Build the index ONCE per (sf, params) and REUSE it across runs
-      // and JVMs — the deployment contract ("build once, search many")
-      // and what the bench row's exponent claims to measure: timed
-      // reruns hit the marker and pay only the online search. The
-      // build is deterministic (seeded k-means, integer codebooks), so
-      // any JVM's build is interchangeable; publication is atomic
-      // (build into a PID-suffixed tmp dir, rename into place), so two
-      // concurrent JVMs (Bench + Verify on one sf) either both reuse
-      // or one wins the rename and the other adopts the winner's copy.
-      // All three offline frames (encoded corpus, centroids, codebook)
-      // persist; the marker carries key+params so a stale or
-      // foreign-version dir is rebuilt, never trusted.
-      val dir = graft.Scratch.sharedDir("graft_ivfpq_idx", d)
-      val marker = dir.resolve("_GRAFT_INDEX_OK")
-      val tag = s"$d|cells=8|m=8|codes=16|v=2"
-      def markerOk = java.nio.file.Files.exists(marker) &&
-        java.nio.file.Files.readString(marker) == tag
-      val idxRoot = if (markerOk) dir else {
-        val tmp = java.nio.file.Paths.get(
-          dir.toString + ".tmp." + ProcessHandle.current().pid())
-        val (cents, cb, encoded) =
-          graft.operators.Pq.buildIvfPqIndex(corpus, cells = 8, m = 8,
-            codes = 16)
-        encoded.write.mode("overwrite").partitionBy("cell")
-          .parquet(tmp.resolve("encoded").toString)
-        cents.write.mode("overwrite").parquet(tmp.resolve("cents").toString)
-        cb.write.mode("overwrite").parquet(tmp.resolve("cb").toString)
-        java.nio.file.Files.writeString(tmp.resolve("_GRAFT_INDEX_OK"), tag)
-        if (!markerOk) { // another JVM may have published meanwhile
-          graft.Scratch.deleteRecursively(dir) // stale/foreign leftovers
-          try java.nio.file.Files.move(tmp, dir,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.nio.file.FileSystemException => () }
-        }
-        if (markerOk) { graft.Scratch.deleteRecursively(tmp); dir }
-        else tmp // lost a pathological race: search our private copy
-      }
+      val idxRoot = sharedIvfPqIndex(s, d, corpus)
       val qs = corpus.where(col("id") < 5)
       val cents = s.read.parquet(idxRoot.resolve("cents").toString)
       // STATIC listing-time pruning of the cell-partitioned index:
@@ -218,6 +196,50 @@ object Vectors {
         .orderBy("query_id", "rank")
     })
   )
+
+  /** The SHARED on-disk IVF-PQ index for `d` — built at most once per
+    * (sf, params) and reused across runs and JVMs: the deployment
+    * contract ("build once, search many"), and what the bench rows'
+    * exponents claim to measure (timed reruns hit the marker and pay
+    * only the online search). The build is deterministic (seeded
+    * k-means, integer codebooks), so any JVM's build is
+    * interchangeable; publication is atomic (build into a
+    * PID-suffixed tmp dir, rename into place), so two concurrent JVMs
+    * (Bench + Verify on one sf) either both reuse or one wins the
+    * rename and the other adopts the winner's copy. All three offline
+    * frames persist (encoded corpus partitionBy(cell), centroids,
+    * codebook); the marker carries key+params so a stale or
+    * foreign-version dir is rebuilt, never trusted. Returns the root
+    * to read `encoded`/`cents`/`cb` from.
+    */
+  private def sharedIvfPqIndex(s: SparkSession, d: String,
+                               corpus: DataFrame): java.nio.file.Path = {
+    val dir = graft.Scratch.sharedDir("graft_ivfpq_idx", d)
+    val marker = dir.resolve("_GRAFT_INDEX_OK")
+    val tag = s"$d|cells=8|m=8|codes=16|v=2"
+    def markerOk = java.nio.file.Files.exists(marker) &&
+      java.nio.file.Files.readString(marker) == tag
+    if (markerOk) dir else {
+      val tmp = java.nio.file.Paths.get(
+        dir.toString + ".tmp." + ProcessHandle.current().pid())
+      val (cents, cb, encoded) =
+        graft.operators.Pq.buildIvfPqIndex(corpus, cells = 8, m = 8,
+          codes = 16)
+      encoded.write.mode("overwrite").partitionBy("cell")
+        .parquet(tmp.resolve("encoded").toString)
+      cents.write.mode("overwrite").parquet(tmp.resolve("cents").toString)
+      cb.write.mode("overwrite").parquet(tmp.resolve("cb").toString)
+      java.nio.file.Files.writeString(tmp.resolve("_GRAFT_INDEX_OK"), tag)
+      if (!markerOk) { // another JVM may have published meanwhile
+        graft.Scratch.deleteRecursively(dir) // stale/foreign leftovers
+        try java.nio.file.Files.move(tmp, dir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileSystemException => () }
+      }
+      if (markerOk) { graft.Scratch.deleteRecursively(tmp); dir }
+      else tmp // lost a pathological race: search our private copy
+    }
+  }
 
   private val Planes = 8
   private val Dim = 64
