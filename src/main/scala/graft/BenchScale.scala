@@ -61,7 +61,14 @@ object BenchScale {
     // scans quadratic, crossover at n ≈ targetCell²/2 as its Scaladoc
     // predicted); the two-level quantizer costs n·O(√k) and this row
     // is the proof it holds the slope down where the flat form bends.
-    "dedup_semdedup_hier")
+    "dedup_semdedup_hier",
+    // round-14: the stop-chunk-suppressed CDC dedup — the linear
+    // sibling of dedup_cdc_chunks, whose chunk-hash self-join bound
+    // the r14 census measured exactly ∝ n² on this templated corpus
+    // (242/720/2411 cand/doc at sf1/3/10; the uncapped row is now
+    // census-fenced at sf ≥ 1). This row is the proof the ≤ 64-doc
+    // chunk cap holds the slope down.
+    "dedup_cdc_chunks_capped")
 
   private def fmt(d: Double) =
     String.format(java.util.Locale.US, "%.6f", Double.box(d))

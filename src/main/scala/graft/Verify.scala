@@ -51,10 +51,18 @@ object Verify {
     * - entity_resolution_e2e (1.65): (brand, size) block census
     *   Σ c·(c−1)/2 vs 64·n (fixed key count ⇒ |block| ∝ n).
     *   Sibling: entity_resolution_snm (8n candidates by construction).
+    * - dedup_cdc_chunks (r14 census; wall-clock sf3→sf10 cells 11→210 s
+    *   same-run): chunk-hash self-join bound Σ f·(f−1)/2 vs 64·n_docs —
+    *   on this templated corpus a constant fraction of docs share
+    *   boilerplate chunks (max_freq ∝ n: 2,494 → 25,265 at sf1→sf10),
+    *   so the bound is exactly ∝ n² (242 → 720 → 2,411 cand/doc;
+    *   bound exponent 2.01). Sibling: dedup_cdc_chunks_capped
+    *   (stop-chunk suppression at the same 64 gate ⇒
+    *   ≤ 32·chunk_rows pairs, linear).
     */
   val measuredQuadratic: Set[String] = Set(
     "dedup_ngram_jaccard", "dedup_cluster_cc", "dedup_semdedup",
-    "entity_resolution_e2e")
+    "entity_resolution_e2e", "dedup_cdc_chunks")
 
   def measuredQuadraticReason(spark: SparkSession, sfDir: String,
                               name: String): Option[String] = {
@@ -79,6 +87,14 @@ object Verify {
           s"$bound over $n vectors (${bound / math.max(1L, n)}/vec) " +
           s"exceeds the $gate/vec gate; linear siblings: " +
           "dedup_semdedup_scaled, dedup_semdedup_hier") else None
+      case "dedup_cdc_chunks" =>
+        val r = graft.queries.TextDedup.cdcPairCensus(spark, sfDir)
+        val (n, cand, maxF) = (r.getLong(0), r.getLong(4), r.getLong(3))
+        if (cand > gate * n) Some(
+          s"fenced: measured chunk-hash self-join pair bound $cand over " +
+          s"$n docs (${cand / math.max(1L, n)}/doc, max chunk freq " +
+          s"$maxF) exceeds the $gate/doc gate; linear sibling: " +
+          "dedup_cdc_chunks_capped (stop-chunk suppression)") else None
       case "entity_resolution_e2e" =>
         val p = Tables.t(spark, sfDir, "part")
         val n = p.count()

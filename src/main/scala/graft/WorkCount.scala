@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   * optimization fail CI instead of waiting for a human probe.
   *
   * Usage: WorkCount <sfDir> [probe,...]
-  * Default probe set: snm,lsh,prefix. `ivf` is OPT-IN (name it
+  * Default probe set: snm,lsh,prefix,cdc. `ivf` is OPT-IN (name it
   * explicitly) — it builds/searches the persisted IVF-PQ index, the
   * one expensive probe; the cheap censuses stay safe to run casually.
   * Prints one JSON line per probe.
@@ -90,6 +90,20 @@ object WorkCount {
       .select(col("n_docs"), col("cand_pairs_bound"),
         col("cand_per_doc_fp_e3")).head()
     PrefixCensus(r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** Chunk-hash pair census for `dedup_cdc_chunks`' self-join
+    * (TextDedup.cdcPairCensus): Σ f·(f−1)/2 over chunk-hash doc
+    * frequencies — the rows the join emits before any filter.
+    */
+  final case class CdcCensus(nDocs: Long, nChunkRows: Long, nHashes: Long,
+                             maxFreq: Long, candPairsBound: Long,
+                             candPerDocE3: Long)
+
+  def cdcCensus(spark: SparkSession, sfDir: String): CdcCensus = {
+    val r = graft.queries.TextDedup.cdcPairCensus(spark, sfDir)
+    CdcCensus(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))
   }
 
   /** Runtime scan metrics of the persisted IVF-PQ index: partitions
@@ -180,7 +194,7 @@ object WorkCount {
     val sfDir = args(0)
     val probes: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).toSet
-      else Set("snm", "lsh", "prefix")
+      else Set("snm", "lsh", "prefix", "cdc")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -217,6 +231,14 @@ object WorkCount {
         s""""one_query_files_read":${c.oneQueryFilesRead},""" +
         s""""nprobe":${c.nprobe},""" +
         s""""scan_found":${c.scansFound}}""")
+    }
+    if (probes("cdc")) {
+      val c = cdcCensus(spark, sfDir)
+      println(s"""{"probe":"cdc","sf":"$sfDir","n_docs":${c.nDocs},""" +
+        s""""n_chunk_rows":${c.nChunkRows},"n_hashes":${c.nHashes},""" +
+        s""""max_freq":${c.maxFreq},""" +
+        s""""cand_pairs_bound":${c.candPairsBound},""" +
+        s""""cand_per_doc_fp_e3":${c.candPerDocE3}}""")
     }
     if (probes("prefix")) {
       val r = prefixCensus(spark, sfDir)

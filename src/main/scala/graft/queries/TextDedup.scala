@@ -174,6 +174,37 @@ object TextDedup {
         .where(col("n_shared") >= 2)
         .orderBy("d1", "d2")
     }),
+    "dedup_cdc_chunks_capped" -> ((s, d) => {
+      // STOP-CHUNK-suppressed chunk dedup — the linear sibling of
+      // dedup_cdc_chunks. The r14 census (cdcPairCensus / WorkCount
+      // `cdc` probe) measured the uncapped self-join's pair bound
+      // Σ f·(f−1)/2 growing exactly ∝ n² on this templated corpus
+      // (242 → 720 → 2,411 cand/doc at sf1/sf3/sf10; max chunk
+      // frequency ∝ n, 2,494 → 25,265): a constant FRACTION of docs
+      // share boilerplate chunks, so the uncapped join is
+      // definition-quadratic — fenced at sf ≥ 1 like the PPJoin rows.
+      // The fix is the same as PPJoin's stopword discipline: a chunk
+      // hash shared by more than CAP=64 docs is template boilerplate
+      // and carries no pairwise dedup signal (it re-synchronizes in
+      // EVERY doc built from the template); dropping those hashes
+      // bounds the join at Σ_{f≤CAP} f·(f−1)/2 ≤ (CAP/2)·chunk_rows —
+      // linear in corpus size, and the surviving pairs are exactly the
+      // uncapped result restricted to rare-chunk evidence.
+      val cap = 64
+      val dc = cdcChunks(s, d).select("doc_id", "chunk_md5").distinct()
+      val rare = dc.groupBy(col("chunk_md5"))
+        .agg(count(lit(1)).as("f"))
+        .where(col("f") <= cap)
+        .select(col("chunk_md5"))
+      val kept = dc.join(rare, "chunk_md5")
+      kept.as("a").join(kept.as("b"),
+          col("a.chunk_md5") === col("b.chunk_md5") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy("d1", "d2")
+    }),
     "text_stopword_ratio" -> ((s, d) => {
       // stopword density — the quality-scoring signal used to filter
       // boilerplate/low-content docs from training corpora.
@@ -793,7 +824,15 @@ object TextDedup {
       // optimized AWAY under Bench's count() action.
       val hstats = spans.groupBy("h")
         .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
-      spans.join(hstats, "h")
+      // BOTH join sides are data-sized (spans ∝ corpus bytes, hstats =
+      // one row per distinct span hash): force the shuffle join. Left
+      // to its estimates, Catalyst picked BroadcastHashJoin here at
+      // sf10 (compile-time size estimate under the 64m threshold) and
+      // the build-side collect shipped >1 GiB to the driver — the
+      // query died on spark.driver.maxResultSize. SMJ keys on h, so
+      // the census side reuses its groupBy exchange; PlanShapeSpec
+      // pins no-broadcast.
+      spans.join(hstats.hint("merge"), "h")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("mn") =!= col("mx"), 1L).otherwise(0L))
@@ -881,6 +920,34 @@ object TextDedup {
         (col("r.ce") - col("r.cs") + 1).as("clen"),
         md5(expr("substring(text, r.cs, r.ce - r.cs + 1)")).as("chunk_md5"))
   }
+
+  /** Candidate census for the chunk-hash self-join of
+    * `dedup_cdc_chunks`: with f = docs sharing a chunk_md5, the join
+    * emits Σ f·(f−1)/2 pair rows BEFORE the ≥2-shared filter — on a
+    * templated corpus where a constant FRACTION of docs share
+    * boilerplate chunks this is ∝ n², the same definition-quadratic
+    * class as the PPJoin prefix bound (Dedup.prefixSaturationStats).
+    * One groupBy over the chunk inventory, no join — the cheap
+    * pre-flight that predicts the quadratic regime before it runs
+    * (WorkCount `cdc` probe / Verify fence reason).
+    * Returns (n_docs, n_chunk_rows, n_hashes, max_freq,
+    * cand_pairs_bound, cand_per_doc_fp_e3).
+    */
+  def cdcPairCensus(s: SparkSession, d: String): org.apache.spark.sql.Row =
+    cdcChunks(s, d).select("doc_id", "chunk_md5").distinct()
+      .groupBy(col("chunk_md5")).agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).as("n_hashes"),
+        sum(col("f")).as("n_chunk_rows"),
+        max(col("f")).as("max_freq"),
+        (sum(col("f") * (col("f") - 1)) / 2).as("cand_pairs_bound"))
+      .crossJoin(t(s, d, "documents").agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"), col("n_chunk_rows"), col("n_hashes"),
+        col("max_freq"),
+        col("cand_pairs_bound").cast("long").as("cand_pairs_bound"),
+        (col("cand_pairs_bound").cast("long") * 1000 /
+          greatest(col("n_docs"), lit(1L))).cast("long")
+          .as("cand_per_doc_fp_e3"))
+      .head()
 
   /** Direct windowed-sum mirror of the CDC rolling recurrence: h(i) =
     * Σ_{j=0..15} (code(s[i−j])+1)·31^j mod 1048573, boundary where
@@ -1076,6 +1143,18 @@ object TextDedup {
          |dc AS (SELECT DISTINCT doc_id, chunk_md5 FROM ch)
          |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
          |FROM dc a JOIN dc b
+         |  ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY 1, 2""".stripMargin,
+    "dedup_cdc_chunks_capped" ->
+      s"""WITH $cdcChunkSql,
+         |dc AS (SELECT DISTINCT doc_id, chunk_md5 FROM ch),
+         |rare AS (SELECT chunk_md5 FROM dc
+         |         GROUP BY 1 HAVING count(*) <= 64),
+         |kept AS (SELECT dc.doc_id, dc.chunk_md5
+         |         FROM dc JOIN rare USING (chunk_md5))
+         |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+         |FROM kept a JOIN kept b
          |  ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 HAVING count(*) >= 2
          |ORDER BY 1, 2""".stripMargin,

@@ -39,6 +39,21 @@ class VerifyFenceSpec extends SparkSpec {
     assert(r.get.contains(s"over $n vectors"))
   }
 
+  test("the cdc chunk-pair census does NOT fence at sf0.01 (3.4 " +
+    "cand/doc < 64) — the fence is a measurement, not the name") {
+    assert(Verify.measuredQuadraticReason(spark, sf("sf0.01"),
+      "dedup_cdc_chunks").isEmpty)
+  }
+
+  test("the cdc chunk-pair census DOES fence at sf1 (241 cand/doc), " +
+    "naming the measured bound and the capped sibling") {
+    val r = Verify.measuredQuadraticReason(spark,
+      "/root/repo/testdata-sf1", "dedup_cdc_chunks")
+    assert(r.isDefined)
+    assert(r.get.contains("dedup_cdc_chunks_capped"))
+    assert(r.get.contains("over 50000 docs"))
+  }
+
   test("unfenced names never produce a reason") {
     assert(Verify.measuredQuadraticReason(spark, sf("sf0.01"),
       "q1_agg").isEmpty)

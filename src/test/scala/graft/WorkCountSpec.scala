@@ -50,6 +50,27 @@ class WorkCountSpec extends SparkSpec {
         "re-measure WORKCOUNTS.json before trusting pairsAuto")
   }
 
+  test("cdc: the fence's census still predicts the quadratic regime at sf1") {
+    // dedup_cdc_chunks is census-fenced at sf >= 1 (Verify
+    // .measuredQuadraticReason): the fence only holds if the census
+    // keeps measuring what it measured (sf1: 12,086,120 pairs over
+    // 50,000 docs = 241/doc, max chunk freq 2,494 — WORKCOUNTS.json
+    // cdc_pairs). If corpus regeneration or a chunking change drops
+    // the bound under the 64/doc routing gate, the fence silently
+    // stops firing and the sweep pays the n² join again — surface
+    // that here instead. Also pins the sibling's lever: stop-chunk
+    // suppression at f <= 64 bounds pairs by 32*chunk_rows.
+    val c = WorkCount.cdcCensus(spark, "/root/repo/testdata-sf1")
+    assert(c.nDocs == 50000L, s"sf1 corpus changed: ${c.nDocs} docs")
+    assert(c.candPairsBound > 64L * c.nDocs,
+      s"cdc census bound ${c.candPairsBound} no longer exceeds the " +
+        s"64/doc gate over ${c.nDocs} docs — the dedup_cdc_chunks " +
+        "fence has stopped firing; re-measure WORKCOUNTS.json")
+    assert(c.maxFreq > 64,
+      s"max chunk freq ${c.maxFreq} at sf1 — the capped sibling's " +
+        "suppression would be a no-op")
+  }
+
   test("ivf: persisted-index search reads only probed cells") {
     // The r13 bug class: one query probes nprobe=2 cells, so the
     // partition-pruned scan must READ exactly ≤ 2 of the 8 on-disk

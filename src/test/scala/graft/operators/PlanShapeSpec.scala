@@ -383,6 +383,15 @@ class PlanShapeSpec extends SparkSpec {
     // the bench rows then measure nothing)
     assert(!p.contains("LeftOuter"),
       s"outer assembly is count()-prunable; keep the inner join:\n$p")
+    // hstats is one row per DISTINCT SPAN HASH — data-sized (∝ corpus
+    // bytes), never broadcastable: at sf10 Catalyst's compile-time
+    // estimate slipped under the 64m threshold, the broadcast collect
+    // shipped >1 GiB of build rows to the driver and the query DIED on
+    // spark.driver.maxResultSize (r14 sweep). The join must stay a
+    // shuffle join (both sides hash-partition on h; the census side
+    // reuses its groupBy exchange) at EVERY sf.
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the data-sized span census must never broadcast:\n$p")
   }
 
   test("catalog-wide: no partition-less WindowExec outside the bounded-" +
