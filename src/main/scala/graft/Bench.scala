@@ -162,7 +162,17 @@ object Bench {
             .foreach(_.unpersist(blocking = false))
           val g0 = gcMs()
           val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true }
+          // Execute the ALREADY-PLANNED physical plan and count its
+          // rows (toRdd), NOT df.count(): count() builds a fresh
+          // logical plan that Catalyst re-optimizes, and any tail
+          // whose last stage is provably cardinality-preserving (left
+          // join to a groupBy-unique frame, an unused window over a
+          // union) gets its expensive subtree PRUNED — four headline
+          // rows (charlm, gopher, langid, asof) timed a bare doc scan
+          // this way through r13, flat across four decades of SF (r14
+          // audit: PlanAudit.countPrunedScans). toRdd also keeps the
+          // final sort, so rows now pay their real output cost.
+          val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
                    catch { case t: Throwable =>
                      System.err.println(s"WARN Bench: $name failed: $t"); false }
           (ok, (System.nanoTime() - t0) / 1e9, gcMs() - g0, loadAvg())

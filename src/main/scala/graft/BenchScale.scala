@@ -225,7 +225,11 @@ object BenchScale {
             spark.sparkContext.getPersistentRDDs.values
               .foreach(_.unpersist(blocking = false))
             val t0 = System.nanoTime()
-            fn(spark, dir).count()
+            // toRdd, not count(): count() re-optimizes and prunes
+            // cardinality-preserving tails, making hollow cells that
+            // stay flat across SFs (the r14 charlm/gopher finding —
+            // see Bench.timed)
+            fn(spark, dir).queryExecution.toRdd.count()
             (System.nanoTime() - t0) / 1e9
           }
           timed() // warmup

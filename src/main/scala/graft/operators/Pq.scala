@@ -146,7 +146,12 @@ object Pq {
     val shortlist = cands.withColumn("rn", row_number().over(wAdc))
       .where(col("rn") <= rerank)
       .select(col("query_id"), col("qv"), col("qn2"), col("vec_id"))
-    val exact = shortlist
+    // the shortlist is BOUNDED by queries×rerank rows by construction
+    // — always the broadcast build. Left to estimates, the initial
+    // plan broadcast CORP (the raw corpus scan) instead: fine while
+    // the corpus is genuinely small, but the corpus side must never be
+    // the collect-to-driver side at scale (r14 audit).
+    val exact = broadcast(shortlist)
       .join(corp.select(col("id").as("vec_id"), col("v"), col("n2")),
         "vec_id")
       .select(col("query_id"), col("vec_id"),

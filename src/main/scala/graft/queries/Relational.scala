@@ -199,8 +199,12 @@ object Relational {
       // J2: left-enrich a dim with an aggregated fact; unmatched -> 0.
       val cnt = t(s, d, "orders").groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("order_cnt"))
+      // cnt is custkey-grain — data-sized, and its aggregate-derived
+      // row estimate is a guess (the initial plan chose to broadcast
+      // it; r14 audit — the maxResultSize class). Pin the shuffle
+      // join: both sides scale with the data.
       t(s, d, "customer")
-        .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .join(cnt.hint("merge"), col("c_custkey") === col("o_custkey"), "left")
         .select(col("c_custkey"), col("c_name"),
                 coalesce(col("order_cnt"), lit(0L)).as("order_cnt"))
         .orderBy("c_custkey")

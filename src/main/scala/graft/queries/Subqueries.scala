@@ -77,11 +77,17 @@ object Subqueries {
       // the natural l_orderkey shuffle), so the semi join probes a
       // pre-shrunk set instead of raw lineitem.
       views(s, d, "sq3")
+      // MERGE hint on the subquery side: the qualifying-orderkey set is
+      // aggregate-derived and grows ∝ SF, so its row estimate is a
+      // guess — left to it, the initial plan BROADCAST the set (r14
+      // audit, the spans maxResultSize class). The semi join keys on
+      // l_orderkey, the aggregate's own shuffle partitioning.
       s.sql(
         """SELECT o_orderkey, o_orderpriority, o_totalprice
           |FROM sq3_orders
           |WHERE o_orderkey IN
-          |      (SELECT l_orderkey FROM sq3_lineitem
+          |      (SELECT /*+ MERGE(sq3_lineitem) */ l_orderkey
+          |       FROM sq3_lineitem
           |       GROUP BY l_orderkey
           |       HAVING sum(CAST(l_quantity AS DECIMAL(14,4))) > 150)
           |ORDER BY o_orderkey""".stripMargin)

@@ -413,8 +413,13 @@ object TextDedup {
             .otherwise(0L)).as("t2"),
           sum(when(col("n") === 5 && col("cnt") > 1,
               col("cnt") * length(col("g"))).otherwise(0L)).as("d5"))
+      // stats is DOC-GRAIN (one row per doc, derived from an explode +
+      // two aggregates — Catalyst's row estimate for it is a guess,
+      // and the initial plan chose to BROADCAST it: the r14
+      // maxResultSize class). Both assembly sides scale with the
+      // corpus, so pin the shuffle join; doc_id keys both sides.
       t(s, d, "documents").select(col("doc_id"), col("n_chars"))
-        .join(stats, Seq("doc_id"), "left")
+        .join(stats.hint("merge"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("t2"), lit(0L)).cast("long").as("top2_chars"),
           coalesce(col("d5"), lit(0L)).cast("long").as("dup5_chars"),
@@ -595,7 +600,12 @@ object TextDedup {
         .select(fp.as("fp")).distinct()
       docs.where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), fp.as("fp"))
-        .join(prior.withColumn("dup", lit(true)), Seq("fp"), "left")
+        // the prior-fingerprint index is thin PER ROW but ∝ corpus in
+        // ROWS — broadcasting it (what the estimate-driven initial
+        // plan picked; r14 audit) collects the whole index to the
+        // driver at scale. The 100 TB shape is a shuffle join on fp.
+        .join(prior.withColumn("dup", lit(true)).hint("merge"),
+          Seq("fp"), "left")
         .select(col("doc_id"), col("fp"),
           coalesce(col("dup"), lit(false)).as("already_ingested"))
         .orderBy("doc_id")
@@ -738,7 +748,14 @@ object TextDedup {
           round(-lit(1000000.0) *
             log(col("c3").cast("double") / col("c2")), 0)
             .cast("long").as("slog"))
-      val perDoc = dtris.join(lm, "tri").groupBy("doc_id")
+      // the lm side must be the broadcast BUILD: left to estimates,
+      // Catalyst's initial plan broadcast DTRIS — the exploded corpus,
+      // ~|corpus chars| rows whose Generate-derived size estimate is a
+      // guess (r14 audit; the spans maxResultSize class). lm is
+      // trigram-TYPE grain (bounded vocabulary), the side the Scaladoc
+      // always promised to broadcast; PlanShapeSpec now pins the
+      // build-side grain, not just "a broadcast exists".
+      val perDoc = dtris.join(broadcast(lm), "tri").groupBy("doc_id")
         .agg(count(lit(1)).as("n_tri"), sum(col("slog")).as("surprisal_fp"))
       docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"),

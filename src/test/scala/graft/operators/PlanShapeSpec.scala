@@ -170,8 +170,13 @@ class PlanShapeSpec extends SparkSpec {
     val spinePruned = "ReadSchema: struct<doc_id:bigint,n_chars:"
     assert(p.contains(spinePruned),
       s"spine scan must prune to (doc_id, n_chars):\n$p")
-    assert(!p.contains("SortMergeJoin"),
-      s"the per-doc stats side must hash-join the spine:\n$p")
+    // the assembly join is doc-grain on BOTH sides (spine ∝ docs,
+    // stats = one aggregate row per doc with a guessed estimate) —
+    // through r13 this spec demanded a hash join and Catalyst
+    // delivered it by BROADCASTING the stats side, the maxResultSize
+    // class (r14 audit). The shuffle join is the scale-safe shape.
+    assert(!p.contains("BroadcastHashJoin"),
+      s"the doc-grain stats side must never broadcast:\n$p")
   }
 
   test("dedup_semdedup: pairs build on a cell equi-join, never a " +
@@ -190,6 +195,16 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("text_charlm_surprisal")
     assert(p.contains("BroadcastHashJoin"),
       s"lm table must broadcast into the scoring join:\n$p")
+    // ...and the build side must be the LM (vocabulary grain), never
+    // the exploded corpus: through r13 this pin passed VACUOUSLY —
+    // Catalyst's estimate-driven initial plan broadcast DTRIS
+    // (doc_id, tri — corpus grain), a collect-to-driver of the whole
+    // exploded corpus at scale (r14 audit). Grain check: no broadcast
+    // build in this plan may output doc_id.
+    val df = SparkEntry.queries("text_charlm_surprisal")(spark, sf("sf0.001"))
+    val badBuilds = graft.PlanAudit.corpusGrainBroadcasts(df)
+    assert(badBuilds.isEmpty,
+      s"corpus-grain broadcast build(s): ${badBuilds.mkString("; ")}")
   }
 
   test("bucketed_join_colocated: the sort-merge join reads aligned " +
@@ -392,6 +407,42 @@ class PlanShapeSpec extends SparkSpec {
     // reuses its groupBy exchange) at EVERY sf.
     assert(!p.contains("BroadcastHashJoin"),
       s"the data-sized span census must never broadcast:\n$p")
+  }
+
+  test("catalog-wide: no corpus-grain broadcast build with a guessed " +
+       "size estimate (the spans/charlm maxResultSize class)") {
+    // A broadcast build whose output carries a raw per-entity key,
+    // whose subtree scans a fact table unfiltered, and whose
+    // cardinality passes through an aggregate/explode/window/join has
+    // a GUESSED row estimate ∝ data: at some SF the estimate dips
+    // under the threshold and the build-side collect ships the corpus
+    // to the driver. r14 found and fixed five: dedup_repeated_spans
+    // (died on maxResultSize at sf10), text_charlm_surprisal (the
+    // exploded corpus as build side — the "lm must broadcast" pin was
+    // passing vacuously), text_gopher_repetition, dedup_incremental,
+    // join_left_enrich, plus the two SQL-text IN-subquery rows. This
+    // sweeps the corpus-joining families so the next estimate flip
+    // fails CI. Scan+filter-only builds are exempt (file-size-based
+    // estimates self-correct across SFs).
+    val allow = Map(
+      // the exact-rerank shortlist: carries vec_id and derives through
+      // a window, but is BOUNDED at queries×rerank rows by its rank
+      // filter — broadcast(shortlist) is the intended plan (Pq.scala)
+      "ann_pq_adc" -> "rank-filtered shortlist, ≤ queries×rerank rows")
+    val fams = "^(text_|dedup_|ann_|corpus_|events_|sql_|join_)".r
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => fams.findFirstIn(n).isDefined)
+      .filterNot(allow.contains)
+    val offenders = names.flatMap { n =>
+      val hits =
+        try graft.PlanAudit.corpusGrainBroadcasts(
+          SparkEntry.queries(n)(spark, sf("sf0.001")))
+        catch { case _: Throwable => Nil } // build failures belong to Verify
+      if (hits.isEmpty) Nil else Seq(s"$n: ${hits.mkString("; ")}")
+    }
+    assert(offenders.isEmpty,
+      s"corpus-grain broadcast builds (hint the shuffle join or " +
+        s"justify in the allowlist):\n${offenders.mkString("\n")}")
   }
 
   test("catalog-wide: no partition-less WindowExec outside the bounded-" +
