@@ -151,7 +151,12 @@ object PlanAudit {
     * query.
     */
   def countPrunedScans(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
-    def scans(p: String) = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    // count BOTH leaf kinds: parquet scans and checkpoint reads
+    // (Scan ExistingRDD) — a prunable tail behind a localCheckpoint
+    // would otherwise escape the parquet-only count
+    def scans(p: String) =
+      "\\(\\d+\\) Scan parquet".r.findAllIn(p).size +
+        "\\(\\d+\\) Scan ExistingRDD".r.findAllIn(p).size
     (scans(df.queryExecution.explainString(FormattedMode)),
      scans(df.groupBy().count().queryExecution.explainString(FormattedMode)))
   }
