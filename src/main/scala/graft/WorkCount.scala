@@ -106,6 +106,32 @@ object WorkCount {
       r.getLong(4), r.getLong(5))
   }
 
+  /** Wedge census of the co-purchase graph behind the graph_* rows:
+    * nodes, canonical edges, Σ deg·(deg−1)/2 (the wedge count that
+    * bounds triangle-intersection work), and the max degree. Run at
+    * two SFs, the wedge-count slope attributes a super-linear
+    * wall-clock exponent to the GRAPH's own growth (definition-driven)
+    * vs the plan (a real bug).
+    */
+  final case class WedgeCensus(nNodes: Long, nEdges: Long,
+                               wedges: Long, maxDeg: Long)
+
+  def wedgeCensus(spark: SparkSession, sfDir: String): WedgeCensus = {
+    val pp = Tables.t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val raw = pp.as("a")
+      .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val canon = graft.operators.Triangles.orientById(raw)
+    val deg = graft.operators.Triangles.degrees(canon)
+    val r = deg.agg(count(lit(1)).as("n"),
+        (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("w"),
+        (sum(col("deg")) / 2).cast("long").as("e"),
+        max(col("deg")).as("mx")).head()
+    WedgeCensus(r.getLong(0), r.getLong(2), r.getLong(1), r.getLong(3))
+  }
+
   /** Runtime scan metrics of the persisted IVF-PQ index: partitions
     * and files ACTUALLY read (FileSourceScanExec metrics after
     * execution) vs total cells on disk, for the 5-query catalog batch
@@ -231,6 +257,12 @@ object WorkCount {
         s""""one_query_files_read":${c.oneQueryFilesRead},""" +
         s""""nprobe":${c.nprobe},""" +
         s""""scan_found":${c.scansFound}}""")
+    }
+    if (probes("wedge")) {
+      val c = wedgeCensus(spark, sfDir)
+      println(s"""{"probe":"wedge","sf":"$sfDir","n_nodes":${c.nNodes},""" +
+        s""""n_edges":${c.nEdges},"wedges":${c.wedges},""" +
+        s""""max_deg":${c.maxDeg}}""")
     }
     if (probes("cdc")) {
       val c = cdcCensus(spark, sfDir)
