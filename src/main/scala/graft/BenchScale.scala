@@ -196,6 +196,50 @@ object BenchScale {
     // The artifact merge preserves their existing large-SF cells.
     val includeQuadratic =
       sys.env.getOrElse("SPARK_GRAFT_INCLUDE_QUADRATIC", "false") == "true"
+
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      "BENCH_SFSCALE.json")
+    // Validate-then-merge-then-write; called INCREMENTALLY after every
+    // completed row as well as at the end. The artifact used to be
+    // written only after the whole sweep: a JVM death mid-sweep (r14:
+    // dedup_repeated_spans crashed the process at sf10 on
+    // maxResultSize) lost every cell already measured that day —
+    // including two complete rows from other queries. The merge is
+    // idempotent, so re-publishing the full row set at the end is
+    // safe.
+    def publish(rows: Seq[(String, Seq[(Double, Double)], Boolean)],
+                quiet: Boolean): Unit = {
+      val out = renderArtifact(rows, nRuns)
+      // The overwrite fallback is only safe when the NEW text is the
+      // parseable side — if THIS run produced unparseable JSON,
+      // writing it would clobber a good board with garbage (the exact
+      // failure the merge exists to prevent).
+      val newParses =
+        try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
+              true }
+        catch { case _: Exception => false }
+      if (!newParses) {
+        System.err.println(s"[scale] ERROR: this run's own JSON does " +
+          s"not parse; refusing to write $outPath. Unwritten payload:\n$out")
+      } else {
+        val merged = {
+          val p = java.nio.file.Paths.get(outPath)
+          if (!java.nio.file.Files.exists(p)) out
+          else try mergeArtifacts(java.nio.file.Files.readString(p), out,
+            nRuns)
+          catch {
+            case e: Exception => // old side unparseable -> overwrite, loudly
+              System.err.println(s"[scale] WARN: could not merge into " +
+                s"existing $outPath (${e}); overwriting")
+              out
+          }
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          (merged + "\n").getBytes("UTF-8"))
+        if (!quiet) println(merged)
+      }
+    }
+
     val rows = selected.filter(SparkEntry.queries.contains).flatMap { name =>
       val fn = SparkEntry.queries(name)
       val trimmed = !includeQuadratic &&
@@ -237,13 +281,12 @@ object BenchScale {
           System.err.println(s"[scale] $name ${sfOf(dir)}: ${f"$t%.3f"}s")
           dir -> t
         }
-        Some((name, perSf.map { case (d, t) => (sfOf(d), t) }, trimmed))
+        val row = (name, perSf.map { case (d, t) => (sfOf(d), t) }, trimmed)
+        publish(Seq(row), quiet = true) // survive a mid-sweep JVM death
+        Some(row)
       }
     }
 
-    val out = renderArtifact(rows, nRuns)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
-      "BENCH_SFSCALE.json")
     // MERGE into an existing artifact instead of clobbering it: a
     // SPARK_GRAFT_SCALE_ONLY dev run with the default output path once
     // replaced the full 31-row board with a single-query file (r12,
@@ -252,34 +295,7 @@ object BenchScale {
     // run did not probe are preserved verbatim. Exponents are never
     // recomputed from merged cells — mixing JVM populations across
     // days would fabricate a slope no single run measured.
-    // The overwrite fallback is only safe when the NEW text is the
-    // parseable side — if THIS run produced unparseable JSON, writing
-    // it would clobber a good board with garbage (the exact failure
-    // the merge exists to prevent). Validate the new text first and
-    // refuse to touch the artifact if it doesn't parse.
-    val newParses =
-      try { new com.fasterxml.jackson.databind.ObjectMapper().readTree(out)
-            true }
-      catch { case _: Exception => false }
-    if (!newParses) {
-      System.err.println(s"[scale] ERROR: this run's own JSON does not " +
-        s"parse; refusing to write $outPath. Unwritten payload:\n$out")
-    } else {
-      val merged = {
-        val p = java.nio.file.Paths.get(outPath)
-        if (!java.nio.file.Files.exists(p)) out
-        else try mergeArtifacts(java.nio.file.Files.readString(p), out, nRuns)
-        catch {
-          case e: Exception => // old side unparseable -> overwrite, loudly
-            System.err.println(s"[scale] WARN: could not merge into " +
-              s"existing $outPath (${e}); overwriting")
-            out
-        }
-      }
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (merged + "\n").getBytes("UTF-8"))
-      println(merged)
-    }
+    publish(rows, quiet = false)
     spark.stop()
   }
 }
