@@ -71,6 +71,25 @@ class WorkCountSpec extends SparkSpec {
         "suppression would be a no-op")
   }
 
+  test("wedge: the co-purchase graph grows linearly (no hub explosion)") {
+    // The premise under every graph_* row's scale claim — and under
+    // the r14 attribution of graph_clustering_coeff's sf10 cell to
+    // the single box's RAM rather than the plan: wedges Σ deg(deg−1)/2
+    // grow ∝ SF (measured 1.0003 sf3→sf10, 13.8M→147.8M sf0.01→sf0.1)
+    // with a FLAT max degree (206→266 across three decades). If
+    // testdata regeneration ever skews the co-purchase graph (a hub
+    // part in every order), wedge work turns quadratic and every
+    // graph row's exponent claim is stale — surface it here.
+    val lo = WorkCount.wedgeCensus(spark, sf("sf0.01"))
+    val hi = WorkCount.wedgeCensus(spark, sf("sf0.1"))
+    val ratio = hi.wedges.toDouble / math.max(1L, lo.wedges)
+    assert(ratio > 5 && ratio < 30,
+      s"wedge growth $ratio for 10x data — no longer the linear band " +
+        "(WORKCOUNTS.json wedge); re-attribute the graph rows' exponents")
+    assert(hi.maxDeg < 10 * lo.maxDeg,
+      s"max degree ${lo.maxDeg} -> ${hi.maxDeg}: hub explosion")
+  }
+
   test("ivf: persisted-index search reads only probed cells") {
     // The r13 bug class: one query probes nprobe=2 cells, so the
     // partition-pruned scan must READ exactly ≤ 2 of the 8 on-disk
