@@ -129,13 +129,11 @@ object ApiSurface {
       t(s, d, "orders").createOrReplaceTempView("q18_orders")
       t(s, d, "lineitem").createOrReplaceTempView("q18_lineitem")
       s.sql(
-        """SELECT /*+ MERGE(q18_lineitem) */
-          |  c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
           |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
           |FROM q18_customer, q18_orders, q18_lineitem
           |WHERE o_orderkey IN (
-          |    SELECT /*+ MERGE(q18_lineitem) */ l_orderkey
-          |    FROM q18_lineitem
+          |    SELECT l_orderkey FROM q18_lineitem
           |    GROUP BY l_orderkey
           |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
           |  AND c_custkey = o_custkey

@@ -77,17 +77,20 @@ object Subqueries {
       // the natural l_orderkey shuffle), so the semi join probes a
       // pre-shrunk set instead of raw lineitem.
       views(s, d, "sq3")
-      // MERGE hint on the subquery side: the qualifying-orderkey set is
-      // aggregate-derived and grows ∝ SF, so its row estimate is a
-      // guess — left to it, the initial plan BROADCAST the set (r14
-      // audit, the spans maxResultSize class). The semi join keys on
-      // l_orderkey, the aggregate's own shuffle partitioning.
+      // The broadcast of the HAVING-qualifying orderkey set is
+      // CORRECT here despite its aggregate-derived (guessed) estimate:
+      // the qualifying fraction is threshold-bounded (~60 keys per SF
+      // unit — ≈50 MB even at a 100 TB corpus), so the build never
+      // outgrows a broadcast. r14 tried the MERGE guard anyway and
+      // MEASURED the cost: forcing the shuffle made sql_tpch_q18's
+      // sf10 cell 2.7 s → 51.5 s (19×) to protect against a bounded
+      // risk — reverted; the catalog-wide corpus-grain-broadcast gate
+      // allowlists both IN-subquery rows with this justification.
       s.sql(
         """SELECT o_orderkey, o_orderpriority, o_totalprice
           |FROM sq3_orders
           |WHERE o_orderkey IN
-          |      (SELECT /*+ MERGE(sq3_lineitem) */ l_orderkey
-          |       FROM sq3_lineitem
+          |      (SELECT l_orderkey FROM sq3_lineitem
           |       GROUP BY l_orderkey
           |       HAVING sum(CAST(l_quantity AS DECIMAL(14,4))) > 150)
           |ORDER BY o_orderkey""".stripMargin)

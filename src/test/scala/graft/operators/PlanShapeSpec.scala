@@ -428,7 +428,14 @@ class PlanShapeSpec extends SparkSpec {
       // the exact-rerank shortlist: carries vec_id and derives through
       // a window, but is BOUNDED at queries×rerank rows by its rank
       // filter — broadcast(shortlist) is the intended plan (Pq.scala)
-      "ann_pq_adc" -> "rank-filtered shortlist, ≤ queries×rerank rows")
+      "ann_pq_adc" -> "rank-filtered shortlist, ≤ queries×rerank rows",
+      // the HAVING-qualifying orderkey sets: aggregate-derived but
+      // threshold-bounded to ~60 keys/SF (≈50 MB at a 100 TB corpus —
+      // always broadcastable). r14 MEASURED the MERGE guard instead:
+      // it made q18's sf10 cell 2.7 s → 51.5 s (19×) to protect a
+      // bounded risk — reverted, justified here.
+      "sql_tpch_q18" -> "HAVING>300 set, threshold-bounded selectivity",
+      "sql_in_subquery" -> "HAVING>150 set, threshold-bounded selectivity")
     val fams = "^(text_|dedup_|ann_|corpus_|events_|sql_|join_)".r
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => fams.findFirstIn(n).isDefined)
