@@ -258,7 +258,7 @@ object Bench {
     // and mislabeled it "regressed"; the builder's clean band was
     // 0.33-0.39 s), and a solo min that still exceeds the band is
     // split into contended (high load), gc_bound (collector-dominated
-    // run), unstable_solo (slower than the context it arbitrates —
+    // run), unstable_solo_over_band (slower than the context it arbitrates —
     // cold/dispersive measurement, never evidence of regression), or
     // regressed (clean child reproduces the slowdown). Child JVMs
     // inherit this JVM's args (heap, add-opens) and classpath;
@@ -363,11 +363,18 @@ object Bench {
           //   gc_bound      — the child's min run spent >25% of its
           //                   wall-clock collecting; heap pressure,
           //                   not plan cost.
-          //   unstable_solo — child is slower than the contended
-          //                   context it was meant to arbitrate with
-          //                   low gc/load: dispersive measurement
-          //                   (this box shows ±70% on heavy shuffle
-          //                   rows), never evidence of regression.
+          //   unstable_solo_over_band — child is slower than the
+          //                   contended context it was meant to
+          //                   arbitrate with low gc/load: dispersive
+          //                   measurement (this box shows ±70% on
+          //                   heavy shuffle rows). The _over_band
+          //                   suffix keeps the possible-regression
+          //                   signal visible (this branch is only
+          //                   reachable when the solo min exceeds the
+          //                   prev band): a human scanning verdicts
+          //                   can still flag it, while the machine
+          //                   refuses to stamp "regressed" on a
+          //                   measurement that can't arbitrate itself.
           //   regressed     — a clean, warmed, unloaded child
           //                   reproduces the slowdown.
           val verdict =
@@ -375,7 +382,7 @@ object Bench {
             else if (soloMin <= band(prevMin)) "in_band_solo"
             else if (soloLoad > cpus.toDouble * 1.25) "contended"
             else if (soloGcMs > 0.25 * soloMin * 1000) "gc_bound"
-            else if (soloMin > ctxMin * 1.2) "unstable_solo"
+            else if (soloMin > ctxMin * 1.2) "unstable_solo_over_band"
             else "regressed"
           System.err.println(s"[adjudicate] $name prev=${fmt(prevMin)} " +
             s"ctx=${fmt(ctxMin)} solo=${fmt(soloMin)} " +
@@ -394,7 +401,7 @@ object Bench {
     }
 
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${minsJson(results)},"stats":${statsJson(results)},"errors":$errs,"warmup":1,"runs":$nRuns,"aqe_primary":$aqePrimary$aqeBlock$adjBlock,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${minsJson(results)},"stats":${statsJson(results)},"errors":$errs,"warmup":$nWarmups,"runs":$nRuns,"aqe_primary":$aqePrimary$aqeBlock$adjBlock,"sf":"$sfDir"}"""
     // The driver's tail capture truncated BENCH_r05's stdout — also
     // write the full JSON to a file so the artifact can't be clipped.
     try {

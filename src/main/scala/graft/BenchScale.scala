@@ -68,7 +68,14 @@ object BenchScale {
     // (242/720/2411 cand/doc at sf1/3/10; the uncapped row is now
     // census-fenced at sf ≥ 1). This row is the proof the ≤ 64-doc
     // chunk cap holds the slope down.
-    "dedup_cdc_chunks_capped")
+    "dedup_cdc_chunks_capped",
+    // round-15: the two headline rows whose curves had literally never
+    // been measured with the real plan executing — both were hollow
+    // under the count() basis through r13 (countPrunedScans: langid
+    // executes 1 of 3 leaves under count(), asof 1 of 2) and got real
+    // only with the r14 toRdd shift. langid's profile-train +
+    // re-explode shape is the exact class that regressed charlm in r6.
+    "text_langid_ngram", "events_asof_join")
 
   private def fmt(d: Double) =
     String.format(java.util.Locale.US, "%.6f", Double.box(d))
@@ -99,8 +106,16 @@ object BenchScale {
       // different run counts, so the top-level "runs" only describes
       // the latest contribution — the row-level field is the one that
       // stays true for surviving cells.
+      // "basis": every row this harness emits times the PLANNED plan
+      // (toRdd.count — the r14 basis shift), and the merge stamps it
+      // over any stale count()-era basis note on a re-probed row. A
+      // partial probe (SCALE_ONLY with a subset of SF dirs) stamps the
+      // whole row even though un-probed cells survive from the old
+      // basis — the row "note" field (merge-preserved) carries that
+      // provenance when it matters.
       "\"" + name + "\":{" + times.mkString(",") +
-        ",\"top_decade_exponent\":" + exp + ",\"runs\":" + nRuns + "}"
+        ",\"top_decade_exponent\":" + exp + ",\"runs\":" + nRuns +
+        ",\"basis\":\"toRdd\"}"
     }.mkString("{", ",", "}")
     // top-level runs = the LATEST merge contribution only (per-row
     // "runs" is authoritative for cells that survived from older runs)

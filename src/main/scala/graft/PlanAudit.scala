@@ -54,6 +54,35 @@ object PlanAudit {
     * (fixed vocabulary, k-row aggregate) or the join needs a
     * `hint("merge")` like spans got.
     */
+  /** True when a pushed data filter actually BOUNDS the scan's output
+    * at any SF. Excludes (a) IsNotNull — rides along on every join key
+    * and filters nothing; (b) modulo/hash-derived predicates
+    * (`doc_id % 3 = 0`, `hash(id) % k = b` — the dedup_incremental
+    * shape): they drop a constant FRACTION, so the build stays
+    * corpus-sized and a broadcast chosen on its estimate still ships
+    * data ∝ SF.
+    */
+  private def boundingFilter(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    e match {
+      case _: IsNotNull => false
+      case _ => !e.exists {
+        case _: Remainder | _: Pmod | _: Murmur3Hash | _: XxHash64 |
+             _: Crc32 | _: Md5 | _: Sha1 | _: Sha2 => true
+        case _ => false
+      }
+    }
+  }
+
+  /** Fact tables whose data actually feeds this scan, by PATH-SEGMENT
+    * match (`/<table>.parquet`): bare substring matching on short names
+    * ("part", "orders") also tagged unrelated paths like
+    * `.../partitioned_out/...`.
+    */
+  private def factsOf(loc: String, facts: Set[String]): Set[String] =
+    facts.filter(t => loc.contains("/" + t + ".parquet"))
+
   def broadcastFactBuilds(df: org.apache.spark.sql.DataFrame,
                           facts: Set[String]): Seq[String] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -66,14 +95,10 @@ object PlanAudit {
     plan.collect { case b: BroadcastExchangeExec =>
       b.collect { case s: FileSourceScanExec =>
         val loc = s.metadata.getOrElse("Location", "")
-        // IsNotNull pushdowns ride along on every join key and filter
-        // nothing at corpus grain — only a REAL predicate (id < 5, a
+        // only a REAL, fraction-independent predicate (id < 5, a
         // literal IN, a comparison) counts as bounding the build side
-        val selective = s.dataFilters.exists {
-          case _: org.apache.spark.sql.catalyst.expressions.IsNotNull => false
-          case _ => true
-        }
-        facts.filter(t => loc.contains(t)).map(t =>
+        val selective = s.dataFilters.exists(boundingFilter)
+        factsOf(loc, facts).map(t =>
           t + (if (selective) ":filtered" else ":FULL"))
       }.flatten.map { tag =>
         // the build's GRAIN decides boundedness: an aggregate keyed on
@@ -126,11 +151,8 @@ object PlanAudit {
       val keys = b.child.output.map(_.name).filter(rawEntityKeys)
       val fullFacts = b.collect { case s: FileSourceScanExec =>
         val loc = s.metadata.getOrElse("Location", "")
-        val selective = s.dataFilters.exists {
-          case _: org.apache.spark.sql.catalyst.expressions.IsNotNull => false
-          case _ => true
-        }
-        factTables.filter(t => loc.contains(t) && !selective)
+        val selective = s.dataFilters.exists(boundingFilter)
+        if (selective) Set.empty[String] else factsOf(loc, factTables)
       }.flatten
       if (keys.nonEmpty && fullFacts.nonEmpty && derived(b.child))
         Some(s"build(${b.child.output.map(_.name).mkString(",")}) " +

@@ -58,6 +58,10 @@ class BenchScaleMergeSpec extends AnyFunSuite {
     assert(math.abs(row.get("top_decade_exponent").asDouble() - 1.2619) < 1e-3)
     assert(row.get("runs").asInt() == 2)
     assert(om.readTree(out).get("runs").asInt() == 2)
+    // every emitted row self-describes its timing basis (r14 shift:
+    // toRdd.count of the planned plan), so a re-probe stamps over any
+    // stale count()-era basis annotation on the board row
+    assert(row.get("basis").asText() == "toRdd")
   }
 
   test("render: a TRIMMED row emits a null exponent so the merge " +

@@ -7,6 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(dir: String): String = s"/root/testdata/$dir"
+
+  /** In-repo large-SF dirs (testdata-sf1 etc.), resolved against the
+    * checkout root (= sbt's working dir) rather than a hardcoded
+    * absolute path, so the suite survives a different checkout
+    * location (advisor r14).
+    */
+  def sfRepo(dir: String): String =
+    new java.io.File(sys.props("user.dir"), dir).getAbsolutePath
 }
 
 object SparkSpec {

@@ -48,7 +48,7 @@ class VerifyFenceSpec extends SparkSpec {
   test("the cdc chunk-pair census DOES fence at sf1 (241 cand/doc), " +
     "naming the measured bound and the capped sibling") {
     val r = Verify.measuredQuadraticReason(spark,
-      "/root/repo/testdata-sf1", "dedup_cdc_chunks")
+      sfRepo("testdata-sf1"), "dedup_cdc_chunks")
     assert(r.isDefined)
     assert(r.get.contains("dedup_cdc_chunks_capped"))
     assert(r.get.contains("over 50000 docs"))

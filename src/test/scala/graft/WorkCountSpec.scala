@@ -60,7 +60,7 @@ class WorkCountSpec extends SparkSpec {
     // stops firing and the sweep pays the n² join again — surface
     // that here instead. Also pins the sibling's lever: stop-chunk
     // suppression at f <= 64 bounds pairs by 32*chunk_rows.
-    val c = WorkCount.cdcCensus(spark, "/root/repo/testdata-sf1")
+    val c = WorkCount.cdcCensus(spark, sfRepo("testdata-sf1"))
     assert(c.nDocs == 50000L, s"sf1 corpus changed: ${c.nDocs} docs")
     assert(c.candPairsBound > 64L * c.nDocs,
       s"cdc census bound ${c.candPairsBound} no longer exceeds the " +

@@ -440,13 +440,27 @@ class PlanShapeSpec extends SparkSpec {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => fams.findFirstIn(n).isDefined)
       .filterNot(allow.contains)
+    // A query that fails to BUILD is a Verify problem, not a
+    // broadcast-shape problem — but swallowing it silently would let
+    // the gate pass vacuously for that query (advisor r14). Collect
+    // failures and fail loudly: the gate either audited a query or
+    // names why it could not.
+    val buildFailures = Seq.newBuilder[String]
     val offenders = names.flatMap { n =>
       val hits =
         try graft.PlanAudit.corpusGrainBroadcasts(
           SparkEntry.queries(n)(spark, sf("sf0.001")))
-        catch { case _: Throwable => Nil } // build failures belong to Verify
+        catch { case t: Throwable =>
+          buildFailures += s"$n: ${t.getClass.getSimpleName} ${t.getMessage}"
+          Nil
+        }
       if (hits.isEmpty) Nil else Seq(s"$n: ${hits.mkString("; ")}")
     }
+    val failed = buildFailures.result()
+    assert(failed.isEmpty,
+      s"queries failed to plan at sf0.001 — the broadcast gate could " +
+        s"not audit them (fix the build or exclude with a reason):\n" +
+        failed.mkString("\n"))
     assert(offenders.isEmpty,
       s"corpus-grain broadcast builds (hint the shuffle join or " +
         s"justify in the allowlist):\n${offenders.mkString("\n")}")
