@@ -93,7 +93,15 @@ object BenchScale {
   def renderArtifact(rows: Seq[(String, Seq[(Double, Double)], Boolean)],
                      nRuns: Int): String = {
     val json = rows.map { case (name, perSf, trimmed) =>
-      val times = perSf.map { case (sf, t) => "\"sf" + sf + "\":" + fmt(t) }
+      // per-CELL basis stamps alongside each timing: a partial probe
+      // (SCALE_ONLY with a subset of SF dirs) merges into a row whose
+      // surviving cells may be stale count()-era measurements, and a
+      // row-level basis alone would misattribute their provenance
+      // (advisor r15). The merge recomputes the row-level field from
+      // the per-cell stamps after every merge.
+      val times = perSf.map { case (sf, t) =>
+        "\"sf" + sf + "\":" + fmt(t) + ",\"sf" + sf + "_basis\":\"toRdd\""
+      }
       val sorted = perSf.sortBy(_._1)
       val exp =
         if (trimmed || sorted.size < 2) "null"
@@ -106,13 +114,10 @@ object BenchScale {
       // different run counts, so the top-level "runs" only describes
       // the latest contribution — the row-level field is the one that
       // stays true for surviving cells.
-      // "basis": every row this harness emits times the PLANNED plan
-      // (toRdd.count — the r14 basis shift), and the merge stamps it
-      // over any stale count()-era basis note on a re-probed row. A
-      // partial probe (SCALE_ONLY with a subset of SF dirs) stamps the
-      // whole row even though un-probed cells survive from the old
-      // basis — the row "note" field (merge-preserved) carries that
-      // provenance when it matters.
+      // "basis" (row level): correct for THIS fresh row (every cell
+      // here was just timed via toRdd.count). After a merge it is
+      // only kept when every surviving cell carries a matching
+      // per-cell stamp — see mergeArtifacts.
       "\"" + name + "\":{" + times.mkString(",") +
         ",\"top_decade_exponent\":" + exp + ",\"runs\":" + nRuns +
         ",\"basis\":\"toRdd\"}"
@@ -140,9 +145,32 @@ object BenchScale {
     val now = om.readTree(nowJson)
       .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     val pq = prev.`with`("queries"); val nq = now.`with`("queries")
+    // Row-level "basis" is only true when EVERY timing cell on the
+    // merged row carries a matching per-cell stamp: a partial probe
+    // merging into a row with surviving count()-era cells must not
+    // label the whole row toRdd (advisor r15). Cells are the keys
+    // shaped `sf<number>` (sf1_to_sf3_exponent has an underscore and
+    // is excluded by the pattern).
+    val cellKey = "^sf[0-9.]+$".r
+    def restampBasis(
+        row: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+      val names = {
+        val b = Seq.newBuilder[String]
+        val it = row.fieldNames(); while (it.hasNext) b += it.next()
+        b.result()
+      }
+      val cells = names.filter(n => cellKey.findFirstIn(n).isDefined)
+      val bases = cells.map(c => Option(row.get(c + "_basis"))
+        .filterNot(_.isNull).map(_.asText()))
+      if (cells.nonEmpty && bases.forall(_.contains("toRdd")))
+        { row.put("basis", "toRdd"); () }
+      else { row.remove("basis"); () }
+    }
     val it = nq.fieldNames()
+    val touched = Seq.newBuilder[String]
     while (it.hasNext) {
       val name = it.next()
+      touched += name
       (pq.get(name), nq.get(name)) match {
         case (old: com.fasterxml.jackson.databind.node.ObjectNode,
               neu: com.fasterxml.jackson.databind.node.ObjectNode) =>
@@ -152,6 +180,15 @@ object BenchScale {
             if (!neu.get(f).isNull) { old.set(f, neu.get(f)); () }
           }
         case _ => pq.set(name, nq.get(name)); ()
+      }
+    }
+    // restamp only rows this merge touched — untouched rows keep
+    // whatever provenance (note/basis fields) earlier rounds recorded
+    touched.result().foreach { name =>
+      pq.get(name) match {
+        case row: com.fasterxml.jackson.databind.node.ObjectNode =>
+          restampBasis(row)
+        case _ => ()
       }
     }
     prev.put("runs", nRuns)

@@ -83,6 +83,18 @@ object PlanAudit {
   private def factsOf(loc: String, facts: Set[String]): Set[String] =
     facts.filter(t => loc.contains("/" + t + ".parquet"))
 
+  /** Untruncated scan location. `metadata("Location")` is display text
+    * truncated to spark.sql.maxMetadataStringLength (default 100): a
+    * long checkout path would truncate `/<table>.parquet` out of the
+    * string and silently DROP the scan from the broadcast safety audit
+    * (advisor r15 — a false negative in a gate meant to catch
+    * driver-killing builds). relation.location.rootPaths is the real
+    * path list the scan reads.
+    */
+  private def scanLocation(
+      s: org.apache.spark.sql.execution.FileSourceScanExec): String =
+    s.relation.location.rootPaths.mkString(",")
+
   def broadcastFactBuilds(df: org.apache.spark.sql.DataFrame,
                           facts: Set[String]): Seq[String] = {
     import org.apache.spark.sql.execution.FileSourceScanExec
@@ -94,7 +106,7 @@ object PlanAudit {
     }
     plan.collect { case b: BroadcastExchangeExec =>
       b.collect { case s: FileSourceScanExec =>
-        val loc = s.metadata.getOrElse("Location", "")
+        val loc = scanLocation(s)
         // only a REAL, fraction-independent predicate (id < 5, a
         // literal IN, a comparison) counts as bounding the build side
         val selective = s.dataFilters.exists(boundingFilter)
@@ -150,7 +162,7 @@ object PlanAudit {
     plan.collect { case b: BroadcastExchangeExec =>
       val keys = b.child.output.map(_.name).filter(rawEntityKeys)
       val fullFacts = b.collect { case s: FileSourceScanExec =>
-        val loc = s.metadata.getOrElse("Location", "")
+        val loc = scanLocation(s)
         val selective = s.dataFilters.exists(boundingFilter)
         if (selective) Set.empty[String] else factsOf(loc, factTables)
       }.flatten

@@ -78,6 +78,37 @@ class BenchScaleMergeSpec extends AnyFunSuite {
     assert(m.get("a").get("sf0.01").asDouble() == 0.5) // new cells land
   }
 
+  test("render: every cell carries a per-cell basis stamp") {
+    val out = BenchScale.renderArtifact(
+      Seq(("a", Seq((1.0, 2.0), (3.0, 8.0)), false)), 1)
+    val row = q(out).get("a")
+    assert(row.get("sf1.0_basis").asText() == "toRdd")
+    assert(row.get("sf3.0_basis").asText() == "toRdd")
+  }
+
+  test("merge: a PARTIAL probe into a legacy row must NOT claim " +
+       "row-level toRdd basis for the surviving count()-era cells") {
+    // prev row `a` has sf1.0+sf3.0 with no per-cell stamps (pre-r16
+    // board shape); re-probe only sf1.0 on the new basis
+    val now = BenchScale.renderArtifact(
+      Seq(("a", Seq((1.0, 1.1)), false)), 1)
+    val m = q(BenchScale.mergeArtifacts(prev, now, 1))
+    val row = m.get("a")
+    assert(row.get("sf1.0_basis").asText() == "toRdd") // probed cell stamped
+    assert(row.get("sf3.0") != null)                   // stale cell survives
+    assert(row.get("sf3.0_basis") == null)             // ...unstamped
+    assert(row.get("basis") == null,                   // row-level removed
+      "partial probe must not misattribute provenance to the whole row")
+  }
+
+  test("merge: a FULL re-probe covering every cell restores the " +
+       "row-level basis") {
+    val now = BenchScale.renderArtifact(
+      Seq(("a", Seq((1.0, 1.1), (3.0, 3.3)), false)), 1)
+    val m = q(BenchScale.mergeArtifacts(prev, now, 1))
+    assert(m.get("a").get("basis").asText() == "toRdd")
+  }
+
   test("render: zero rows still yields parseable JSON (empty queries)") {
     // main drops fully-fenced rows BEFORE render; an all-fenced run
     // renders an empty queries object, which must parse (the old

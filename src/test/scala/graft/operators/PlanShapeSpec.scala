@@ -456,14 +456,17 @@ class PlanShapeSpec extends SparkSpec {
         }
       if (hits.isEmpty) Nil else Seq(s"$n: ${hits.mkString("; ")}")
     }
+    // One combined assert: a single build failure must not mask real
+    // offenders found in the same run (advisor r15) — the message
+    // carries BOTH lists so one CI run surfaces all gate information.
     val failed = buildFailures.result()
-    assert(failed.isEmpty,
-      s"queries failed to plan at sf0.001 — the broadcast gate could " +
-        s"not audit them (fix the build or exclude with a reason):\n" +
-        failed.mkString("\n"))
-    assert(offenders.isEmpty,
-      s"corpus-grain broadcast builds (hint the shuffle join or " +
-        s"justify in the allowlist):\n${offenders.mkString("\n")}")
+    val problems =
+      failed.map(f => s"BUILD-FAILURE (gate could not audit): $f") ++
+        offenders.map(o => s"CORPUS-GRAIN BROADCAST (hint the shuffle " +
+          s"join or justify in the allowlist): $o")
+    assert(problems.isEmpty,
+      s"broadcast gate found ${failed.size} build failure(s) and " +
+        s"${offenders.size} offender(s):\n${problems.mkString("\n")}")
   }
 
   test("catalog-wide: no partition-less WindowExec outside the bounded-" +
