@@ -216,6 +216,62 @@ object WorkCount {
       idxScan.isDefined && oneScan.isDefined)
   }
 
+  /** One broadcast build actually shipped by a query: the build's
+    * output columns, its RUNTIME row count and byte size
+    * (BroadcastExchangeExec metrics after execution — the actuals the
+    * planner's estimate guessed at).
+    */
+  final case class BcastBuild(cols: String, rows: Long, bytes: Long)
+
+  /** Runtime sizes of every broadcast build a query ships — the
+    * mechanized criterion behind the PlanShapeSpec broadcast
+    * allowlist (r14 verdict item 5 / r15 carry): an allowlist entry
+    * is justified by the claim that its build side is THRESHOLD-
+    * bounded (q18's HAVING>300 key set, the PQ rerank shortlist), not
+    * data-proportional. This probe measures the actual rows/bytes at
+    * any SF, so the claim is a census cell + CI gate instead of a
+    * comment: an allowlisted build that starts scaling with data
+    * fails WorkCountSpec rather than surviving on its justification.
+    */
+  def bcastCensus(spark: SparkSession, sfDir: String,
+                  queryNames: Seq[String]): Seq[(String, Seq[BcastBuild])] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
+    // AQE nests finished stages as QueryStageExec leaves; recurse
+    // through stage/reuse wrappers (same walk as ivfCensus.allScans)
+    def allBuilds(p: SparkPlan): Seq[BroadcastExchangeExec] = {
+      val here = p match {
+        case b: BroadcastExchangeExec => Seq(b)
+        case _ => Nil
+      }
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      here ++ kids.flatMap(allBuilds)
+    }
+    queryNames.map { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.toRdd.count() // fill the metrics of THIS plan
+      // dedup by object identity: a ReusedExchange child is the same
+      // node instance reached twice (structural equality would also
+      // merge two DISTINCT builds that happen to be identical)
+      val seen = new java.util.IdentityHashMap[SparkPlan, Boolean]()
+      val builds = allBuilds(df.queryExecution.executedPlan)
+        .filter(b => seen.put(b, true) == null)
+        .map { b =>
+          def m(k: String) =
+            b.metrics.get(k).map(_.value).getOrElse(-1L)
+          BcastBuild(b.output.map(_.name).mkString(","),
+            m("numOutputRows"), m("dataSize"))
+        }
+      name -> builds
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val probes: Set[String] =
@@ -271,6 +327,18 @@ object WorkCount {
         s""""max_freq":${c.maxFreq},""" +
         s""""cand_pairs_bound":${c.candPairsBound},""" +
         s""""cand_per_doc_fp_e3":${c.candPerDocE3}}""")
+    }
+    if (probes("bcast")) {
+      // the three PlanShapeSpec broadcast-allowlist entries — the
+      // builds whose boundedness claims this probe turns into cells
+      val qs = Seq("sql_tpch_q18", "sql_in_subquery", "ann_pq_adc")
+        .filter(SparkEntry.queries.contains)
+      bcastCensus(spark, sfDir, qs).foreach { case (name, builds) =>
+        println(s"""{"probe":"bcast","sf":"$sfDir","query":"$name",""" +
+          s""""builds":[""" + builds.map(b =>
+            s"""{"cols":"${b.cols}","rows":${b.rows},"bytes":${b.bytes}}""")
+            .mkString(",") + "]}")
+      }
     }
     if (probes("prefix")) {
       val r = prefixCensus(spark, sfDir)

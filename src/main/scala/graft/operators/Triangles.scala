@@ -135,9 +135,27 @@ object Triangles {
       .localCheckpoint(false) // adj build + probe side read the same blocks
     val adj = e.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    e.join(adj.select(col("u"), col("nbrs").as("nu")), "u")
-      .join(adj.select(col("u").as("v"), col("nbrs").as("nv")), "v")
+    attachArrays(e, adj)
   }
+
+  /** The two array-attach joins, SHUFFLE_HASH-pinned on the adjacency
+    * side. Why the pin matters: the SECOND join re-partitions the
+    * probe rows — which by then CARRY the first neighbour array — so
+    * that exchange is wedge-sized (Σ outdeg² elements; ~38 GB raw at
+    * the sf10 co-purchase graph), and the default sort-merge join
+    * then EXTERNALLY SORTS those wide rows on top of shuffling them.
+    * The wedge-sized exchange is inherent to the dataflow (u- and
+    * v-partitionings can't coincide), but the sort is pure overhead:
+    * hash-building from the adjacency side (edge-sized: Σ outdeg = m
+    * elements, hash-partitioned so each task holds m/P) lets the wide
+    * rows STREAM through both joins. The r14 sf10 cell (401.8 s) was
+    * this sort's spill traffic, not the joins' arithmetic.
+    */
+  private def attachArrays(e: DataFrame, adj: DataFrame): DataFrame =
+    e.join(adj.select(col("u"), col("nbrs").as("nu")).hint("shuffle_hash"),
+        "u")
+      .join(adj.select(col("u").as("v"), col("nbrs").as("nv"))
+        .hint("shuffle_hash"), "v")
 
   /** Exact triangle count via sorted-adjacency intersection:
     * Σ over oriented edges (u,v) of |N⁺(u) ∩ N⁺(v)| — each triangle's
@@ -161,17 +179,81 @@ object Triangles {
     * credit kinds, so only credit rows (3 × #triangles, vs Σ outdeg²
     * wedges) reach the per-node aggregate.
     */
-  def perNodeAdjacency(oriented: DataFrame): DataFrame = {
+  def perNodeAdjacency(oriented: DataFrame): DataFrame =
+    creditRows(withNeighborArrays(oriented))
+      .groupBy("node")
+      .agg(sum(col("c")).as("tri_cnt"))
+
+  /** Per edge (u,v) with t = |N⁺(u) ∩ N⁺(v)| > 0: credit u and v with
+    * t and every member of the intersection with 1 — one projection
+    * emits all three credit kinds, so only credit rows (3×#triangles)
+    * reach the per-node aggregate. Shared by the single-pass and
+    * batched per-node paths.
+    */
+  private def creditRows(wide: DataFrame): DataFrame = {
     val inter = array_intersect(col("nu"), col("nv"))
-    withNeighborArrays(oriented)
-      .select(explode(concat(
+    wide.select(explode(concat(
         array(struct(col("u").as("node"), size(inter).cast("long").as("c")),
               struct(col("v").as("node"), size(inter).cast("long").as("c"))),
         transform(inter, w =>
           struct(w.as("node"), lit(1L).as("c"))))).as("cr"))
       .select(col("cr.node").as("node"), col("cr.c").as("c"))
       .where(col("c") > 0)
-      .groupBy("node")
-      .agg(sum(col("c")).as("tri_cnt"))
+  }
+
+  /** [[perNodeAdjacency]] with a WORKING-SET bound: when the wedge
+    * census (Σ outdeg² — the elements the second array-attach join
+    * must exchange, see [[attachArrays]]) exceeds `budgetElems`, the
+    * edge list is processed in B = ⌈Σ/budget⌉ hash slices, each
+    * slice's node-grain partial credits eagerly materialized
+    * (localCheckpoint) before the next slice starts, and the partials
+    * re-aggregated. At most ONE slice's wide rows are ever resident,
+    * so the exchange + hash-join traffic stays inside the page cache
+    * instead of thrashing it — the r14 sf10 RAM cliff (~200 GB
+    * working set vs 128 GiB, 401.8 s) was exactly this. Slicing is
+    * exact: per-edge credits are independent, so any partition of the
+    * edge set sums to the same per-node totals (pinned equal to the
+    * single-pass path in TrianglesSpec).
+    *
+    * Below the budget (every SF this repo benches except sf10) B = 1
+    * and the plan is [[perNodeAdjacency]]'s, unchanged. The census
+    * itself is one narrow aggregate over the checkpointed edge list.
+    * Default budget: 1.5 G elements ≈ 12 GB raw per slice — sized so
+    * a slice's exchange + the adjacency hash tables fit comfortably
+    * inside a 128 GiB box's page cache; on a cluster the same bound
+    * keeps per-executor shuffle fetches proportional to slice size.
+    */
+  def perNodeAdjacencyBatched(oriented: DataFrame,
+                              budgetElems: Long = 1500000000L): DataFrame = {
+    val e = oriented
+      .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
+      .localCheckpoint(false)
+    val od = e.groupBy(col("u"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("od"))
+    val censusRow = od.agg(sum(col("od") * col("od"))).head()
+    val s = if (censusRow.isNullAt(0)) 0L else censusRow.getLong(0)
+    val b = math.min(64L, (s + budgetElems - 1) / budgetElems).toInt
+    val adjOf = e.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    if (b <= 1)
+      creditRows(attachArrays(e, adjOf))
+        .groupBy("node").agg(sum(col("c")).as("tri_cnt"))
+    else {
+      // adjacency built ONCE and materialized — each slice re-joins
+      // it (edge-sized: Σ outdeg = m elements) instead of re-running
+      // the collect_list aggregate B times
+      val adj = adjOf.localCheckpoint()
+      val partials = (0 until b).map { i =>
+        val slice = e.where(
+          pmod(xxhash64(col("u"), col("v")), lit(b.toLong)) === i.toLong)
+        // localCheckpoint is EAGER: slice i's wide rows are drained
+        // to a node-grain partial before slice i+1 allocates anything
+        creditRows(attachArrays(slice, adj))
+          .groupBy("node").agg(sum(col("c")).as("c"))
+          .localCheckpoint()
+      }
+      partials.reduce(_ union _)
+        .groupBy("node").agg(sum(col("c")).as("tri_cnt"))
+    }
   }
 }

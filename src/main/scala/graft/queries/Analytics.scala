@@ -161,7 +161,11 @@ object Analytics {
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
       val canon = graft.operators.Triangles.orientById(raw).localCheckpoint()
       val deg = graft.operators.Triangles.degrees(canon).localCheckpoint()
-      val tri = graft.operators.Triangles.perNodeAdjacency(
+      // batched variant: identical plan below the Σ outdeg² budget
+      // (every bench SF except sf10); above it, hash-sliced with
+      // eagerly-drained node-grain partials so the wedge-sized
+      // exchange never outgrows the page cache (the r14 sf10 cliff)
+      val tri = graft.operators.Triangles.perNodeAdjacencyBatched(
         graft.operators.Triangles.orientByDegreeCanonical(canon, deg))
       deg.where(col("deg") >= 2)
         .join(tri, Seq("node"), "left")

@@ -110,6 +110,35 @@ class TrianglesSpec extends SparkSpec {
     assert(viaAdj === viaWedge)
   }
 
+  test("perNodeAdjacencyBatched equals the single-pass path, forced " +
+       "into many slices AND at the B=1 default") {
+    // budgetElems=1 forces B = min(64, Σ outdeg²) slices — most empty
+    // on a small graph, which also exercises the empty-slice path.
+    // Slicing must be exact: per-edge credits are independent, so any
+    // partition of the edge set sums to the same per-node totals.
+    val k4 = edges((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    val batched = Triangles.perNodeAdjacencyBatched(
+        Triangles.orientById(k4), budgetElems = 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batched === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val pp = spark.read.parquet(sf("sf0.001") + "/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = pp.as("a")
+      .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val oriented = Triangles.orientByDegree(e)
+    val single = Triangles.perNodeAdjacency(oriented)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sliced = Triangles.perNodeAdjacencyBatched(oriented,
+        budgetElems = 10000L) // testdata graph: forces several slices
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sliced === single)
+    val b1 = Triangles.perNodeAdjacencyBatched(oriented) // default: B=1
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === single)
+  }
+
   test("degree orientation emits each canonical edge exactly once") {
     val star = edges((1, 2), (1, 3), (1, 4), (2, 3))
     val oriented = Triangles.orientByDegree(star)
