@@ -1,0 +1,25 @@
+#!/bin/bash
+# Launch a graft main class (default graft.Bench) with the Spark-4-on-
+# Java-17 add-opens set and the compiled classes + /opt/spark/jars
+# classpath. Usage: tools/bench.sh [MainClass] [args...]; env vars
+# (SPARK_GRAFT_*) pass through.
+set -euo pipefail
+MAIN="${1:-graft.Bench}"; shift || true
+CP="/root/repo/target/scala-2.13/classes:$(echo /opt/spark/jars/*.jar | tr ' ' ':')"
+exec java -Xmx8g \
+  --add-opens=java.base/java.lang=ALL-UNNAMED \
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+  --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
+  --add-opens=java.base/java.io=ALL-UNNAMED \
+  --add-opens=java.base/java.net=ALL-UNNAMED \
+  --add-opens=java.base/java.nio=ALL-UNNAMED \
+  --add-opens=java.base/java.util=ALL-UNNAMED \
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+  --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+  --add-opens=java.base/jdk.internal.ref=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED \
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED \
+  -Dio.netty.tryReflectionSetAccessible=true \
+  -cp "$CP" "$MAIN" "$@"
