@@ -13,6 +13,13 @@ import graft.operators.Similarity
 object Vectors {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-index-dir build locks: same-JVM shared-index builders must
+    * serialize (see sharedIvfPqIndex — two pool threads once built
+    * into one tmp dir and published a doubled index).
+    */
+  private val indexBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def prepped(s: SparkSession, d: String): DataFrame =
     Similarity.prep(t(s, d, "embeddings"), "vec_id", "embedding", Some("label"))
 
@@ -216,28 +223,54 @@ object Vectors {
                                corpus: DataFrame): java.nio.file.Path = {
     val dir = graft.Scratch.sharedDir("graft_ivfpq_idx", d)
     val marker = dir.resolve("_GRAFT_INDEX_OK")
-    val tag = s"$d|cells=8|m=8|codes=16|v=2"
+    // v=3: v=2 indexes may be race-corrupted (see below) — never trust
+    val tag = s"$d|cells=8|m=8|codes=16|v=3"
     def markerOk = java.nio.file.Files.exists(marker) &&
       java.nio.file.Files.readString(marker) == tag
-    if (markerOk) dir else {
-      val tmp = java.nio.file.Paths.get(
-        dir.toString + ".tmp." + ProcessHandle.current().pid())
-      val (cents, cb, encoded) =
-        graft.operators.Pq.buildIvfPqIndex(corpus, cells = 8, m = 8,
-          codes = 16)
-      encoded.write.mode("overwrite").partitionBy("cell")
-        .parquet(tmp.resolve("encoded").toString)
-      cents.write.mode("overwrite").parquet(tmp.resolve("cents").toString)
-      cb.write.mode("overwrite").parquet(tmp.resolve("cb").toString)
-      java.nio.file.Files.writeString(tmp.resolve("_GRAFT_INDEX_OK"), tag)
-      if (!markerOk) { // another JVM may have published meanwhile
-        graft.Scratch.deleteRecursively(dir) // stale/foreign leftovers
-        try java.nio.file.Files.move(tmp, dir,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        catch { case _: java.nio.file.FileSystemException => () }
+    if (markerOk) return dir
+    // SAME-JVM builders must serialize: Verify runs ann_ivfpq_adc and
+    // ann_ivfpq_persisted CONCURRENTLY from its thread pool, and the
+    // PID-suffixed tmp dir only separates JVMs — in r16 both threads
+    // of one Verify JVM built into the same tmp path, their two
+    // write jobs interleaved `_temporary` staging, and the published
+    // index held every vector TWICE (1000 rows / 500 distinct ids at
+    // sf0.01), shifting ADC top-k results off the oracle. The lock
+    // makes the second thread wait and take the marker fast-path.
+    val lock = Vectors.indexBuildLocks
+      .computeIfAbsent(dir.toString, _ => new Object)
+    lock.synchronized {
+      if (markerOk) dir else {
+        // pid + thread id: unique even among same-JVM builders of
+        // DIFFERENT dirs sharing this code path
+        val tmp = java.nio.file.Paths.get(dir.toString + ".tmp." +
+          ProcessHandle.current().pid() + "." +
+          Thread.currentThread().getId)
+        val (cents, cb, encoded) =
+          graft.operators.Pq.buildIvfPqIndex(corpus, cells = 8, m = 8,
+            codes = 16)
+        encoded.write.mode("overwrite").partitionBy("cell")
+          .parquet(tmp.resolve("encoded").toString)
+        cents.write.mode("overwrite").parquet(tmp.resolve("cents").toString)
+        cb.write.mode("overwrite").parquet(tmp.resolve("cb").toString)
+        // publish-time validation: the encoded table must hold each
+        // corpus vector exactly once — the r16 corruption published a
+        // doubled index behind a green marker and poisoned every
+        // subsequent reuse, so fail HERE, before the marker exists
+        val nEnc = s.read.parquet(tmp.resolve("encoded").toString).count()
+        val nCorpus = corpus.count()
+        require(nEnc == nCorpus,
+          s"IVF-PQ index build wrote $nEnc encoded rows for $nCorpus " +
+            s"corpus vectors (tmp=$tmp) — refusing to publish")
+        java.nio.file.Files.writeString(tmp.resolve("_GRAFT_INDEX_OK"), tag)
+        if (!markerOk) { // another JVM may have published meanwhile
+          graft.Scratch.deleteRecursively(dir) // stale/foreign leftovers
+          try java.nio.file.Files.move(tmp, dir,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileSystemException => () }
+        }
+        if (markerOk) { graft.Scratch.deleteRecursively(tmp); dir }
+        else tmp // lost a pathological race: search our private copy
       }
-      if (markerOk) { graft.Scratch.deleteRecursively(tmp); dir }
-      else tmp // lost a pathological race: search our private copy
     }
   }
 
