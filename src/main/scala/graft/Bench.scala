@@ -65,6 +65,39 @@ object Bench {
     // scan shows up on the stopwatch as well as in PlanShapeSpec.
     "ann_ivfpq_adc")
 
+  /** Fixed-work single-thread CPU calibration, seconds (min of 3 after
+    * a JIT warmup pass). The bench box is a FRESH VM every round
+    * (uptime minutes at round start; testdata re-materialized at
+    * boot), so its CPU-per-second is not a constant across rounds:
+    * r15's whole ANN cohort — the CPU-bound broadcast-loop vector rows
+    * — rose 18-49% on byte-identical code and data while the
+    * scan/shuffle-bound controls stayed flat, and the adjudicator
+    * stamped the biggest mover "regressed" because it had no way to
+    * see the box itself had slowed. This row is that missing
+    * instrument: 200M iterations of integer mix (rotl+xor+mul — no
+    * memory traffic, no allocation), byte-identical work every round,
+    * so the ratio now/prev IS the host's CPU drift and the adjudicator
+    * can discount it (verdict `host_drift`) instead of blaming code.
+    */
+  def cpuCalibSec(): Double = {
+    def once(iters: Long): (Double, Long) = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < iters) {
+        h = java.lang.Long.rotateLeft(h ^ (i * 0xC2B2AE3D27D4EB4FL), 31) *
+          0x9E3779B97F4A7C15L
+        i += 1
+      }
+      ((System.nanoTime() - t0) / 1e9, h)
+    }
+    once(20000000L) // JIT warmup, discarded
+    val rs = (1 to 3).map(_ => once(200000000L))
+    // consume the hash so the loop cannot be dead-code-eliminated
+    if (rs.exists(_._2 == 42L)) System.err.println("calib sentinel")
+    rs.map(_._1).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -89,6 +122,13 @@ object Bench {
               sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Host CPU calibration BEFORE any query load: fixed single-thread
+    // work whose round-over-round ratio measures the fresh-VM box's
+    // CPU drift (see cpuCalibSec). Emitted as "cpu_calib_sec"; the
+    // adjudicator divides movers by it before blaming code.
+    val calibSec = cpuCalibSec()
+    System.err.println(f"[bench] cpu_calib_sec=$calibSec%.4f")
 
     // Warm the session (FS listing, codegen infra, broadcast machinery)
     // outside the timed region.
@@ -285,23 +325,26 @@ object Bench {
           case _ => None
         }).sortBy(-_._1).headOption.map(_._2)
       }
-      val prevMins: Map[String, Double] = prevPath.flatMap { p =>
-        try {
-          val om = new com.fasterxml.jackson.databind.ObjectMapper()
-          val root = om.readTree(java.nio.file.Files.readString(
-            java.nio.file.Paths.get(p)))
-          val q = root.get("queries")
-          if (q == null || !q.isObject) None
-          else {
-            val it = q.fieldNames()
-            val b = Map.newBuilder[String, Double]
-            while (it.hasNext) {
-              val n = it.next(); b += n -> q.get(n).asDouble(-1.0)
+      val (prevMins: Map[String, Double], prevCalib: Double) =
+        prevPath.flatMap { p =>
+          try {
+            val om = new com.fasterxml.jackson.databind.ObjectMapper()
+            val root = om.readTree(java.nio.file.Files.readString(
+              java.nio.file.Paths.get(p)))
+            val q = root.get("queries")
+            if (q == null || !q.isObject) None
+            else {
+              val it = q.fieldNames()
+              val b = Map.newBuilder[String, Double]
+              while (it.hasNext) {
+                val n = it.next(); b += n -> q.get(n).asDouble(-1.0)
+              }
+              val c = Option(root.get("cpu_calib_sec"))
+                .map(_.asDouble(-1.0)).getOrElse(-1.0)
+              Some((b.result().filter(_._2 > 0), c))
             }
-            Some(b.result().filter(_._2 > 0))
-          }
-        } catch { case _: Exception => None }
-      }.getOrElse(Map.empty)
+          } catch { case _: Exception => None }
+        }.getOrElse((Map.empty[String, Double], -1.0))
       def band(prev: Double): Double = math.max(prev * 1.3, prev + 0.25)
       val movers = results.collect {
         case (name, rs) if rs.nonEmpty && prevMins.contains(name) &&
@@ -314,7 +357,11 @@ object Bench {
         val javaBin = System.getProperty("java.home") + "/bin/java"
         val jvmArgs = java.lang.management.ManagementFactory
           .getRuntimeMXBean.getInputArguments
-        val verdicts = movers.map { case (name, ctxMin, prevMin) =>
+        // One fresh child JVM timing only `name`; returns (min, gc-of-
+        // min-run ms, max 1-min load). Callable twice: a would-be
+        // "regressed" verdict must be CONFIRMED by a second child (see
+        // below) before the machine blames code.
+        def soloChild(name: String): (Double, Long, Double) = {
           val tmp = java.nio.file.Files.createTempFile("adj_", ".json")
           val cmd = new java.util.ArrayList[String]()
           cmd.add(javaBin)
@@ -334,8 +381,7 @@ object Bench {
           pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
           pb.redirectErrorStream(true)
           pb.redirectOutput(new java.io.File("/dev/null"))
-          // (soloMin, child's gc-of-min-run ms, child's max 1-min load)
-          val (soloMin, soloGcMs, soloLoad): (Double, Long, Double) = try {
+          try {
             val proc = pb.start()
             val done = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
             if (!done) { proc.destroyForcibly(); (-1.0, -1L, -1.0) }
@@ -353,6 +399,9 @@ object Bench {
             System.err.println(s"WARN Bench adjudicate $name: $t")
             (-1.0, -1L, -1.0)
           } finally { java.nio.file.Files.deleteIfExists(tmp); () }
+        }
+        val verdicts = movers.map { case (name, ctxMin, prevMin) =>
+          val (soloMin, soloGcMs, soloLoad) = soloChild(name)
           // Verdict, conditioned on cause (every non-band verdict
           // carries the gc/load fields that justify it):
           //   in_band_solo  — clean child is inside the prev band:
@@ -375,25 +424,64 @@ object Bench {
           //                   can still flag it, while the machine
           //                   refuses to stamp "regressed" on a
           //                   measurement that can't arbitrate itself.
-          //   regressed     — a clean, warmed, unloaded child
-          //                   reproduces the slowdown.
-          val verdict =
+          //   host_drift    — the fixed-work CPU calibration itself
+          //                   slowed ≥15% vs the prev round's box (the
+          //                   bench VM is re-provisioned every round)
+          //                   and the query's slowdown is inside that
+          //                   drift × 1.25: the box changed, not the
+          //                   code.
+          //   dispersive_across_jvms — the first child reproduced the
+          //                   slowdown but a SECOND fresh child landed
+          //                   back inside the prev band: the row's
+          //                   cross-JVM (JIT) dispersion spans the
+          //                   band, so one child's min cannot convict
+          //                   code (the r15 ann_ivf_kmeans false
+          //                   positive: clean fresh-JVM mins measured
+          //                   0.84-1.19 s on byte-identical code+data
+          //                   the next day).
+          //   dispersive_over_band — both children exceeded the band
+          //                   but disagree by >25%: possible
+          //                   regression, magnitude untrustworthy —
+          //                   kept visible, like
+          //                   unstable_solo_over_band.
+          //   regressed     — TWO independent clean, warmed, unloaded
+          //                   children reproduce the slowdown within
+          //                   25% of each other.
+          val verdict0 =
             if (soloMin < 0) "solo_failed"
             else if (soloMin <= band(prevMin)) "in_band_solo"
             else if (soloLoad > cpus.toDouble * 1.25) "contended"
             else if (soloGcMs > 0.25 * soloMin * 1000) "gc_bound"
             else if (soloMin > ctxMin * 1.2) "unstable_solo_over_band"
+            else if (prevCalib > 0 && calibSec > prevCalib * 1.15 &&
+                     soloMin <= prevMin * (calibSec / prevCalib) * 1.25)
+              "host_drift"
             else "regressed"
+          val (verdict, solo2Min) =
+            if (verdict0 != "regressed") (verdict0, -1.0)
+            else {
+              val (m2, _, _) = soloChild(name)
+              if (m2 < 0) ("regressed", m2) // 1 witness; 2nd crashed
+              else if (m2 <= band(prevMin)) ("dispersive_across_jvms", m2)
+              else if (math.abs(m2 - soloMin) >
+                         0.25 * math.min(m2, soloMin))
+                ("dispersive_over_band", m2)
+              else ("regressed", m2)
+            }
           System.err.println(s"[adjudicate] $name prev=${fmt(prevMin)} " +
             s"ctx=${fmt(ctxMin)} solo=${fmt(soloMin)} " +
+            s"solo2=${fmt(solo2Min)} " +
             s"gc=${soloGcMs}ms load=${fmt(math.max(soloLoad, 0))} " +
             s"-> $verdict")
           "\"" + name + "\":{\"prev_min\":" + fmt(prevMin) +
             ",\"ctx_min\":" + fmt(ctxMin) +
             ",\"solo_min\":" + fmt(soloMin) +
+            ",\"solo2_min\":" + fmt(solo2Min) +
             ",\"solo_gc_ms\":" + soloGcMs +
             ",\"solo_load_max\":" + fmt(soloLoad) +
             ",\"solo_warmups\":2" +
+            ",\"calib_prev\":" + fmt(prevCalib) +
+            ",\"calib_now\":" + fmt(calibSec) +
             ",\"verdict\":\"" + verdict + "\"}"
         }
         s""","adjudication":{"prev":"${prevPath.getOrElse("")}","movers":{${verdicts.mkString(",")}}}"""
@@ -401,7 +489,7 @@ object Bench {
     }
 
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${minsJson(results)},"stats":${statsJson(results)},"errors":$errs,"warmup":$nWarmups,"runs":$nRuns,"aqe_primary":$aqePrimary$aqeBlock$adjBlock,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${minsJson(results)},"stats":${statsJson(results)},"errors":$errs,"warmup":$nWarmups,"runs":$nRuns,"cpu_calib_sec":${fmt(calibSec)},"aqe_primary":$aqePrimary$aqeBlock$adjBlock,"sf":"$sfDir"}"""
     // The driver's tail capture truncated BENCH_r05's stdout — also
     // write the full JSON to a file so the artifact can't be clipped.
     try {
