@@ -976,18 +976,26 @@ object Stats {
     }),
     "graph_common_neighbors_capped" -> ((s, d) => {
       // G8b: the SCALE path for neighborhood similarity — identical to
-      // graph_common_neighbors but middles are capped at degree ≤ 32
+      // graph_common_neighbors but middles are capped at degree ≤ 96
       // BEFORE the wedge join. Rationale: exact all-pairs common
       // neighbors is inherently Σ_mid (deg choose 2) — a hub shared
       // by everyone generates most of the wedges while carrying
       // almost no similarity signal (its Jaccard contribution is
       // 1/union for every pair). The cap is part of the operator's
       // DEFINITION (the oracle applies the same cap), so the result
-      // is still exact for the capped semantics. At sf0.1 this is the
-      // difference between ~90 s (uncapped, Σdeg² wedge rows) and
-      // seconds; at 100 TB it is the difference between feasible and
-      // not (the fully-exact variant stays available as
-      // graph_common_neighbors, correctness-gated).
+      // is still exact for the capped semantics; it bounds wedges per
+      // middle at cap²/2 — LINEAR total in n for any constant cap —
+      // where uncapped is Σdeg² (~148M wedge rows at sf0.1, ~90 s).
+      // The fully-exact variant stays available as
+      // graph_common_neighbors, correctness-gated.
+      // Cap 32→96 (r16 adversarial audit of the correctness gate):
+      // this co-purchase graph is near-REGULAR (min degree 42 at
+      // sf0.01, SF-invariant mean ~117), so deg ≤ 32 kept ZERO
+      // middles and the row hash-matched a 0-row oracle at every
+      // gate SF — a vacuous pass, and the bench timed only the edge
+      // build. 96 sits inside the distribution (keeps ~20% of nodes
+      // at sf0.01, measured 350k qualifying pairs; 12.3M wedges at
+      // sf0.1 ≈ 8% of uncapped) and still excludes the hub tail.
       val pp = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -996,7 +1004,7 @@ object Stats {
         .select(col("a.pk").as("u"), col("b.pk").as("v"))
       val canon = graft.operators.Triangles.orientById(raw).localCheckpoint()
       val deg = graft.operators.Triangles.degrees(canon).localCheckpoint()
-      val lowMid = deg.where(col("deg") <= 32)
+      val lowMid = deg.where(col("deg") <= 96)
         .select(col("node").as("nbr"))
       val adj = canon.select(col("u").as("node"), col("v").as("nbr"))
         .union(canon.select(col("v").as("node"), col("u").as("nbr")))
@@ -1911,7 +1919,7 @@ object Stats {
         |         UNION ALL SELECT v, u FROM e),
         |deg AS (SELECT node, count(*) AS deg FROM adj0 GROUP BY 1),
         |adj AS (SELECT a.node, a.nbr FROM adj0 a
-        |        JOIN deg dm ON a.nbr = dm.node AND dm.deg <= 32),
+        |        JOIN deg dm ON a.nbr = dm.node AND dm.deg <= 96),
         |cm AS (
         |  SELECT x.node AS u, y.node AS v, count(*) AS common
         |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
