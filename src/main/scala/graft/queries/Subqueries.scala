@@ -78,14 +78,19 @@ object Subqueries {
       // pre-shrunk set instead of raw lineitem.
       views(s, d, "sq3")
       // The broadcast of the HAVING-qualifying orderkey set is
-      // CORRECT here despite its aggregate-derived (guessed) estimate:
-      // the qualifying fraction is threshold-bounded (~60 keys per SF
-      // unit — ≈50 MB even at a 100 TB corpus), so the build never
-      // outgrows a broadcast. r14 tried the MERGE guard anyway and
-      // MEASURED the cost: forcing the shuffle made sql_tpch_q18's
-      // sf10 cell 2.7 s → 51.5 s (19×) to protect against a bounded
-      // risk — reverted; the catalog-wide corpus-grain-broadcast gate
-      // allowlists both IN-subquery rows with this justification.
+      // CORRECT here despite its aggregate-derived estimate — but for
+      // a different reason than this comment used to claim. The r16
+      // bcast census (WORKCOUNTS.json) measured the qualifying set at
+      // 275,687 rows / 20 MB at sf1: a ~27% FRACTION of orders, so it
+      // grows ∝ data, not "~60 keys/SF". The plan is still safe
+      // because the agg's row estimate grows with its input: by sf10
+      // the build exceeds the 64m broadcast threshold and the planner
+      // flips this join to a shuffle on its own (measured — zero
+      // broadcast builds at sf10). r14 tried forcing that flip at
+      // every SF with a MERGE guard and MEASURED the cost: q18's sf10
+      // cell went 2.7 s → 51.5 s (19×) — reverted; WorkCountSpec's
+      // bcast gate now asserts the sf1 build stays inside the
+      // threshold band instead.
       s.sql(
         """SELECT o_orderkey, o_orderpriority, o_totalprice
           |FROM sq3_orders

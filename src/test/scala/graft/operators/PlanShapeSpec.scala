@@ -429,13 +429,21 @@ class PlanShapeSpec extends SparkSpec {
       // a window, but is BOUNDED at queries×rerank rows by its rank
       // filter — broadcast(shortlist) is the intended plan (Pq.scala)
       "ann_pq_adc" -> "rank-filtered shortlist, ≤ queries×rerank rows",
-      // the HAVING-qualifying orderkey sets: aggregate-derived but
-      // threshold-bounded to ~60 keys/SF (≈50 MB at a 100 TB corpus —
-      // always broadcastable). r14 MEASURED the MERGE guard instead:
-      // it made q18's sf10 cell 2.7 s → 51.5 s (19×) to protect a
-      // bounded risk — reverted, justified here.
-      "sql_tpch_q18" -> "HAVING>300 set, threshold-bounded selectivity",
-      "sql_in_subquery" -> "HAVING>150 set, threshold-bounded selectivity")
+      // the HAVING-qualifying orderkey sets: aggregate-derived, and
+      // (r16 bcast census, WORKCOUNTS.json) a constant FRACTION of
+      // orders — q18 2,488 rows / 1.2 MB at sf1 (~0.17%),
+      // in_subquery 275,687 / 20 MB (~27%) — so they grow ∝ data,
+      // NOT the "~60 keys/SF" this comment used to claim. The
+      // broadcast stays correct because the agg's row ESTIMATE grows
+      // with input too: by sf10 both builds exceed the 64m threshold
+      // and the planner itself flips them to shuffle joins (measured:
+      // q18 broadcasts only the customer dim at sf10, in_subquery
+      // broadcasts nothing). r14 MEASURED the MERGE guard instead:
+      // it made q18's sf10 cell 2.7 s → 51.5 s (19×) by forcing the
+      // flip at every SF — reverted; the WorkCountSpec bcast gate now
+      // asserts the sf1 sizes stay inside the threshold band.
+      "sql_tpch_q18" -> "HAVING>300 set, small fraction; planner flips to shuffle by sf10 (bcast census)",
+      "sql_in_subquery" -> "HAVING>150 set, 20 MB at sf1; planner flips to shuffle by sf10 (bcast census)")
     val fams = "^(text_|dedup_|ann_|corpus_|events_|sql_|join_)".r
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => fams.findFirstIn(n).isDefined)
