@@ -215,16 +215,28 @@ object Triangles {
     * edge set sums to the same per-node totals (pinned equal to the
     * single-pass path in TrianglesSpec).
     *
-    * Below the budget (every SF this repo benches except sf10) B = 1
-    * and the plan is [[perNodeAdjacency]]'s, unchanged. The census
-    * itself is one narrow aggregate over the checkpointed edge list.
-    * Default budget: 1.5 G elements ≈ 12 GB raw per slice — sized so
-    * a slice's exchange + the adjacency hash tables fit comfortably
-    * inside a 128 GiB box's page cache; on a cluster the same bound
-    * keeps per-executor shuffle fetches proportional to slice size.
+    * Below `budgetElems` (every SF this repo benches except sf10)
+    * B = 1 and the plan is [[perNodeAdjacency]]'s, unchanged. The
+    * census itself is one narrow aggregate over the checkpointed edge
+    * list. TWO knobs, both MEASURED on this box (r16, 128 GiB / 32
+    * threads, 48 g heap), not guessed:
+    *  - `budgetElems` = 5 G: the fits-in-memory ACTIVATION bound.
+    *    Slicing below it only costs: at sf3 (Σ outdeg² = 4.23 G)
+    *    B = 3 measured 104.2 s vs 84.9 s single-pass — each slice
+    *    re-pays an adjacency hash-build, so a workload that fits must
+    *    not slice.
+    *  - `sliceElems` = 1.5 G: the slice size ONCE slicing is on.
+    *    Above the bound, SMALL slices win: at sf10 (14.1 G) B = 10
+    *    measured 252.3 s vs B = 3 (≈40 GB slices) 359.6 s vs
+    *    unsliced 401.8 s — a 40 GB slice's exchange + hash tables
+    *    still thrash the page cache, exactly what slicing exists to
+    *    prevent.
+    * On a cluster, scale BOTH with aggregate executor memory (the
+    * bound keeps per-executor shuffle fetches ∝ slice size).
     */
   def perNodeAdjacencyBatched(oriented: DataFrame,
-                              budgetElems: Long = 1500000000L): DataFrame = {
+                              budgetElems: Long = 5000000000L,
+                              sliceElems: Long = 1500000000L): DataFrame = {
     val e = oriented
       .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
       .localCheckpoint(false)
@@ -232,7 +244,10 @@ object Triangles {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("od"))
     val censusRow = od.agg(sum(col("od") * col("od"))).head()
     val s = if (censusRow.isNullAt(0)) 0L else censusRow.getLong(0)
-    val b = math.min(64L, (s + budgetElems - 1) / budgetElems).toInt
+    // activation vs slice size are separate knobs (see scaladoc): a
+    // workload under budget never slices; one over it slices SMALL
+    val b = if (s <= budgetElems) 1
+            else math.min(64L, (s + sliceElems - 1) / sliceElems).toInt
     val adjOf = e.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
     if (b <= 1)
