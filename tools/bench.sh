@@ -6,7 +6,7 @@
 set -euo pipefail
 MAIN="${1:-graft.Bench}"; shift || true
 CP="/root/repo/target/scala-2.13/classes:$(echo /opt/spark/jars/*.jar | tr ' ' ':')"
-exec java -Xmx8g \
+exec java -Xmx"${GRAFT_XMX:-8g}" \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
