@@ -1097,6 +1097,13 @@ object Stats {
       // the heavy joins back to item supports. All counts exact;
       // confidence/lift are shaped divisions fixed-pointed e6;
       // deterministic top-20 by (lift, antecedent, consequent).
+      // Min-support 5→2 (r16 LIMIT-binding census, PLANS.md audit):
+      // absolute support dilutes as the part key space grows ∝ SF
+      // (max pair co-occurrence is 5 at sf0.01 but 3 at sf1), so ≥5
+      // left 1 row at sf0.01 and ZERO at sf1 — the top-20's
+      // ORDER/LIMIT semantics were never exercised by either gate.
+      // ≥2 still prunes 97% of candidate pairs (115,729 → 3,445 at
+      // sf0.01) and the LIMIT binds at both gate SFs.
       val pp = t(s, d, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -1107,7 +1114,7 @@ object Stats {
         .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
         .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
         .agg(count(lit(1)).as("supp_uv"))
-        .where(col("supp_uv") >= 5)
+        .where(col("supp_uv") >= 2)
       pair
         .join(item.select(col("pk").as("u"), col("supp").as("supp_u")), "u")
         .join(item.select(col("pk").as("v"), col("supp").as("supp_v")), "v")
@@ -1974,7 +1981,7 @@ object Stats {
         |pair AS (
         |  SELECT a.pk AS u, b.pk AS v, count(*) AS supp_uv
         |  FROM pp a JOIN pp b ON a.ok = b.ok AND a.pk < b.pk
-        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT u, v,
         |  CAST(supp_uv AS BIGINT) AS supp_uv,
         |  CAST(iu.supp AS BIGINT) AS supp_u,
