@@ -41,15 +41,6 @@ object GenSf {
     // beyond-sf1 probes only need the two tables their queries read)
     val mult = args.lift(1).map(_.toInt).getOrElse(10)
     val onlyTables: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
-    val nCust = 15000L * mult
-    val nSupp = 1000L * mult
-    val nPart = 20000L * mult
-    val nOrders = 150000L * mult
-    val nEvents = 100000L * mult
-    val nDocs = 5000L * mult
-    val nVecs = 2000L * mult
-    val nUsers = 1500L * mult
-
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,6 +49,25 @@ object GenSf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, outDir, mult, onlyTables)
+    spark.stop()
+  }
+
+  /** The generation body, callable on a LIVE session (the test suite
+    * lazily builds a missing testdata-sf1 through this — see
+    * SparkSpec.sfRepo; main wraps it with its own session + stop).
+    * Deterministic: every value derives from xxhash64(id, seed).
+    */
+  def generate(spark: SparkSession, outDir: String, mult: Int,
+               onlyTables: Option[Set[String]] = None): Unit = {
+    val nCust = 15000L * mult
+    val nSupp = 1000L * mult
+    val nPart = 20000L * mult
+    val nOrders = 150000L * mult
+    val nEvents = 100000L * mult
+    val nDocs = 5000L * mult
+    val nVecs = 2000L * mult
+    val nUsers = 1500L * mult
     import spark.implicits._
 
     def write(df: org.apache.spark.sql.DataFrame, name: String): Unit =
@@ -233,7 +243,5 @@ object GenSf {
         transform(col("g"), x => (x / sqrt(aggregate(col("g"), lit(0.0),
           (acc, y) => acc + y * y))).cast("float")).as("embedding"),
         col("label")), "embeddings")
-
-    spark.stop()
   }
 }
