@@ -65,6 +65,47 @@ object Bench {
     // scan shows up on the stopwatch as well as in PlanShapeSpec.
     "ann_ivfpq_adc")
 
+  /** The adjudication band over a previous round's min: movement is
+    * only arbitrated past BOTH 1.3× and +0.25 s (absolute floor keeps
+    * millisecond rows from firing on scheduler noise).
+    */
+  def band(prev: Double): Double = math.max(prev * 1.3, prev + 0.25)
+
+  /** First-witness verdict for a bench mover, pure and spec-gated
+    * (BenchAdjudicatorSpec) — the chain that decides whether a
+    * fresh-child rerun exonerates the context number or escalates.
+    * Every non-band verdict is CONDITIONED ON CAUSE (load, gc,
+    * dispersion, host calibration); "regressed" here only means
+    * "first witness concurs" — [[confirmRegression]] demands a
+    * second.
+    */
+  def soloVerdict(soloMin: Double, prevMin: Double, ctxMin: Double,
+                  soloGcMs: Long, soloLoad: Double, cpus: Int,
+                  prevCalib: Double, nowCalib: Double): String =
+    if (soloMin < 0) "solo_failed"
+    else if (soloMin <= band(prevMin)) "in_band_solo"
+    else if (soloLoad > cpus.toDouble * 1.25) "contended"
+    else if (soloGcMs > 0.25 * soloMin * 1000) "gc_bound"
+    else if (soloMin > ctxMin * 1.2) "unstable_solo_over_band"
+    else if (prevCalib > 0 && nowCalib > prevCalib * 1.15 &&
+             soloMin <= prevMin * (nowCalib / prevCalib) * 1.25)
+      "host_drift"
+    else "regressed"
+
+  /** Second-witness confirmation: a first-witness "regressed" is only
+    * upheld when an INDEPENDENT fresh child reproduces it within 25%
+    * — the r15 false positive (ann_ivf_kmeans: clean cross-JVM mins
+    * spanned 0.84–1.19 s on byte-identical code) came from trusting
+    * one child on a row whose JIT dispersion spans the band.
+    */
+  def confirmRegression(soloMin: Double, prevMin: Double,
+                        solo2Min: Double): String =
+    if (solo2Min < 0) "regressed" // second witness crashed: keep 1st
+    else if (solo2Min <= band(prevMin)) "dispersive_across_jvms"
+    else if (math.abs(solo2Min - soloMin) >
+               0.25 * math.min(solo2Min, soloMin)) "dispersive_over_band"
+    else "regressed"
+
   /** Fixed-work single-thread CPU calibration, seconds (min of 3 after
     * a JIT warmup pass). The bench box is a FRESH VM every round
     * (uptime minutes at round start; testdata re-materialized at
@@ -345,7 +386,6 @@ object Bench {
             }
           } catch { case _: Exception => None }
         }.getOrElse((Map.empty[String, Double], -1.0))
-      def band(prev: Double): Double = math.max(prev * 1.3, prev + 0.25)
       val movers = results.collect {
         case (name, rs) if rs.nonEmpty && prevMins.contains(name) &&
           rs.map(_._1).min > band(prevMins(name)) =>
@@ -447,26 +487,16 @@ object Bench {
           //   regressed     — TWO independent clean, warmed, unloaded
           //                   children reproduce the slowdown within
           //                   25% of each other.
-          val verdict0 =
-            if (soloMin < 0) "solo_failed"
-            else if (soloMin <= band(prevMin)) "in_band_solo"
-            else if (soloLoad > cpus.toDouble * 1.25) "contended"
-            else if (soloGcMs > 0.25 * soloMin * 1000) "gc_bound"
-            else if (soloMin > ctxMin * 1.2) "unstable_solo_over_band"
-            else if (prevCalib > 0 && calibSec > prevCalib * 1.15 &&
-                     soloMin <= prevMin * (calibSec / prevCalib) * 1.25)
-              "host_drift"
-            else "regressed"
+          // pure, spec-gated chain (BenchAdjudicatorSpec): first
+          // witness -> cause-conditioned verdict; "regressed" only
+          // survives a concurring second fresh child
+          val verdict0 = soloVerdict(soloMin, prevMin, ctxMin,
+            soloGcMs, soloLoad, cpus.toInt, prevCalib, calibSec)
           val (verdict, solo2Min) =
             if (verdict0 != "regressed") (verdict0, -1.0)
             else {
               val (m2, _, _) = soloChild(name)
-              if (m2 < 0) ("regressed", m2) // 1 witness; 2nd crashed
-              else if (m2 <= band(prevMin)) ("dispersive_across_jvms", m2)
-              else if (math.abs(m2 - soloMin) >
-                         0.25 * math.min(m2, soloMin))
-                ("dispersive_over_band", m2)
-              else ("regressed", m2)
+              (confirmRegression(soloMin, prevMin, m2), m2)
             }
           System.err.println(s"[adjudicate] $name prev=${fmt(prevMin)} " +
             s"ctx=${fmt(ctxMin)} solo=${fmt(soloMin)} " +
