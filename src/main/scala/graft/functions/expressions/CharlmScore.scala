@@ -1,0 +1,130 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document character-trigram LM scorer against a TRAINED model
+  * carried inside the expression: for each code-point trigram of the
+  * row, look up its fixed-point log-prob (`slog` = round(−1e6·ln
+  * P(c₃|c₁c₂)), a LONG trained by the charlm query's corpus
+  * aggregate) and return `(n_tri, surprisal_fp)` — the occurrence
+  * count and the integer Σ slog. Trigrams absent from the model are
+  * skipped from BOTH sums, mirroring the inner join the catalog
+  * scored with through r16 (when the model is trained on the same
+  * corpus every trigram matches, so the values are identical — this
+  * keeps the contract explicit).
+  *
+  * Scale contract: the model is TRIGRAM-TYPE grain — bounded by the
+  * alphabet cubed, not by the corpus — the same bound that justified
+  * broadcasting it into the r14-era scoring join. Shipping it as an
+  * expression constant replaces that join plus a second corpus
+  * explode plus a doc-grain reduce with a scan-speed projection: per
+  * row one pass over the text and one hash probe per trigram. The
+  * builder enforces the bound loudly (`MaxModelEntries`) so a
+  * degenerate corpus (arbitrary-unicode soup whose trigram vocabulary
+  * grows with the data) fails the build instead of the driver.
+  *
+  * Code points, not UTF-16 units: Spark `substring`/DuckDB `substr`
+  * both slice characters, so trigram identity here must too.
+  */
+case class CharlmScore(child: Expression, tris: Array[String],
+                       slogs: Array[Long]) extends UnaryExpression {
+
+  override def prettyName: String = "graft_charlm_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure("graft_charlm_score expects string")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tri", LongType, nullable = false),
+    StructField("surprisal_fp", LongType, nullable = false)))
+
+  @transient private lazy val model: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](tris.length * 2)
+    var i = 0
+    while (i < tris.length) { m.put(tris(i), slogs(i)); i += 1 }
+    m
+  }
+
+  def score(s: String): InternalRow = {
+    // code-point start offsets (UTF-16 indices): trigram i is the
+    // substring [off(i), off(i+3)) — identical slicing to Spark's
+    // substring / DuckDB's substr on any text, not just BMP
+    val nUtf16 = s.length
+    var nCp = 0
+    var j = 0
+    while (j < nUtf16) { j += Character.charCount(s.codePointAt(j)); nCp += 1 }
+    var nTri = 0L
+    var sum = 0L
+    if (nCp >= 3) {
+      val off = new Array[Int](nCp + 1)
+      var k = 0
+      j = 0
+      while (j < nUtf16) {
+        off(k) = j
+        j += Character.charCount(s.codePointAt(j))
+        k += 1
+      }
+      off(nCp) = nUtf16
+      var i = 0
+      while (i <= nCp - 3) {
+        val slog = model.get(s.substring(off(i), off(i + 3)))
+        if (slog != null) { nTri += 1L; sum += slog.longValue() }
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](nTri, sum))
+  }
+
+  override protected def nullSafeEval(text: Any): Any =
+    score(text.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charlmScore", this,
+      classOf[CharlmScore].getName)
+    nullSafeCodeGen(ctx, ev, t => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+        s"$ref.score($t.toString());"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharlmScore =
+    copy(child = newChild)
+}
+
+object CharlmScore {
+
+  /** Hard bound on model entries: char-trigram vocabularies of real
+    * text are tens of thousands of types; hitting this means the
+    * corpus is adversarial byte soup and the vocabulary has started
+    * scaling WITH the data — fail the build, not the driver.
+    */
+  val MaxModelEntries: Int = 8 * 1000 * 1000
+
+  val info = new ExpressionInfo(classOf[CharlmScore].getName,
+    "graft_charlm_score")
+
+  /** Session-registers `graft_charlm_score(text)` with the given
+    * model captured in the builder (the registry hands builders only
+    * the child expressions, so constants ride the closure).
+    */
+  def register(spark: SparkSession, tris: Array[String],
+               slogs: Array[Long]): Unit = {
+    require(tris.length == slogs.length, "model arrays must align")
+    require(tris.length <= MaxModelEntries,
+      s"charlm model has ${tris.length} trigram types — the vocabulary " +
+        s"is scaling with the corpus (bound $MaxModelEntries); refusing " +
+        "to ship it as an expression constant")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_charlm_score"), info,
+      (children: Seq[Expression]) => CharlmScore(children.head, tris, slogs))
+  }
+}

@@ -388,47 +388,34 @@ object TextDedup {
       // n_chars; keep thresholds 0.20 / 0.15 are the paper's.
       // "Heaviest" = max over grams of count × gram length — stays
       // deterministic under count ties, unlike argmax-by-count.
-      // Shape: positional grams sliced row-locally, ONE explode with
-      // an n-tag, one (doc, n, gram) shuffle, one per-doc reduce —
-      // then a left join back to the doc_id spine so gram-less docs
-      // (< 2 tokens, which the explode drops entirely) still get a
-      // keep verdict (trivially true: zero repeated mass). A quality
-      // gate that silently skips documents is not a gate.
-      val w = tokens(col("text"))
-      def grams(n: Int) =
-        when(size(w) >= n,
-          transform(sequence(lit(1), size(w) - (n - 1)),
-            i => concat_ws(" ", slice(w, i, lit(n)))))
-          .otherwise(array().cast("array<string>"))
-      val tagged = concat(
-        transform(grams(2), g => struct(lit(2).as("n"), g.as("g"))),
-        transform(grams(5), g => struct(lit(5).as("n"), g.as("g"))))
-      val stats = t(s, d, "documents")
-        .select(col("doc_id"), explode(tagged).as("t"))
-        .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"))
-        .agg(
-          max(when(col("n") === 2, col("cnt") * length(col("g")))
-            .otherwise(0L)).as("t2"),
-          sum(when(col("n") === 5 && col("cnt") > 1,
-              col("cnt") * length(col("g"))).otherwise(0L)).as("d5"))
-      // stats is DOC-GRAIN (one row per doc, derived from an explode +
-      // two aggregates — Catalyst's row estimate for it is a guess,
-      // and the initial plan chose to BROADCAST it: the r14
-      // maxResultSize class). Both assembly sides scale with the
-      // corpus, so pin the shuffle join; doc_id keys both sides.
-      t(s, d, "documents").select(col("doc_id"), col("n_chars"))
-        .join(stats.hint("merge"), Seq("doc_id"), "left")
+      // Both stats are per-DOCUMENT, so the native one-pass
+      // graft_gopher_rep computes them row-locally: ONE scan, zero
+      // data exchanges before the output sort. Through r16 this row
+      // exploded every gram into a (doc, n, gram) shuffle and joined
+      // the per-doc reduce back onto a doc spine — ~|corpus words|
+      // rows shuffled twice for a statistic that never needed another
+      // row (measured 4.9 s of the sf0.1 bench; the rewrite is
+      // scan-speed). Docs with < 2 tokens get (0, 0) from the
+      // expression itself — a quality gate that silently skips
+      // documents is not a gate.
+      graft.functions.expressions.GopherRepetition.register(s)
+      // two-step select: the struct is evaluated ONCE per row
+      // (CollapseProject refuses to inline a non-cheap expression
+      // referenced more than once); coalesce keeps the old left-join
+      // zeros for null text (the expression is null-in-null-out; the
+      // join-era shape scored such docs (0, 0, keep=true))
+      val t2 = coalesce(col("r.t2"), lit(0L))
+      val d5 = coalesce(col("r.d5"), lit(0L))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr("graft_gopher_rep(text)").as("r"))
         .select(col("doc_id"),
-          coalesce(col("t2"), lit(0L)).cast("long").as("top2_chars"),
-          coalesce(col("d5"), lit(0L)).cast("long").as("dup5_chars"),
-          (coalesce(col("t2"), lit(0L)).cast("double") / col("n_chars"))
-            .as("top2_frac"),
-          (coalesce(col("d5"), lit(0L)).cast("double") / col("n_chars"))
-            .as("dup5_frac"),
-          (coalesce(col("t2"), lit(0L)).cast("double") / col("n_chars") <= 0.20 &&
-            coalesce(col("d5"), lit(0L)).cast("double") / col("n_chars") <= 0.15)
+          t2.cast("long").as("top2_chars"),
+          d5.cast("long").as("dup5_chars"),
+          (t2.cast("double") / col("n_chars")).as("top2_frac"),
+          (d5.cast("double") / col("n_chars")).as("dup5_frac"),
+          (t2.cast("double") / col("n_chars") <= 0.20 &&
+            d5.cast("double") / col("n_chars") <= 0.15)
             .as("keep"))
         .orderBy("doc_id")
     }),
@@ -733,12 +720,12 @@ object TextDedup {
           |THEN transform(sequence(1, length(text) - 2),
           |               i -> substring(text, i, 3))
           |ELSE array() END""".stripMargin)
-      val dtris = docs.select(col("doc_id"), explode(tris).as("tri"))
-      // Lazy persist (NOT localCheckpoint): c3 is vocabulary-sized and
+      // TRAIN: one corpus explode into the trigram-type counts. Lazy
+      // persist (NOT localCheckpoint): c3 is vocabulary-sized and
       // feeds both the model numerator and the context totals — the
       // cache manager swaps both references for one InMemoryRelation
-      // inside the single action, so the corpus explodes twice (score
-      // + train), not three times, with no eager materialization job.
+      // inside the single train action.
+      val dtris = docs.select(explode(tris).as("tri"))
       val c3 = dtris.groupBy("tri").agg(count(lit(1)).as("c3")).persist()
       val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("p2"))
         .agg(sum(col("c3")).as("c2"))
@@ -748,19 +735,26 @@ object TextDedup {
           round(-lit(1000000.0) *
             log(col("c3").cast("double") / col("c2")), 0)
             .cast("long").as("slog"))
-      // the lm side must be the broadcast BUILD: left to estimates,
-      // Catalyst's initial plan broadcast DTRIS — the exploded corpus,
-      // ~|corpus chars| rows whose Generate-derived size estimate is a
-      // guess (r14 audit; the spans maxResultSize class). lm is
-      // trigram-TYPE grain (bounded vocabulary), the side the Scaladoc
-      // always promised to broadcast; PlanShapeSpec now pins the
-      // build-side grain, not just "a broadcast exists".
-      val perDoc = dtris.join(broadcast(lm), "tri").groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tri"), sum(col("slog")).as("surprisal_fp"))
-      docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      // The model is trigram-TYPE grain (bounded by the alphabet
+      // cubed, never by the corpus) — the same bound that justified
+      // broadcasting it into the r14-era scoring join. Collecting it
+      // (gated: CharlmScore.MaxModelEntries fails loudly if the
+      // vocabulary ever scales with data) and scoring with the native
+      // one-pass expression replaces the SECOND corpus explode + the
+      // broadcast join over ~|corpus chars| rows + the doc-grain
+      // reduce + the spine join the catalog carried through r16
+      // (measured 4.6 s of the sf0.1 bench, ~half of it score-side):
+      // score is now a scan-speed projection, one hash probe per
+      // trigram. The collect runs inside the query builder, so Bench
+      // times train + score together — nothing escapes the stopwatch.
+      val model = lm.collect()
+      c3.unpersist(blocking = false)
+      graft.functions.expressions.CharlmScore.register(s,
+        model.map(_.getString(0)), model.map(_.getLong(1)))
+      docs.select(col("doc_id"), expr("graft_charlm_score(text)").as("r"))
         .select(col("doc_id"),
-          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
-          coalesce(col("surprisal_fp"), lit(0L)).as("surprisal_fp"))
+          coalesce(col("r.n_tri"), lit(0L)).as("n_tri"),
+          coalesce(col("r.surprisal_fp"), lit(0L)).as("surprisal_fp"))
         .orderBy("doc_id")
     }),
     "text_langid_ngram" -> ((s, d) => {
@@ -778,12 +772,25 @@ object TextDedup {
           |THEN transform(sequence(1, length(text) - 2),
           |               i -> substring(text, i, 3))
           |ELSE array() END""".stripMargin)
-      // The exploded frame feeds train AND score, but it is corpus-
-      // character-sized — far larger than its input — so re-exploding
-      // per consumer beats materializing it (charlm lesson); only the
-      // vocabulary-sized profile frame below is broadcast.
-      val dtris = docs
-        .select(col("doc_id"), col("lang"), explode(tris).as("tri"))
+      // Train: ONE corpus explode into the (lang, tri) count — the
+      // only content-key shuffle left in this row. Through r16 the
+      // SCORE side also shuffled the corpus (a (doc_id, tri) distinct
+      // + profile join + per-doc reduce + spine join — measured 2.9 s
+      // of the sf0.1 bench); "distinct doc trigrams ∩ profile" is
+      // row-local set arithmetic, so score is now the native one-pass
+      // graft_langid_score. The profile table is bounded by
+      // DEFINITION — top-50 × 4 languages, ≤200 rows at ANY scale —
+      // so collecting it (gated: LangidScore.MaxProfileEntries) and
+      // shipping it as an expression constant is strictly safer than
+      // the broadcast join it replaces. The collect runs inside the
+      // query builder, so Bench times train + score together. (An
+      // intermediate array_intersect formulation measured SLOWER than
+      // the join it replaced — 5.8 vs 2.9 s at sf0.1 — because
+      // substring(text, i, 3) re-scans from the string head, making
+      // the per-row trigram ARRAY O(n²); the native scorer walks
+      // three code-point cursors instead, and probes each ≤50-entry
+      // profile against the doc's trigram set, never the reverse.)
+      val dtris = docs.select(col("lang"), explode(tris).as("tri"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("c").desc, col("tri"))
       val profiles = dtris.groupBy("lang", "tri")
@@ -791,20 +798,18 @@ object TextDedup {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 50)
         .select(col("lang").as("plang"), col("tri"))
-      val scores = dtris.select(col("doc_id"), col("tri")).distinct()
-        .join(broadcast(profiles), "tri")
-        .groupBy("doc_id")
-        .agg(
-          sum(when(col("plang") === "en", 1L).otherwise(0L)).as("s_en"),
-          sum(when(col("plang") === "de", 1L).otherwise(0L)).as("s_de"),
-          sum(when(col("plang") === "es", 1L).otherwise(0L)).as("s_es"),
-          sum(when(col("plang") === "fr", 1L).otherwise(0L)).as("s_fr"))
-      docs.select("doc_id", "lang").join(scores, Seq("doc_id"), "left")
+      val langs = Array("en", "de", "es", "fr")
+      val prof = profiles.collect()
+      graft.functions.expressions.LangidScore.register(s,
+        langs.map(l => prof.filter(_.getString(0) == l)
+          .map(_.getString(1))))
+      docs.select(col("doc_id"), col("lang"),
+          expr("graft_langid_score(text)").as("r"))
         .select(col("doc_id"), col("lang"),
-          coalesce(col("s_en"), lit(0L)).as("s_en"),
-          coalesce(col("s_de"), lit(0L)).as("s_de"),
-          coalesce(col("s_es"), lit(0L)).as("s_es"),
-          coalesce(col("s_fr"), lit(0L)).as("s_fr"))
+          coalesce(col("r.s0"), lit(0L)).as("s_en"),
+          coalesce(col("r.s1"), lit(0L)).as("s_de"),
+          coalesce(col("r.s2"), lit(0L)).as("s_es"),
+          coalesce(col("r.s3"), lit(0L)).as("s_fr"))
         .withColumn("guess",
           when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
                col("s_en") >= col("s_fr"), "en")

@@ -158,25 +158,25 @@ class PlanShapeSpec extends SparkSpec {
       s"the single exchange must be the output sort:\n$p")
   }
 
-  test("text_gopher_repetition: one explode feeds both gram sizes; the " +
-       "only second scan is the column-pruned doc_id spine join") {
+  test("text_gopher_repetition: one scan, one native projection, no " +
+       "exchange except the output sort") {
     val p = plan("text_gopher_repetition")
-    // count detail-section entries ("(n) Scan parquet") — the tree
-    // section prints every node a second time. Two scans: the gram
-    // explode and the (doc_id, n_chars) spine the verdicts left-join
-    // back onto — the spine must NOT read the text column.
+    // per-doc stats computed row-locally by graft_gopher_rep: the
+    // r16 rewrite replaced the explode → (doc, n, gram) shuffle →
+    // per-doc reduce → spine join (two corpus-words-sized exchanges)
+    // with a scan-speed projection — the pii_redact class.
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans == 2, s"expected explode scan + pruned spine scan:\n$p")
-    val spinePruned = "ReadSchema: struct<doc_id:bigint,n_chars:"
-    assert(p.contains(spinePruned),
-      s"spine scan must prune to (doc_id, n_chars):\n$p")
-    // the assembly join is doc-grain on BOTH sides (spine ∝ docs,
-    // stats = one aggregate row per doc with a guessed estimate) —
-    // through r13 this spec demanded a hash join and Catalyst
-    // delivered it by BROADCASTING the stats side, the maxResultSize
-    // class (r14 audit). The shuffle join is the scale-safe shape.
-    assert(!p.contains("BroadcastHashJoin"),
-      s"the doc-grain stats side must never broadcast:\n$p")
+    assert(scans == 1, s"expected exactly one corpus scan:\n$p")
+    assert(!p.contains("Join"), s"per-doc stats must not join:\n$p")
+    assert(!p.contains("Generate"),
+      s"a Generate means the gram explode re-entered the plan:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1 && p.contains("rangepartitioning"),
+      s"the single exchange must be the output sort:\n$p")
+    // the struct is evaluated once per row — a second graft_gopher_rep
+    // in the plan means CollapseProject duplicated the expression
+    assert("graft_gopher_rep".r.findAllIn(p).size <= 2, // tree + detail
+      s"graft_gopher_rep must be evaluated once per row:\n$p")
   }
 
   test("dedup_semdedup: pairs build on a cell equi-join, never a " +
@@ -190,21 +190,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"must not be cartesian:\n$p")
   }
 
-  test("text_charlm_surprisal: the trigram model joins the corpus as a " +
-       "broadcast build side (the corpus never shuffles to score)") {
+  test("text_charlm_surprisal: scoring is one scan + the native model " +
+       "projection — the corpus never shuffles or joins to score") {
+    // r16 rewrite: the trained model (trigram-type grain) is collected
+    // — gated by CharlmScore.MaxModelEntries — and scoring became a
+    // scan-speed projection; the returned frame's plan is scan →
+    // graft_charlm_score → sort. (Through r13 the scoring join's
+    // broadcast pin passed VACUOUSLY while Catalyst broadcast the
+    // exploded corpus — r14 audit; the join no longer exists to get
+    // wrong.) The train subplan runs eagerly inside the builder, so
+    // Bench still times it — countPrunedScans cannot prune it either.
     val p = plan("text_charlm_surprisal")
-    assert(p.contains("BroadcastHashJoin"),
-      s"lm table must broadcast into the scoring join:\n$p")
-    // ...and the build side must be the LM (vocabulary grain), never
-    // the exploded corpus: through r13 this pin passed VACUOUSLY —
-    // Catalyst's estimate-driven initial plan broadcast DTRIS
-    // (doc_id, tri — corpus grain), a collect-to-driver of the whole
-    // exploded corpus at scale (r14 audit). Grain check: no broadcast
-    // build in this plan may output doc_id.
-    val df = SparkEntry.queries("text_charlm_surprisal")(spark, sf("sf0.001"))
-    val badBuilds = graft.PlanAudit.corpusGrainBroadcasts(df)
-    assert(badBuilds.isEmpty,
-      s"corpus-grain broadcast build(s): ${badBuilds.mkString("; ")}")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly one scoring scan:\n$p")
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+    assert(!p.contains("Generate"),
+      s"a Generate means the score-side explode re-entered the plan:\n$p")
+    assert(p.contains("graft_charlm_score"),
+      s"scoring must be the native model projection:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1 && p.contains("rangepartitioning"),
+      s"the single exchange must be the output sort:\n$p")
   }
 
   test("bucketed_join_colocated: the sort-merge join reads aligned " +
@@ -246,40 +252,32 @@ class PlanShapeSpec extends SparkSpec {
       s"a Generate means the corpus explode re-entered the plan:\n$p")
   }
 
-  // charlm/langid are the recompute-beats-disk exception (PLANS.md
-  // round-7 rule): the exploded (doc, tri) frame is 10-20× its input,
-  // so each consumer re-explodes — two corpus-explode Generates plus
-  // the pruned doc spine, and NO checkpoint (the r6 checkpoint was a
-  // stable 10× bench regression). charlm's vocabulary-sized c3 count
-  // is lazily persisted so the model's two consumers share one
-  // InMemoryRelation instead of forcing a third corpus explode.
+  // charlm/langid train on ONE corpus explode (never checkpointed —
+  // the exploded frame is 10-20× its input; the r6 checkpoint was a
+  // stable 10× bench regression) and since r16 SCORE row-locally:
+  // charlm ships its vocabulary-grain model inside a native
+  // expression, langid intersects against the 1-row profile
+  // broadcast. The score side of both is pinned join-free above.
 
-  test("text_charlm_surprisal: two corpus explodes + pruned spine, no " +
-       "checkpoint; the shared c3 counts read one InMemoryRelation") {
-    val p = plan("text_charlm_surprisal")
-    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans == 3,
-      s"expected train explode + score explode + doc spine, got $scans:\n$p")
-    val gens = "\\(\\d+\\) Generate".r.findAllIn(p).size
-    assert(gens == 2,
-      s"expected exactly two corpus explodes (train + score), got $gens:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"c3 counts must be cached, not re-exploded for the context totals:\n$p")
-    assert(!p.contains("Scan ExistingRDD"),
-      s"the exploded frame must NOT be checkpointed (recompute beats disk):\n$p")
-  }
-
-  test("text_langid_ngram: two corpus explodes (train + score) + label " +
-       "spine, no checkpoint of the exploded frame") {
+  test("text_langid_ngram: scoring is one scan + the native profile " +
+       "projection — the corpus never shuffles or joins to score") {
+    // r16 rewrite: the score side's (doc_id, tri) distinct + profile
+    // join + per-doc reduce + spine join became graft_langid_score
+    // with the ≤200-entry profile table (bounded by DEFINITION:
+    // top-50 × 4 langs) shipped as an expression constant; the train
+    // explode runs eagerly inside the builder, so the returned
+    // frame's plan is scan → score → sort.
     val p = plan("text_langid_ngram")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
-    assert(scans == 3,
-      s"expected train explode + score explode + label spine, got $scans:\n$p")
-    val gens = "\\(\\d+\\) Generate".r.findAllIn(p).size
-    assert(gens == 2,
-      s"expected exactly two corpus explodes, got $gens:\n$p")
-    assert(!p.contains("Scan ExistingRDD"),
-      s"the exploded frame must NOT be checkpointed (recompute beats disk):\n$p")
+    assert(scans == 1, s"expected exactly one scoring scan:\n$p")
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+    assert(!p.contains("Generate"),
+      s"a Generate means the score-side explode re-entered the plan:\n$p")
+    assert(p.contains("graft_langid_score"),
+      s"scoring must be the native profile projection:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1 && p.contains("rangepartitioning"),
+      s"the single exchange must be the output sort:\n$p")
   }
 
   test("text_pmi_bigrams: bigram/unigram aggregates are materialized — " +
