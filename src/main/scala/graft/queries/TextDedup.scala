@@ -715,18 +715,21 @@ object TextDedup {
       // order-independent integer arithmetic — hash-comparable,
       // unlike a double Σlog.
       val docs = t(s, d, "documents")
-      val tris = expr(
-        """CASE WHEN length(text) >= 3
-          |THEN transform(sequence(1, length(text) - 2),
-          |               i -> substring(text, i, 3))
-          |ELSE array() END""".stripMargin)
-      // TRAIN: one corpus explode into the trigram-type counts. Lazy
-      // persist (NOT localCheckpoint): c3 is vocabulary-sized and
-      // feeds both the model numerator and the context totals — the
-      // cache manager swaps both references for one InMemoryRelation
-      // inside the single train action.
-      val dtris = docs.select(explode(tris).as("tri"))
-      val c3 = dtris.groupBy("tri").agg(count(lit(1)).as("c3")).persist()
+      // TRAIN: one corpus explode into the trigram-type counts. The
+      // explode emits the native per-row TYPE counts (O(chars) —
+      // substring(text, i, 3) in a transform re-scans from the string
+      // head, making the occurrence array O(n²) per row; and one row
+      // per type per doc is the map-side combine done BEFORE the
+      // Generate), so sum(c) here equals the old occurrence count(*)
+      // exactly. Lazy persist (NOT localCheckpoint): c3 is
+      // vocabulary-sized and feeds both the model numerator and the
+      // context totals — the cache manager swaps both references for
+      // one InMemoryRelation inside the single train action.
+      graft.functions.expressions.CharTrigramCounts.register(s)
+      val dtris = docs.select(
+        explode(expr("graft_char_trigram_counts(text)")).as("t"))
+        .select(col("t.tri").as("tri"), col("t.c").as("c"))
+      val c3 = dtris.groupBy("tri").agg(sum(col("c")).as("c3")).persist()
       val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("p2"))
         .agg(sum(col("c3")).as("c2"))
       val lm = c3.withColumn("p2", substring(col("tri"), 1, 2))
@@ -763,15 +766,10 @@ object TextDedup {
       // language profiles = top-50 char trigrams by corpus count (ties
       // by trigram), score each doc by |distinct doc trigrams ∩
       // profile|, guess = argmax with language-order tiebreak. The
-      // profile table is 200 rows — broadcast — so classification is
-      // one map-side-buildable join + per-doc conditional sums; the
-      // corpus never shuffles on a content key.
+      // profile table is 200 rows by definition, so classification is
+      // a scan-speed projection; the corpus never shuffles on a
+      // content key except the one train aggregate.
       val docs = t(s, d, "documents")
-      val tris = expr(
-        """CASE WHEN length(text) >= 3
-          |THEN transform(sequence(1, length(text) - 2),
-          |               i -> substring(text, i, 3))
-          |ELSE array() END""".stripMargin)
       // Train: ONE corpus explode into the (lang, tri) count — the
       // only content-key shuffle left in this row. Through r16 the
       // SCORE side also shuffled the corpus (a (doc_id, tri) distinct
@@ -790,11 +788,17 @@ object TextDedup {
       // the per-row trigram ARRAY O(n²); the native scorer walks
       // three code-point cursors instead, and probes each ≤50-entry
       // profile against the doc's trigram set, never the reverse.)
-      val dtris = docs.select(col("lang"), explode(tris).as("tri"))
+      // the explode emits native per-row trigram TYPE counts (O(chars)
+      // and pre-combined — see charlm's train note); sum(c) equals the
+      // old occurrence count(*) exactly
+      graft.functions.expressions.CharTrigramCounts.register(s)
+      val dtris = docs.select(col("lang"),
+          explode(expr("graft_char_trigram_counts(text)")).as("t"))
+        .select(col("lang"), col("t.tri").as("tri"), col("t.c").as("tc"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy(col("c").desc, col("tri"))
       val profiles = dtris.groupBy("lang", "tri")
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("tc")).as("c"))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 50)
         .select(col("lang").as("plang"), col("tri"))
