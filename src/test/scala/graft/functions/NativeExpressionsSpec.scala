@@ -180,4 +180,127 @@ class NativeExpressionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("exceeds"))
   }
+
+  // ---- the r16 text-scoring expressions vs the exact plans they
+  // replaced, on real docs PLUS edge strings the (ASCII-only) oracle
+  // corpus never exercises: non-BMP code points (surrogate pairs —
+  // catches UTF-16-unit slicing where code-point slicing is the
+  // contract), multi-space splits (empty tokens), trailing
+  // separators (Spark split keeps trailing empties; Java's bare
+  // String.split drops them), and sub-gram-length strings.
+
+  private lazy val edgeDocs = {
+    val edge = Seq(
+      "", " ", "one", "a  b", "a b ", " a", "ab", "a b",
+      "x y x y x y x y x y",
+      "😀😀😀 a 😀😀" +
+        "😀 a 😀😀😀 b",
+      "héllo wörld héllo wörld héllo wörld",
+      "t t t t t t t t t t t t",
+      "the cat sat on the mat the cat sat on the mat")
+      .zipWithIndex.map { case (t, i) => (1000000L + i, t) }
+      .toDF("doc_id", "text")
+    docs.select(col("doc_id"), col("text")).unionByName(edge).cache()
+  }
+
+  private lazy val triRef = expr(
+    """CASE WHEN length(text) >= 3
+      |THEN transform(sequence(1, length(text) - 2),
+      |               i -> substring(text, i, 3))
+      |ELSE array() END""".stripMargin)
+
+  test("graft_gopher_rep == the explode/groupBy formulation it " +
+       "replaced (incl. non-BMP, empty tokens, trailing separators)") {
+    GopherRepetition.register(spark)
+    val w = TextFns.tokens(col("text"))
+    def grams(n: Int) =
+      when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", slice(w, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val tagged = concat(
+      transform(grams(2), g => struct(lit(2).as("n"), g.as("g"))),
+      transform(grams(5), g => struct(lit(5).as("n"), g.as("g"))))
+    val ref = edgeDocs.select(col("doc_id"), explode(tagged).as("t"))
+      .groupBy(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === 2, col("cnt") * length(col("g")))
+          .otherwise(0L)).as("t2"),
+        sum(when(col("n") === 5 && col("cnt") > 1,
+            col("cnt") * length(col("g"))).otherwise(0L)).as("d5"))
+    val bad = edgeDocs
+      .select(col("doc_id"), expr("graft_gopher_rep(text)").as("r"))
+      .join(ref, Seq("doc_id"), "left")
+      .where(col("r.t2") =!= coalesce(col("t2"), lit(0L)) ||
+             col("r.d5") =!= coalesce(col("d5"), lit(0L)))
+    assert(bad.count() === 0)
+  }
+
+  test("graft_char_trigram_counts: exploded sums == transform/substring " +
+       "occurrence counts, per (doc, trigram)") {
+    CharTrigramCounts.register(spark)
+    val ref = edgeDocs.select(col("doc_id"), explode(triRef).as("tri"))
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+    val got = edgeDocs.select(col("doc_id"),
+        explode(expr("graft_char_trigram_counts(text)")).as("t"))
+      .select(col("doc_id"), col("t.tri").as("tri"), col("t.c").as("c2"))
+    val bad = ref.join(got, Seq("doc_id", "tri"), "full")
+      .where(col("c").isNull || col("c2").isNull || col("c") =!= col("c2"))
+    assert(bad.count() === 0)
+  }
+
+  test("graft_charlm_score == the explode + model-join + per-doc " +
+       "reduce it replaced, on the same trained model") {
+    val dtris = edgeDocs.select(col("doc_id"), explode(triRef).as("tri"))
+    val c3 = dtris.groupBy("tri").agg(count(lit(1)).as("c3"))
+    val c2 = c3.groupBy(substring(col("tri"), 1, 2).as("p2"))
+      .agg(sum(col("c3")).as("c2"))
+    val lm = c3.withColumn("p2", substring(col("tri"), 1, 2)).join(c2, "p2")
+      .select(col("tri"),
+        round(-lit(1000000.0) *
+          log(col("c3").cast("double") / col("c2")), 0)
+          .cast("long").as("slog"))
+    val model = lm.collect()
+    CharlmScore.register(spark,
+      model.map(_.getString(0)), model.map(_.getLong(1)))
+    val ref = dtris.join(lm, "tri").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum(col("slog")).as("fp"))
+    val bad = edgeDocs
+      .select(col("doc_id"), expr("graft_charlm_score(text)").as("r"))
+      .join(ref, Seq("doc_id"), "left")
+      .where(col("r.n_tri") =!= coalesce(col("n_tri"), lit(0L)) ||
+             col("r.surprisal_fp") =!= coalesce(col("fp"), lit(0L)))
+    assert(bad.count() === 0)
+  }
+
+  test("graft_langid_score == the distinct + profile-join + conditional " +
+       "sums it replaced, on the same trained profiles") {
+    val docsL = edgeDocs.withColumn("lang",
+      when(col("doc_id") % 2 === 0, "en").otherwise("de"))
+    val dtris = docsL.select(col("doc_id"), col("lang"),
+      explode(triRef).as("tri"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("c").desc, col("tri"))
+    val profiles = dtris.groupBy("lang", "tri")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 50)
+      .select(col("lang").as("plang"), col("tri"))
+    val prof = profiles.collect()
+    LangidScore.register(spark, Array("en", "de").map(l =>
+      prof.filter(_.getString(0) == l).map(_.getString(1))))
+    val ref = dtris.select(col("doc_id"), col("tri")).distinct()
+      .join(profiles, "tri")
+      .groupBy("doc_id")
+      .agg(sum(when(col("plang") === "en", 1L).otherwise(0L)).as("s_en"),
+           sum(when(col("plang") === "de", 1L).otherwise(0L)).as("s_de"))
+    val bad = docsL
+      .select(col("doc_id"), expr("graft_langid_score(text)").as("r"))
+      .join(ref, Seq("doc_id"), "left")
+      .where(col("r.s0") =!= coalesce(col("s_en"), lit(0L)) ||
+             col("r.s1") =!= coalesce(col("s_de"), lit(0L)))
+    assert(bad.count() === 0)
+  }
 }
