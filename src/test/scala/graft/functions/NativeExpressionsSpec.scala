@@ -275,6 +275,27 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("model-capture registry pattern: a built frame keeps ITS model " +
+       "after the function is re-registered (eager-analysis contract)") {
+    // charlm/langid register their collected models by CAPTURING them
+    // in the function builder. That is safe only because DataFrame
+    // creation analyzes eagerly — the frame resolves to the expression
+    // instance holding the model CURRENT AT BUILD TIME. If resolution
+    // ever deferred to action time, a multi-SF sweep (BenchScale runs
+    // every decade in ONE JVM, re-registering per build) would
+    // silently score frame N with frame N+1's model. Pin the contract.
+    val one = Seq((1L, "abcd")).toDF("doc_id", "text")
+    CharlmScore.register(spark, Array("abc", "bcd"), Array(7L, 11L))
+    val dfA = one.select(expr("graft_charlm_score(text)").as("r"))
+    // re-register with a DIFFERENT model before dfA executes
+    CharlmScore.register(spark, Array("abc", "bcd"), Array(1000L, 2000L))
+    val dfB = one.select(expr("graft_charlm_score(text)").as("r"))
+    val a = dfA.select(col("r.surprisal_fp")).head().getLong(0)
+    val b = dfB.select(col("r.surprisal_fp")).head().getLong(0)
+    assert(a === 18L, s"frame built under model A must keep model A: $a")
+    assert(b === 3000L, s"frame built under model B must see model B: $b")
+  }
+
   test("graft_langid_score == the distinct + profile-join + conditional " +
        "sums it replaced, on the same trained profiles") {
     val docsL = edgeDocs.withColumn("lang",
