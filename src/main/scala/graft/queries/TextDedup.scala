@@ -340,9 +340,14 @@ object TextDedup {
     "text_ngram_topk" -> ((s, d) => {
       // corpus vocabulary: top-50 word trigrams by document frequency
       // (distinct docs), the frequency-table step of corpus curation.
+      // array_distinct dedups shingles ROW-LOCALLY before the explode,
+      // so the (doc, shingle) type frame needs no corpus-wide
+      // .distinct() exchange — at 100 TB that shuffle was the whole
+      // cost of this query (r16 extension; same move as
+      // text_novelty_ngrams).
       t(s, d, "documents")
-        .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(col("text")))).as("s"))
         .groupBy(col("s"))
         .agg(count(lit(1)).as("doc_freq"))
         .orderBy(col("doc_freq").desc, col("s"))
@@ -488,9 +493,12 @@ object TextDedup {
         transform(sequence(lit(1), size(w) - 2),
           i => concat_ws(" ", slice(w, i, lit(3)))))
         .otherwise(array().cast("array<string>"))
+      // gram TYPES per doc, deduplicated ROW-LOCALLY (array_distinct
+      // before the explode) — the corpus-wide (doc, gram) .distinct()
+      // exchange this carried through r16 did per-doc work on the
+      // shuffle network
       val dg = t(s, d, "documents")
-        .select(col("doc_id"), explode(grams).as("g"))
-        .distinct() // gram TYPES per doc
+        .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
         .localCheckpoint() // feeds df AND the per-doc rollup
       val df = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
       val perDoc = dg.join(df, "g")
