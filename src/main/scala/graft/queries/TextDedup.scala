@@ -687,9 +687,17 @@ object TextDedup {
       // and the final join, so it is materialized once — otherwise the
       // corpus explode+shuffle subtree evaluates twice.
       val docs = t(s, d, "documents")
+      // doc_id is row-grain, so the native per-row token TYPE counts
+      // ARE the (doc, term, tf) frame — explode them directly and the
+      // corpus-sized groupBy(doc_id, term) exchange disappears
+      // entirely (r16 extension; equivalence pinned in
+      // NativeExpressionsSpec)
+      graft.functions.expressions.TokenTypeCounts.register(s)
       val tf = docs
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          explode(expr("graft_token_counts(text)")).as("t"))
+        .select(col("doc_id"), col("t.term").as("term"),
+          col("t.c").as("tf"))
         .localCheckpoint()
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n"))

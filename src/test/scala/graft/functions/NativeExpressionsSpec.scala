@@ -275,6 +275,20 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("graft_token_counts: exploded counts == explode(tokens) -> " +
+       "groupBy(doc, term).count, per (doc, term)") {
+    TokenTypeCounts.register(spark)
+    val ref = edgeDocs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+    val got = edgeDocs.select(col("doc_id"),
+        explode(expr("graft_token_counts(text)")).as("t"))
+      .select(col("doc_id"), col("t.term").as("term"), col("t.c").as("c2"))
+    val bad = ref.join(got, Seq("doc_id", "term"), "full")
+      .where(col("c").isNull || col("c2").isNull || col("c") =!= col("c2"))
+    assert(bad.count() === 0)
+  }
+
   test("model-capture registry pattern: a built frame keeps ITS model " +
        "after the function is re-registered (eager-analysis contract)") {
     // charlm/langid register their collected models by CAPTURING them
