@@ -434,9 +434,13 @@ object TextDedup {
       // overflow at n=1000), so the five OLS sums are exact integers
       // and the slope is one shaped division, fixed-point e6. Ranks
       // are total (count desc, then token).
+      // the explode emits native per-row token TYPE counts (pre-
+      // combined before the Generate — the tfidf/charlm r16 move);
+      // sum(c) equals the old occurrence count(*) exactly
+      graft.functions.expressions.TokenTypeCounts.register(s)
       val tf = t(s, d, "documents")
-        .select(explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .select(explode(expr("graft_token_counts(text)")).as("t"))
+        .groupBy(col("t.term").as("tok")).agg(sum(col("t.c")).as("c"))
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("c").desc, col("tok"))
       val ranked = tf
