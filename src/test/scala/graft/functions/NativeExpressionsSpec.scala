@@ -190,7 +190,7 @@ class NativeExpressionsSpec extends SparkSpec {
   // String.split drops them), and sub-gram-length strings.
 
   private lazy val edgeDocs = {
-    val edge = Seq(
+    val fixed = Seq(
       "", " ", "one", "a  b", "a b ", " a", "ab", "a b",
       "x y x y x y x y x y",
       "😀😀😀 a 😀😀" +
@@ -198,6 +198,18 @@ class NativeExpressionsSpec extends SparkSpec {
       "héllo wörld héllo wörld héllo wörld",
       "t t t t t t t t t t t t",
       "the cat sat on the mat the cat sat on the mat")
+    // seeded-random soup over an alphabet mixing spaces (token
+    // boundaries), a surrogate-pair code point, combining accents,
+    // and ASCII — sweeps input space the hand-picked cases miss;
+    // deterministic seed keeps failures reproducible
+    val rnd = new scala.util.Random(42)
+    val alphabet = Array(" ", " ", "a", "b", "ab", "é", "́",
+      new String(Character.toChars(0x1F600)), "x", ".")
+    val fuzz = Seq.fill(40) {
+      (0 until (1 + rnd.nextInt(60)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val edge = (fixed ++ fuzz)
       .zipWithIndex.map { case (t, i) => (1000000L + i, t) }
       .toDF("doc_id", "text")
     docs.select(col("doc_id"), col("text")).unionByName(edge).cache()
