@@ -237,22 +237,43 @@ object Triangles {
   def perNodeAdjacencyBatched(oriented: DataFrame,
                               budgetElems: Long = 5000000000L,
                               sliceElems: Long = 1500000000L): DataFrame = {
-    val e = oriented
+    val e64 = oriented
       .select(col("u").cast("long").as("u"), col("v").cast("long").as("v"))
       .localCheckpoint(false)
-    val od = e.groupBy(col("u"))
+    // census + id-range in ONE narrow pass over the checkpointed edges:
+    // Σ outdeg² drives the slicing decision; the id range decides the
+    // INTERNAL width. Every element of the wedge-sized exchange (the
+    // second array-attach join's wide rows — THE working set this
+    // operator exists to bound) is a node id, so ids that fit in int
+    // halve its bytes: same element budgets, half the RAM and page-
+    // cache traffic per slice. The guard is exact — a single
+    // out-of-range id keeps the long path — and the credit values are
+    // unaffected (array_intersect/credits are type-generic; the
+    // output casts back to long).
+    val od = e64.groupBy(col("u"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("od"))
     val censusRow = od.agg(sum(col("od") * col("od"))).head()
     val s = if (censusRow.isNullAt(0)) 0L else censusRow.getLong(0)
+    val idRange = e64
+      .agg(min(least(col("u"), col("v"))), max(greatest(col("u"), col("v"))))
+      .head()
+    val fitsInt = !idRange.isNullAt(0) &&
+      idRange.getLong(0) >= Int.MinValue.toLong &&
+      idRange.getLong(1) <= Int.MaxValue.toLong
+    val e = if (fitsInt)
+      e64.select(col("u").cast("int").as("u"), col("v").cast("int").as("v"))
+    else e64
     // activation vs slice size are separate knobs (see scaladoc): a
     // workload under budget never slices; one over it slices SMALL
     val b = if (s <= budgetElems) 1
             else math.min(64L, (s + sliceElems - 1) / sliceElems).toInt
     val adjOf = e.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    def finish(credits: DataFrame): DataFrame =
+      credits.groupBy("node").agg(sum(col("c")).as("tri_cnt"))
+        .select(col("node").cast("long").as("node"), col("tri_cnt"))
     if (b <= 1)
-      creditRows(attachArrays(e, adjOf))
-        .groupBy("node").agg(sum(col("c")).as("tri_cnt"))
+      finish(creditRows(attachArrays(e, adjOf)))
     else {
       // adjacency built ONCE and materialized — each slice re-joins
       // it (edge-sized: Σ outdeg = m elements) instead of re-running
@@ -267,8 +288,7 @@ object Triangles {
           .groupBy("node").agg(sum(col("c")).as("c"))
           .localCheckpoint()
       }
-      partials.reduce(_ union _)
-        .groupBy("node").agg(sum(col("c")).as("tri_cnt"))
+      finish(partials.reduce(_ union _))
     }
   }
 }
