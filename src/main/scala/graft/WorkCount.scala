@@ -259,9 +259,14 @@ object WorkCount {
       // dedup by object identity: a ReusedExchange child is the same
       // node instance reached twice (structural equality would also
       // merge two DISTINCT builds that happen to be identical)
-      val seen = new java.util.IdentityHashMap[SparkPlan, Boolean]()
+      // value type is java.lang.Boolean so `put == null` compares the
+      // REFERENCE (first-insertion test); with scala.Boolean scalac
+      // warns "always false" — a false alarm at runtime (verified: the
+      // boxed reference is what's compared), but the honest type
+      // removes the trap
+      val seen = new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]()
       val builds = allBuilds(df.queryExecution.executedPlan)
-        .filter(b => seen.put(b, true) == null)
+        .filter(b => seen.put(b, java.lang.Boolean.TRUE) == null)
         .map { b =>
           def m(k: String) =
             b.metrics.get(k).map(_.value).getOrElse(-1L)
@@ -270,6 +275,40 @@ object WorkCount {
         }
       name -> builds
     }
+  }
+
+  /** Model-cardinality census for the expression-constant models
+    * (r16 verdict item 3): the charlm model grain is distinct char-
+    * trigram TYPES over the documents corpus — the exact row count
+    * `text_charlm_surprisal` collects to the driver and ships in the
+    * task binary — and the langid profile table is top-50 × #langs by
+    * definition. Both claims ("vocabulary-bounded, never
+    * corpus-bounded") were argued from structure through r16; this
+    * measures them so the collect gates (CharlmScore.MaxModelEntries,
+    * LangidScore.MaxProfileEntries) can be sized measured×margin and
+    * CI can catch a vocabulary that starts scaling with data.
+    */
+  final case class ModelCensus(nDocs: Long, charlmEntries: Long,
+                               langidEntries: Long)
+
+  def modelCensus(spark: SparkSession, sfDir: String): ModelCensus = {
+    graft.functions.expressions.CharTrigramCounts.register(spark)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val nDocs = docs.count()
+    // charlm model rows = distinct trigram types (TextDedup builds the
+    // same grain via groupBy(tri); count distinct of the exploded
+    // per-row TYPE counts is that table's cardinality)
+    val charlm = docs
+      .select(explode(expr("graft_char_trigram_counts(text)")).as("t"))
+      .select(col("t.tri")).distinct().count()
+    // langid profile rows = min(50, types-per-lang) summed over the
+    // languages PRESENT (the builder then keeps its 4 configured ones)
+    val langid = docs.select(col("lang"),
+        explode(expr("graft_char_trigram_counts(text)")).as("t"))
+      .select(col("lang"), col("t.tri")).distinct()
+      .groupBy("lang").agg(least(count(lit(1)), lit(50L)).as("k"))
+      .agg(sum(col("k"))).head().getLong(0)
+    ModelCensus(nDocs, charlm, langid)
   }
 
   def main(args: Array[String]): Unit = {
@@ -339,6 +378,14 @@ object WorkCount {
             s"""{"cols":"${b.cols}","rows":${b.rows},"bytes":${b.bytes}}""")
             .mkString(",") + "]}")
       }
+    }
+    if (probes("model")) {
+      val c = modelCensus(spark, sfDir)
+      println(s"""{"probe":"model","sf":"$sfDir","n_docs":${c.nDocs},""" +
+        s""""charlm_model_entries":${c.charlmEntries},""" +
+        s""""langid_profile_entries":${c.langidEntries},""" +
+        s""""charlm_cap":${graft.functions.expressions.CharlmScore.MaxModelEntries},""" +
+        s""""langid_cap":${graft.functions.expressions.LangidScore.MaxProfileEntries}}""")
     }
     if (probes("prefix")) {
       val r = prefixCensus(spark, sfDir)

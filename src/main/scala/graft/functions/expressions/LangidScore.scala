@@ -102,11 +102,17 @@ case class LangidScore(child: Expression, profiles: Array[Array[String]])
 
 object LangidScore {
 
-  /** Definitional bound: top-K trigrams × #languages. The langid
-    * query registers 4 × top-50; anything near this cap means the
-    * caller is no longer shipping a profile table.
+  /** Definitional bound: top-K trigrams × #languages. The WorkCount
+    * `model` probe measures exactly 250 profile rows (5 languages
+    * present × top-50) at sf0.01, sf1 AND sf10 — flat by definition;
+    * the langid query then registers its 4 configured languages =
+    * 200 entries. 4,096 leaves room for ~80 languages at top-50
+    * while anything near the cap means the caller is no longer
+    * shipping a profile TABLE. (Was 100,000 through r16 — 500× the
+    * definitional size, a gate that could never fire on a real
+    * mistake.)
     */
-  val MaxProfileEntries: Int = 100 * 1000
+  val MaxProfileEntries: Int = 4096
 
   val info = new ExpressionInfo(classOf[LangidScore].getName,
     "graft_langid_score")
@@ -114,6 +120,14 @@ object LangidScore {
   /** Session-registers `graft_langid_score(text)` with the profiles
     * captured in the builder, one array per language in output-field
     * order (field i is named `s$i`).
+    *
+    * Concurrency contract: registration is last-write-wins on the
+    * session-global FunctionRegistry, so a builder on a SHARED
+    * session must hold `LangidScore.synchronized` across
+    * register→eager-analysis (the langid builder does) — otherwise a
+    * concurrent builder's register can interleave and the analyzed
+    * frame crosses profiles (r16 ADVICE; Verify's pool runs builders
+    * on one session).
     */
   def register(spark: SparkSession, profiles: Array[Array[String]]): Unit = {
     val total = profiles.map(_.length.toLong).sum

@@ -60,17 +60,26 @@ object Robustness {
             col("p._corrupt_record"))))).as("quarantine_md5"))
         .orderBy("event_type")
     }),
-    "try_arith" -> ((s, d) =>
+    "try_arith" -> ((s, d) => {
       // NULL-on-error arithmetic: division by a data-dependent zero
       // and an unparseable cast, both yielding NULL instead of a
-      // runtime error — per-row robust, fully codegen'd.
+      // runtime error — per-row robust, fully codegen'd. The int
+      // parse is the native exception-free graft_try_int, result-
+      // identical to try_cast(... AS INT) (fuzz-pinned,
+      // NativeExpressionsSpec): every l_returnflag fails to parse,
+      // and TRY-mode cast reaches each null through a thrown-and-
+      // caught exception — the r17 census measured that single
+      // column at 10.2 s of this row's 9.4 s sf0.1 wall (~15 µs/row
+      // of stack-trace fill); the native parse runs at sort cost.
+      graft.functions.expressions.TryParseInt.register(s)
       t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"),
           try_divide(col("l_extendedprice"), col("l_quantity") - lit(25.0))
             .as("ratio_to_qty25"),
-          expr("try_cast(l_returnflag AS INT)").as("flag_int"),
+          expr("graft_try_int(l_returnflag)").as("flag_int"),
           expr("try_cast(l_linenumber AS STRING)").as("line_str"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     "sort_nulls_ordering" -> ((s, d) => {
       // Explicit NULLS FIRST / NULLS LAST: engines disagree on default
       // null placement, so portable sorts must pin it. Each rank is a

@@ -770,15 +770,27 @@ object TextDedup {
       // score is now a scan-speed projection, one hash probe per
       // trigram. The collect runs inside the query builder, so Bench
       // times train + score together — nothing escapes the stopwatch.
-      val model = lm.collect()
+      // boundedCollect limits the DRIVER MATERIALIZATION itself (not
+      // just the arrays post-hoc): a vocabulary that scales with the
+      // corpus ships at most MaxModelEntries+1 rows before failing
+      // loudly (r16 ADVICE — the old gate ran after the full collect).
+      val model = graft.functions.expressions.CharlmScore.boundedCollect(lm)
       c3.unpersist(blocking = false)
-      graft.functions.expressions.CharlmScore.register(s,
-        model.map(_.getString(0)), model.map(_.getLong(1)))
-      docs.select(col("doc_id"), expr("graft_charlm_score(text)").as("r"))
-        .select(col("doc_id"),
-          coalesce(col("r.n_tri"), lit(0L)).as("n_tri"),
-          coalesce(col("r.surprisal_fp"), lit(0L)).as("surprisal_fp"))
-        .orderBy("doc_id")
+      // register→analyze under the expression's lock: on a SHARED
+      // session, another thread's register of the same function
+      // between this register and the eager analysis below would
+      // cross models (r16 ADVICE; Verify's pool runs builders on one
+      // session). Only the ANALYSIS is serialized — the returned
+      // frame executes outside the lock.
+      graft.functions.expressions.CharlmScore.synchronized {
+        graft.functions.expressions.CharlmScore.register(s,
+          model.map(_.getString(0)), model.map(_.getLong(1)))
+        docs.select(col("doc_id"), expr("graft_charlm_score(text)").as("r"))
+          .select(col("doc_id"),
+            coalesce(col("r.n_tri"), lit(0L)).as("n_tri"),
+            coalesce(col("r.surprisal_fp"), lit(0L)).as("surprisal_fp"))
+          .orderBy("doc_id")
+      }
     }),
     "text_langid_ngram" -> ((s, d) => {
       // Learned n-gram-profile language ID (the textcat/CLD family,
@@ -822,26 +834,36 @@ object TextDedup {
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= 50)
         .select(col("lang").as("plang"), col("tri"))
-      val langs = Array("en", "de", "es", "fr")
+      // ONE language list drives the register argument AND the
+      // s$i→column mapping AND the argmax tiebreak (r16 ADVICE: the
+      // old code repeated the (index, language) pairing at three
+      // sites — updating one but not the others would silently
+      // mislabel scores, and the en/de equivalence test could not
+      // catch a 4-language ordering slip).
+      val langs = Seq("en", "de", "es", "fr")
       val prof = profiles.collect()
-      graft.functions.expressions.LangidScore.register(s,
-        langs.map(l => prof.filter(_.getString(0) == l)
-          .map(_.getString(1))))
-      docs.select(col("doc_id"), col("lang"),
-          expr("graft_langid_score(text)").as("r"))
-        .select(col("doc_id"), col("lang"),
-          coalesce(col("r.s0"), lit(0L)).as("s_en"),
-          coalesce(col("r.s1"), lit(0L)).as("s_de"),
-          coalesce(col("r.s2"), lit(0L)).as("s_es"),
-          coalesce(col("r.s3"), lit(0L)).as("s_fr"))
-        .withColumn("guess",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-               col("s_en") >= col("s_fr"), "en")
-            .when(col("s_de") >= col("s_es") &&
-                  col("s_de") >= col("s_fr"), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
-        .orderBy("doc_id")
+      // argmax with language-order tiebreak: language i wins iff its
+      // score >= every LATER language's (earlier candidates already
+      // failed their when), identical to the old hand-chained whens
+      val guess = langs.init.zipWithIndex.foldRight(
+          lit(langs.last): org.apache.spark.sql.Column) {
+        case ((l, i), rest) =>
+          when(langs.drop(i + 1).map(o => col(s"s_$l") >= col(s"s_$o"))
+            .reduce(_ && _), lit(l)).otherwise(rest)
+      }
+      // register→analyze under the expression's lock — see charlm
+      graft.functions.expressions.LangidScore.synchronized {
+        graft.functions.expressions.LangidScore.register(s,
+          langs.map(l => prof.filter(_.getString(0) == l)
+            .map(_.getString(1))).toArray)
+        docs.select(col("doc_id"), col("lang"),
+            expr("graft_langid_score(text)").as("r"))
+          .select(col("doc_id") +: col("lang") +:
+            langs.zipWithIndex.map { case (l, i) =>
+              coalesce(col(s"r.s$i"), lit(0L)).as(s"s_$l") }: _*)
+          .withColumn("guess", guess)
+          .orderBy("doc_id")
+      }
     }),
     "dedup_repeated_spans" -> ((s, d) => {
       // Duplicate-text fraction (Lee et al. 2022 "Deduplicating

@@ -350,4 +350,35 @@ class NativeExpressionsSpec extends SparkSpec {
              col("r.s1") =!= coalesce(col("s_de"), lit(0L)))
     assert(bad.count() === 0)
   }
+
+  test("graft_try_int == try_cast(s AS INT) (curated edges + seeded fuzz)") {
+    // the exception-free parser must reproduce the ANSI/TRY grammar
+    // EXACTLY: trimAll set (\t \n \r yes, NBSP no), single sign, ASCII
+    // digits only (no '.', exponent, or unicode digits), overflow →
+    // null at both int boundaries
+    TryParseInt.register(spark)
+    val curated = Seq(
+      "A", "12", " 12 ", "+5", "-0", "2147483647", "2147483648",
+      "-2147483648", "-2147483649", "12.0", "12.7", "1e2", "", " ",
+      "\t12\n", "12\r", "0x1F", "١٢٣", ".5", "5.", "+",
+      "-", "--5", "+-5", "12 34", "999999999999999999999", "12,3",
+      "+ 5", " 12", "12 ", "00012", "＋5", "．5", "-00",
+      "7", "8", " 9", "0", "-2147483650",
+      "21474836470", "  +0012  ", "12a", "a12", "½", "¼2", null)
+    // seeded soup over parse-relevant atoms: signs, digits, trim
+    // candidates, decimal/exponent markers, multi-byte chars — sweeps
+    // boundary combinations the hand list misses; deterministic seed
+    val rnd = new scala.util.Random(1717)
+    val atoms = Array("0", "1", "9", "+", "-", " ", "\t", ".", "e",
+      "٣", "２", "a", " ", " ", "2147483647", "99999999999")
+    val fuzz = Seq.fill(500) {
+      (0 until rnd.nextInt(8))
+        .map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    }
+    val df = (curated ++ fuzz).toDF("s")
+      .select(col("s"), expr("graft_try_int(s)").as("native"),
+        expr("try_cast(s AS INT)").as("ref"))
+    val bad = df.where(!(col("native") <=> col("ref")))
+    assert(bad.count() === 0, bad.collect().take(5).mkString("; "))
+  }
 }

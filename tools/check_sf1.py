@@ -36,6 +36,7 @@ import os
 import queue as queue_mod
 import re
 import sys
+import time
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/testdata-sf1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_sf1"
@@ -151,6 +152,13 @@ def compare_one(name, sql, files, q):
         # driver testdata ships single files; GenSf's sf1 upsample
         # writes Spark-style directories of part files
         p = f"{SF}/{t}.parquet"
+        if not os.path.exists(p):
+            # partial SF dirs are legitimate for subset sweeps (the
+            # sf10 dir carries only the tables its heavy probes read);
+            # an oracle that actually needs the missing table then
+            # fails ITS OWN row with a readable error instead of
+            # wedging every row at view-creation time
+            continue
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     try:
@@ -327,6 +335,7 @@ def main():
         budget = BUDGET_OVERRIDE.get(name, BUDGET_S)
         q = mp.Queue()
         p = mp.Process(target=compare_one, args=(name, oracle[name], files, q))
+        t0 = time.monotonic()
         p.start()
         p.join(budget)
         if p.is_alive():
@@ -354,6 +363,15 @@ def main():
         res.setdefault("oracle_rows", None)
         res.setdefault("err", None)
         res["sql_sha"] = sha[name]
+        # elapsed-vs-budget stamp (r16 verdict item 5): a row that
+        # verifies NEAR its budget on this host is one slower VM away
+        # from a timeout — with the ratio in the artifact, a future
+        # re-skip is a documented band decision, not a surprise red.
+        # Policy (PLANS.md): elapsed/budget > 0.8 means the next sweep
+        # on a slower host may legitimately record oracle_timeout;
+        # anything under 0.5 timing out instead signals a real change.
+        res["elapsed_s"] = round(time.monotonic() - t0, 1)
+        res["budget_s"] = budget
         results[name] = res
         print(f"  ok   {name}" if res["hash_match"]
               else f"  FAIL {name}: {res}", flush=True)
