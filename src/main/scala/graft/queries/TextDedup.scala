@@ -74,17 +74,19 @@ object TextDedup {
     }),
     "text_dedup_tokens_ordered" -> ((s, d) => {
       // First-occurrence-preserving token dedup INSIDE each row — the
-      // repetition-collapse preprocessing step — as a pure higher-
-      // order-function projection: filter-with-index keeps token i
-      // iff its first occurrence is at i. Zero shuffle, codegen'd;
-      // O(k²) per row in token count k, which beats re-keying the
-      // corpus for any sane k (cap k upstream for adversarial rows).
-      val ws = split(col("text"), " ")
-      val kept = filter(ws, (x, i) => array_position(ws, x) === i + 1)
+      // repetition-collapse preprocessing step. Zero shuffle; one
+      // native O(tokens) hash-set pass per row (graft_token_dedup_
+      // ordered, pinned == the filter-with-index HOF formulation it
+      // replaced: array_position rescans the array per element —
+      // O(k²)/row, ~450 µs/doc, 2.26 s of sf0.1 census wall for a
+      // scan-shaped projection).
+      graft.functions.expressions.TokenDedupOrdered.register(s)
       t(s, d, "documents")
-        .select(col("doc_id"), size(ws).as("n_tokens"),
-          size(kept).as("n_unique"),
-          array_join(kept, " ").as("dedup_text"))
+        .select(col("doc_id"),
+          expr("graft_token_dedup_ordered(text)").as("r"))
+        .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+          col("r.n_unique").as("n_unique"),
+          col("r.dedup_text").as("dedup_text"))
         .orderBy("doc_id")
     }),
     "text_feature_hashing" -> ((s, d) => {
@@ -340,14 +342,21 @@ object TextDedup {
     "text_ngram_topk" -> ((s, d) => {
       // corpus vocabulary: top-50 word trigrams by document frequency
       // (distinct docs), the frequency-table step of corpus curation.
-      // array_distinct dedups shingles ROW-LOCALLY before the explode,
-      // so the (doc, shingle) type frame needs no corpus-wide
-      // .distinct() exchange — at 100 TB that shuffle was the whole
-      // cost of this query (r16 extension; same move as
-      // text_novelty_ngrams).
+      // Row-local TYPE dedup before the explode, so the (doc, shingle)
+      // type frame needs no corpus-wide .distinct() exchange — at
+      // 100 TB that shuffle was the whole cost of this query (r16
+      // extension; same move as text_novelty_ngrams). The shingle
+      // build is the native graft_shingles (pinned == array_sort(
+      // array_distinct(HOF shingles)), NativeExpressionsSpec): the
+      // HOF transform/element_at/concat_ws formulation allocated a
+      // column-object tree per gram — ~2.3 s of this row's 3.2 s
+      // sf0.1 census wall; the native byte-walk emits the same
+      // distinct grams at scan speed (order under explode is
+      // irrelevant to the groupBy).
+      graft.functions.expressions.WordShingles.register(s)
       t(s, d, "documents")
         .select(col("doc_id"),
-          explode(array_distinct(shingles(col("text")))).as("s"))
+          explode(expr("graft_shingles(text, 3)")).as("s"))
         .groupBy(col("s"))
         .agg(count(lit(1)).as("doc_freq"))
         .orderBy(col("doc_freq").desc, col("s"))
@@ -492,17 +501,17 @@ object TextDedup {
       // document-frequency aggregate and the per-doc rollup; df is
       // vocabulary-sized and re-joins broadcast-style. Exact integer
       // counts; the fraction is one shaped division fixed-pointed e6.
-      val w = tokens(col("text"))
-      val grams = when(size(w) >= 3,
-        transform(sequence(lit(1), size(w) - 2),
-          i => concat_ws(" ", slice(w, i, lit(3)))))
-        .otherwise(array().cast("array<string>"))
-      // gram TYPES per doc, deduplicated ROW-LOCALLY (array_distinct
-      // before the explode) — the corpus-wide (doc, gram) .distinct()
-      // exchange this carried through r16 did per-doc work on the
-      // shuffle network
+      // gram TYPES per doc, deduplicated ROW-LOCALLY before the
+      // explode — the corpus-wide (doc, gram) .distinct() exchange
+      // this carried through r16 did per-doc work on the shuffle
+      // network. graft_shingles is the native distinct-gram build
+      // (pinned == array_sort(array_distinct(HOF shingles))); the HOF
+      // transform/concat_ws formulation it replaces allocated a
+      // column tree per gram (r17 census audit, same as
+      // text_ngram_topk).
+      graft.functions.expressions.WordShingles.register(s)
       val dg = t(s, d, "documents")
-        .select(col("doc_id"), explode(array_distinct(grams)).as("g"))
+        .select(col("doc_id"), explode(expr("graft_shingles(text, 3)")).as("g"))
         .localCheckpoint() // feeds df AND the per-doc rollup
       val df = dg.groupBy(col("g")).agg(count(lit(1)).as("df"))
       val perDoc = dg.join(df, "g")

@@ -351,6 +351,21 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("graft_token_dedup_ordered == filter-with-index HOF dedup " +
+       "(incl. empty tokens, trailing separators, non-BMP)") {
+    TokenDedupOrdered.register(spark)
+    val ws = split(col("text"), " ")
+    val kept = filter(ws, (x, i) => array_position(ws, x) === i + 1)
+    val bad = edgeDocs.select(
+        expr("graft_token_dedup_ordered(text)").as("r"),
+        size(ws).as("n_tokens"), size(kept).as("n_unique"),
+        array_join(kept, " ").as("dedup_text"))
+      .where(col("r.n_tokens") =!= col("n_tokens") ||
+             col("r.n_unique") =!= col("n_unique") ||
+             col("r.dedup_text") =!= col("dedup_text"))
+    assert(bad.count() === 0, bad.collect().take(3).mkString("; "))
+  }
+
   test("graft_try_int == try_cast(s AS INT) (curated edges + seeded fuzz)") {
     // the exception-free parser must reproduce the ANSI/TRY grammar
     // EXACTLY: trimAll set (\t \n \r yes, NBSP no), single sign, ASCII
