@@ -40,20 +40,33 @@ object Behavioral {
   val queries: Map[String, Q] = Map(
     "events_funnel" -> ((s, d) => {
       // Ordered 3-stage funnel signup → click → purchase: each stage's
-      // anchor is the earliest qualifying event AFTER the previous
-      // stage's anchor. Conditional minima over the same user
+      // anchor is the earliest qualifying event within 48 h AFTER the
+      // previous stage's anchor. Conditional minima over the same user
       // partition — one shuffle, three stacked Window ops, no
       // self-joins (each stage of a join-based funnel would re-shuffle
       // the full stream).
+      //
+      // The 48 h window is LOAD-BEARING for the gate, not decoration:
+      // unwindowed, the synthetic stream saturates — every user
+      // completed every stage at sf0.01 (150/150/150/150) and
+      // 15000/15000/15000/14999 at sf1, so the row verified four
+      // equal constants and an r17 mutation kill-test (stage-2 type
+      // click→view) PASSED the oracle gate. The signup→click gap is
+      // median ~29 h / p90 ~91 h on this stream, so 48 h puts the
+      // cut inside the distribution and the funnel has real erosion
+      // at every SF (tools/adjudications/r17_mutations.json).
+      val winUs = 48L * 3600 * 1000000
       val ev = Tables.events(s, d)
       val staged = ev
         .withColumn("t1",
           min(when(col("event_type") === "signup", col("ts"))).over(byUser))
         .withColumn("t2",
-          min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          min(when(col("event_type") === "click" && col("ts") > col("t1") &&
+            unix_micros(col("ts")) - unix_micros(col("t1")) <= winUs,
             col("ts"))).over(byUser))
         .withColumn("t3",
-          min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2") &&
+            unix_micros(col("ts")) - unix_micros(col("t2")) <= winUs,
             col("ts"))).over(byUser))
       staged
         .groupBy(col("user_id"))
@@ -318,11 +331,15 @@ object Behavioral {
          |          OVER (PARTITION BY user_id) AS t1
          |      FROM ev),
          |y AS (SELECT *,
-         |        min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+         |        min(CASE WHEN event_type = 'click' AND ts > t1
+         |                  AND epoch_us(ts) - epoch_us(t1) <= 172800000000
+         |             THEN ts END)
          |          OVER (PARTITION BY user_id) AS t2
          |      FROM x),
          |z AS (SELECT *,
-         |        min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+         |        min(CASE WHEN event_type = 'purchase' AND ts > t2
+         |                  AND epoch_us(ts) - epoch_us(t2) <= 172800000000
+         |             THEN ts END)
          |          OVER (PARTITION BY user_id) AS t3
          |      FROM y),
          |u AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
