@@ -497,4 +497,64 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty,
       s"partition-less WindowExec outside the allowlist:\n${bad.mkString("\n")}")
   }
+
+  test("try_arith: one scan + native projection — no exception-path " +
+       "cast, no exchange except the output sort") {
+    // r17 rewrite: try_cast(... AS INT) reaches null through a thrown-
+    // and-caught exception per failing value (~15 µs each; every
+    // l_returnflag fails) — the row spent 10.2 of its 9.4 s sf0.1
+    // wall in that one column. graft_try_int parses exception-free.
+    val p = plan("try_arith")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly one scan:\n$p")
+    assert(p.contains("graft_try_int"),
+      s"the int parse must be the native exception-free expression:\n$p")
+    assert(!p.contains("try_cast(l_returnflag"),
+      s"the exception-path string->int try_cast re-entered the plan:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1 && p.contains("rangepartitioning"),
+      s"the single exchange must be the output sort:\n$p")
+  }
+
+  test("sketch_hll_distinct: no Expand — the sketch buffer must never " +
+       "be keyed per distinct value") {
+    // r17 rewrite: countDistinct + HLL in one aggregate plans through
+    // Expand, whose partial aggregate builds a ~12 KB rsd-1% HLL
+    // register array PER DISTINCT KEY (~1.2 GB at sf0.1; an OOM, not
+    // a slowdown, at 1 B keys). The distinct-first shape keeps the
+    // sketch at the group grain.
+    val p = plan("sketch_hll_distinct")
+    assert(!p.contains("Expand"),
+      s"Expand means the mixed distinct/sketch aggregate is back:\n$p")
+    assert(p.contains("approx_count_distinct") || p.contains("HyperLogLog"),
+      s"the sketch side disappeared:\n$p")
+  }
+
+  test("text_dedup_tokens_ordered: one scan, native projection, no " +
+       "exchange except the output sort") {
+    // r17 rewrite of the O(k²)-per-row filter-with-index HOF onto the
+    // native one-pass dedup — same scan-speed class as gopher.
+    val p = plan("text_dedup_tokens_ordered")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly one scan:\n$p")
+    assert(!p.contains("Join"), s"per-doc stats must not join:\n$p")
+    assert(p.contains("graft_token_dedup_ordered"),
+      s"the dedup must be the native projection:\n$p")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 1 && p.contains("rangepartitioning"),
+      s"the single exchange must be the output sort:\n$p")
+  }
+
+  test("text_ngram_topk: the type frame explodes native distinct " +
+       "shingles — no corpus-wide distinct exchange, no HOF transform") {
+    val p = plan("text_ngram_topk")
+    assert(p.contains("graft_shingles"),
+      s"the shingle build must be the native expression:\n$p")
+    // one exchange for the doc_freq aggregate (vocabulary grain) +
+    // the top-k sort; a third means the corpus-wide (doc, gram)
+    // distinct re-entered
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"expected agg + sort exchanges only (corpus distinct is back?):\n$p")
+  }
 }
