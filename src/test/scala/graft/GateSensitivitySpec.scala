@@ -1,0 +1,40 @@
+package graft
+
+/** Gates can be green and vacuous at once: a 0-row output hash-matches
+  * a 0-row oracle (graph_common_neighbors_capped through r16), and a
+  * SATURATED aggregate verifies constants (events_funnel through r17:
+  * every user completed every stage at both gate SFs, so the 4-count
+  * row was insensitive to its own stage definitions and a stage-type
+  * mutation passed the oracle gate — tools/adjudications/
+  * r17_mutations.json). These asserts pin the DISCRIMINATING state of
+  * the known-degenerate-prone rows at sf0.01, so corpus regeneration
+  * or a definition edit that re-saturates one fails `sbt test`
+  * instead of quietly re-hollowing the gate.
+  */
+class GateSensitivitySpec extends SparkSpec {
+
+  test("events_funnel erodes at the gate SF (saturation = vacuous gate)") {
+    val r = SparkEntry.queries("events_funnel")(spark, sf("sf0.01")).head()
+    val (users, s1, s2, s3) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(users > 0 && s1 > 0 && s2 > 0 && s3 > 0,
+      s"funnel stages empty: $users/$s1/$s2/$s3")
+    // the 48 h windows must BIND: each windowed stage strictly below
+    // its predecessor (r17 measured 150/150/105/68 at sf0.01)
+    assert(s2 < s1,
+      s"stage 2 saturated ($s2 of $s1 signups): the 48 h click window " +
+        "no longer binds — the gate is back to verifying constants")
+    assert(s3 < s2,
+      s"stage 3 saturated ($s3 of $s2): the purchase window no longer binds")
+  }
+
+  test("graph_common_neighbors_capped emits real rows at the gate SF " +
+       "(the r16 vacuous-cap class)") {
+    val n = SparkEntry.queries("graph_common_neighbors_capped")(
+      spark, sf("sf0.01")).count()
+    assert(n >= 10,
+      s"capped common-neighbors emitted $n rows at sf0.01 — the degree " +
+        "cap is selecting (almost) no middles again; the row verifies " +
+        "nothing (re-measure the degree distribution, r16 audit)")
+  }
+}
