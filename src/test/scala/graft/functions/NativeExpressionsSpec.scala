@@ -181,6 +181,27 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(e.getMessage.contains("exceeds"))
   }
 
+  test("CharlmScore.boundedCollect limits the driver materialization " +
+       "itself and fails loudly past the cap") {
+    // r16 ADVICE: the old gate ran inside register(), AFTER the full
+    // collect. boundedCollect must (a) pass small models through
+    // unchanged and (b) refuse an over-cap frame — and because it
+    // limits the collect at cap+1 rows, feeding it an effectively
+    // unbounded frame (spark.range) stays a cheap test instead of a
+    // driver-OOM reproduction.
+    import graft.functions.expressions.CharlmScore
+    val small = Seq(("abc", 1L), ("bcd", 2L)).toDF("tri", "slog")
+    assert(CharlmScore.boundedCollect(small).length === 2)
+    val over = spark.range(CharlmScore.MaxModelEntries + 1L)
+      .selectExpr("cast(id as string) as tri", "id as slog")
+    val e = intercept[IllegalArgumentException] {
+      CharlmScore.boundedCollect(over)
+    }
+    assert(e.getMessage.contains("exceeds"))
+    assert(e.getMessage.contains("never materialized"),
+      "the failure message must state the collect was bounded")
+  }
+
   // ---- the r16 text-scoring expressions vs the exact plans they
   // replaced, on real docs PLUS edge strings the (ASCII-only) oracle
   // corpus never exercises: non-BMP code points (surrogate pairs —
