@@ -87,8 +87,19 @@ object Bench {
     else if (soloLoad > cpus.toDouble * 1.25) "contended"
     else if (soloGcMs > 0.25 * soloMin * 1000) "gc_bound"
     else if (soloMin > ctxMin * 1.2) "unstable_solo_over_band"
+    // drift test on the best CLEAN measurement: the ctx min (warm
+    // min-of-5, the like-for-like comparison with prev) as well as
+    // the solo min. Fresh children carry a systematic cold-JVM
+    // premium even after 2 warmups (the r13 decontaminate lesson),
+    // and once the solo has ruled out contention/GC its LEVEL should
+    // not gate the drift explanation — r17's dedup_repeated_spans
+    // was stamped "regressed" by two children that both ran inside
+    // the same +16%-slower calib window while the warm ctx (1.41)
+    // sat within the drift allowance (1.52) the solo (1.62) missed
+    // (tools/adjudications/r17_dedup_repeated_spans.json).
     else if (prevCalib > 0 && nowCalib > prevCalib * 1.15 &&
-             soloMin <= prevMin * (nowCalib / prevCalib) * 1.25)
+             math.min(soloMin, ctxMin) <=
+               prevMin * (nowCalib / prevCalib) * 1.25)
       "host_drift"
     else "regressed"
 

@@ -59,6 +59,17 @@ class BenchAdjudicatorSpec extends AnyFunSuite {
     // no prior calibration on record: the branch never fires
     assert(Bench.soloVerdict(1.4, 1.0, 1.42, 0, 1.0, cpus, -1.0, 0.50)
       === "regressed")
+    // the drift test reads the best CLEAN measurement — the warm ctx
+    // min as well as the (cold-premium-carrying) solo: r17's
+    // dedup_repeated_spans numbers — calib 0.314->0.364 (+16%),
+    // allowance 1.046*1.161*1.25 = 1.518; solo 1.620 misses it but
+    // ctx 1.412 is inside -> host_drift, not regressed
+    assert(Bench.soloVerdict(1.620, 1.046, 1.412, 11, 7.1, cpus,
+      0.314, 0.364) === "host_drift")
+    // but when BOTH clean measurements exceed the allowance the
+    // drift does not explain the mover
+    assert(Bench.soloVerdict(1.620, 1.046, 1.600, 11, 7.1, cpus,
+      0.314, 0.364) === "regressed")
   }
 
   test("regressed requires a concurring second witness") {
