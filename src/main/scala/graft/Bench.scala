@@ -71,36 +71,46 @@ object Bench {
     */
   def band(prev: Double): Double = math.max(prev * 1.3, prev + 0.25)
 
+  /** Calib-normalized previous min: the bench box is a FRESH VM every
+    * round and its CPU-per-second drifts (r16→r17: cpu_calib
+    * 0.314→0.365 moved the whole 48-query board +15%, and every r17
+    * "mover" was that drift — each cost a manual adjudication
+    * artifact). The fixed-work calibration is measured every run, so
+    * scale the previous round's min by the calib ratio BEFORE banding:
+    * a pure-calib-shift round then produces ZERO movers (cur =
+    * prev×ratio is always under band(prev×ratio)) and no child JVMs
+    * are spawned at all. The ratio is clamped to [0.6, 1.8] so a
+    * corrupted/contended calibration sample can neither hide a real
+    * regression behind a huge allowance nor fabricate movers on a
+    * "faster" box; missing calibration (≤0 on either side) leaves
+    * prev untouched. This subsumes the pre-r18 `host_drift` verdict
+    * branch (which only fired past a 1.15 gate — r17's driver run
+    * measured ratio 1.082 and stamped `ann_ivfpq_adc` "regressed"
+    * right under it).
+    */
+  def calibAdjust(prevMin: Double, prevCalib: Double,
+                  nowCalib: Double): Double =
+    if (prevCalib > 0 && nowCalib > 0)
+      prevMin * math.min(1.8, math.max(0.6, nowCalib / prevCalib))
+    else prevMin
+
   /** First-witness verdict for a bench mover, pure and spec-gated
     * (BenchAdjudicatorSpec) — the chain that decides whether a
     * fresh-child rerun exonerates the context number or escalates.
-    * Every non-band verdict is CONDITIONED ON CAUSE (load, gc,
-    * dispersion, host calibration); "regressed" here only means
+    * `prevMin` arrives ALREADY calib-normalized ([[calibAdjust]] at
+    * the mover-selection site), so host drift is discounted before
+    * any branch here runs. Every non-band verdict is CONDITIONED ON
+    * CAUSE (load, gc, dispersion); "regressed" here only means
     * "first witness concurs" — [[confirmRegression]] demands a
     * second.
     */
   def soloVerdict(soloMin: Double, prevMin: Double, ctxMin: Double,
-                  soloGcMs: Long, soloLoad: Double, cpus: Int,
-                  prevCalib: Double, nowCalib: Double): String =
+                  soloGcMs: Long, soloLoad: Double, cpus: Int): String =
     if (soloMin < 0) "solo_failed"
     else if (soloMin <= band(prevMin)) "in_band_solo"
     else if (soloLoad > cpus.toDouble * 1.25) "contended"
     else if (soloGcMs > 0.25 * soloMin * 1000) "gc_bound"
     else if (soloMin > ctxMin * 1.2) "unstable_solo_over_band"
-    // drift test on the best CLEAN measurement: the ctx min (warm
-    // min-of-5, the like-for-like comparison with prev) as well as
-    // the solo min. Fresh children carry a systematic cold-JVM
-    // premium even after 2 warmups (the r13 decontaminate lesson),
-    // and once the solo has ruled out contention/GC its LEVEL should
-    // not gate the drift explanation — r17's dedup_repeated_spans
-    // was stamped "regressed" by two children that both ran inside
-    // the same +16%-slower calib window while the warm ctx (1.41)
-    // sat within the drift allowance (1.52) the solo (1.62) missed
-    // (tools/adjudications/r17_dedup_repeated_spans.json).
-    else if (prevCalib > 0 && nowCalib > prevCalib * 1.15 &&
-             math.min(soloMin, ctxMin) <=
-               prevMin * (nowCalib / prevCalib) * 1.25)
-      "host_drift"
     else "regressed"
 
   /** Second-witness confirmation: a first-witness "regressed" is only
@@ -397,11 +407,18 @@ object Bench {
             }
           } catch { case _: Exception => None }
         }.getOrElse((Map.empty[String, Double], -1.0))
+      // Mover selection against the CALIB-NORMALIZED previous min:
+      // on a pure host-drift round (every query scaled by the calib
+      // ratio) nothing clears band(prevAdj), so no children spawn and
+      // the artifact carries zero verdicts — the r17 board moved +15%
+      // one-for-one with calib and still cost four adjudications.
       val movers = results.collect {
         case (name, rs) if rs.nonEmpty && prevMins.contains(name) &&
-          rs.map(_._1).min > band(prevMins(name)) =>
-          (name, rs.map(_._1).min, prevMins(name))
-      }.sortBy { case (_, cur, prev) => -(cur - prev) }
+          rs.map(_._1).min >
+            band(calibAdjust(prevMins(name), prevCalib, calibSec)) =>
+          (name, rs.map(_._1).min, prevMins(name),
+           calibAdjust(prevMins(name), prevCalib, calibSec))
+      }.sortBy { case (_, cur, _, prevAdj) => -(cur - prevAdj) }
         .take(sys.env.getOrElse("SPARK_GRAFT_ADJ_MAX", "4").toInt)
       if (!enabled || movers.isEmpty) ""
       else {
@@ -451,7 +468,7 @@ object Bench {
             (-1.0, -1L, -1.0)
           } finally { java.nio.file.Files.deleteIfExists(tmp); () }
         }
-        val verdicts = movers.map { case (name, ctxMin, prevMin) =>
+        val verdicts = movers.map { case (name, ctxMin, prevMin, prevAdj) =>
           val (soloMin, soloGcMs, soloLoad) = soloChild(name)
           // Verdict, conditioned on cause (every non-band verdict
           // carries the gc/load fields that justify it):
@@ -475,12 +492,9 @@ object Bench {
           //                   can still flag it, while the machine
           //                   refuses to stamp "regressed" on a
           //                   measurement that can't arbitrate itself.
-          //   host_drift    — the fixed-work CPU calibration itself
-          //                   slowed ≥15% vs the prev round's box (the
-          //                   bench VM is re-provisioned every round)
-          //                   and the query's slowdown is inside that
-          //                   drift × 1.25: the box changed, not the
-          //                   code.
+          //   (host drift is no longer a VERDICT: the band itself is
+          //   calib-normalized at mover selection — see calibAdjust —
+          //   so a drift-explained mover never reaches this chain.)
           //   dispersive_across_jvms — the first child reproduced the
           //                   slowdown but a SECOND fresh child landed
           //                   back inside the prev band: the row's
@@ -501,20 +515,22 @@ object Bench {
           // pure, spec-gated chain (BenchAdjudicatorSpec): first
           // witness -> cause-conditioned verdict; "regressed" only
           // survives a concurring second fresh child
-          val verdict0 = soloVerdict(soloMin, prevMin, ctxMin,
-            soloGcMs, soloLoad, cpus.toInt, prevCalib, calibSec)
+          val verdict0 = soloVerdict(soloMin, prevAdj, ctxMin,
+            soloGcMs, soloLoad, cpus.toInt)
           val (verdict, solo2Min) =
             if (verdict0 != "regressed") (verdict0, -1.0)
             else {
               val (m2, _, _) = soloChild(name)
-              (confirmRegression(soloMin, prevMin, m2), m2)
+              (confirmRegression(soloMin, prevAdj, m2), m2)
             }
           System.err.println(s"[adjudicate] $name prev=${fmt(prevMin)} " +
+            s"prev_adj=${fmt(prevAdj)} " +
             s"ctx=${fmt(ctxMin)} solo=${fmt(soloMin)} " +
             s"solo2=${fmt(solo2Min)} " +
             s"gc=${soloGcMs}ms load=${fmt(math.max(soloLoad, 0))} " +
             s"-> $verdict")
           "\"" + name + "\":{\"prev_min\":" + fmt(prevMin) +
+            ",\"prev_adj\":" + fmt(prevAdj) +
             ",\"ctx_min\":" + fmt(ctxMin) +
             ",\"solo_min\":" + fmt(soloMin) +
             ",\"solo2_min\":" + fmt(solo2Min) +

@@ -15,11 +15,15 @@ import org.apache.spark.sql.SparkSession
   * can walk the top non-headline rows for the same pattern: a
   * corpus-key shuffle computing a per-row/per-doc statistic.
   *
-  * Protocol: one timed run per query; if the first run is under
-  * `rerunUnderSec` (default 5 s) a second run is taken and the min
-  * kept — cheap rows get de-noised, heavy rows (the census's actual
-  * signal) are not paid twice. `cpu_calib_sec` is stamped so a future
-  * re-census on a different VM can normalize before comparing.
+  * Protocol: min-of-2 for EVERY row (r17 lesson: the two r17 census
+  * artifacts disagreed 2–3× on single-run heavy graph cells —
+  * tools/adjudications/r17_census_dispersion.json — which forced a
+  * manual adjudication; the ~12 rows ≥ 5 s cost one extra minute and
+  * buy reproducible ranks). Both run times are stamped per cell
+  * (`sec` = min, `sec2` = the other run) so a reader sees each cell's
+  * own dispersion instead of trusting a single witness.
+  * `cpu_calib_sec` is stamped so a future re-census on a different VM
+  * can normalize before comparing.
   *
   * Usage: tools/bench.sh graft.Census [sfDir] [outJson] [subsetCsv]
   */
@@ -49,9 +53,6 @@ object Census {
     // Warm FS listing / codegen infra outside any timed region.
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
 
-    val rerunUnderSec =
-      sys.env.getOrElse("SPARK_GRAFT_CENSUS_RERUN_UNDER", "5.0").toDouble
-
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => subset.forall(_.contains(n)))
     val headline = Bench.headline.toSet
@@ -74,29 +75,45 @@ object Census {
 
     val results = names.zipWithIndex.map { case (name, i) =>
       val (t1, rows1, err1) = timeOnce(name)
-      val (sec, rows, err) =
-        if (err1 == null && t1 < rerunUnderSec) {
+      val (sec, sec2, rows, err) =
+        if (err1 == null) {
           val (t2, rows2, err2) = timeOnce(name)
-          if (err2 == null) (math.min(t1, t2), rows2, null)
-          else (t1, rows1, null) // first run stands if the rerun flaked
-        } else (t1, rows1, err1)
+          if (err2 == null) (math.min(t1, t2), math.max(t1, t2), rows2, null)
+          else (t1, -1.0, rows1, null) // first run stands if the rerun flaked
+        } else (t1, -1.0, rows1, err1)
       System.err.println(
-        f"[census] ${i + 1}%3d/${names.size} $name%-36s $sec%8.2fs rows=$rows")
-      (name, sec, rows, err)
+        f"[census] ${i + 1}%3d/${names.size} $name%-36s $sec%8.2fs " +
+          f"(other $sec2%8.2fs) rows=$rows")
+      (name, sec, sec2, rows, err)
     }
 
     def fmt(d: Double) =
       String.format(java.util.Locale.US, "%.4f", Double.box(d))
-    def jstr(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def jstr(s: String) = {
+      // err embeds Throwable.toString — Spark messages carry newlines
+      // and control chars, which are illegal raw inside JSON strings
+      val b = new StringBuilder("\"")
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '"'  => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.append("\"").toString
+    }
 
-    val rowsJson = results.sortBy(-_._2).map { case (name, sec, rows, err) =>
-      val tags = Seq(
-        if (headline(name)) Some("\"headline\"") else None,
-        if (board(name)) Some("\"board\"") else None).flatten
-      val errField = if (err == null) "null" else jstr(err)
-      s"""  ${jstr(name)}: {"sec": ${fmt(sec)}, "rows": $rows, """ +
-        s""""tags": [${tags.mkString(",")}], "err": $errField}"""
+    val rowsJson = results.sortBy(-_._2).map {
+      case (name, sec, sec2, rows, err) =>
+        val tags = Seq(
+          if (headline(name)) Some("\"headline\"") else None,
+          if (board(name)) Some("\"board\"") else None).flatten
+        val errField = if (err == null) "null" else jstr(err)
+        s"""  ${jstr(name)}: {"sec": ${fmt(sec)}, "sec2": ${fmt(sec2)}, """ +
+          s""""rows": $rows, """ +
+          s""""tags": [${tags.mkString(",")}], "err": $errField}"""
     }
     val total = results.map(_._2).sum
     val json =
@@ -104,7 +121,7 @@ object Census {
          |"_meta": {"sf_dir": ${jstr(sfDir)}, "basis": "toRdd",
          |  "cpu_calib_sec": ${fmt(calibSec)}, "n": ${results.size},
          |  "total_sec": ${fmt(total)},
-         |  "protocol": "1 run; rerun+min if first < ${rerunUnderSec}s"},
+         |  "protocol": "min-of-2 every row; sec=min, sec2=other run"},
          |${rowsJson.mkString(",\n")}
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

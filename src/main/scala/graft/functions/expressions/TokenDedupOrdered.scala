@@ -58,10 +58,12 @@ case class TokenDedupOrdered(child: Expression) extends UnaryExpression {
 object TokenDedupOrdered {
 
   def compute(text: UTF8String): InternalRow = {
-    // split-preserve-empties on the SINGLE-space byte: 0x20 never
-    // occurs inside a multi-byte UTF-8 sequence, so byte-splitting is
-    // code-point-safe and matches Spark's split(text, " ") exactly
-    // (split of "" is [""], trailing separators keep their empties)
+    // String.split(" ", -1): limit -1 preserves empties, so the
+    // semantics match Spark's split(text, ' ') exactly (split of ""
+    // is [""], trailing separators keep their empties). A byte-level
+    // walk on 0x20 would also be code-point-safe (0x20 never occurs
+    // inside a multi-byte UTF-8 sequence) but is not what runs here —
+    // the String decode is paid once and the HashSet dominates.
     val s = text.toString
     val toks = s.split(" ", -1)
     val seen = new java.util.HashSet[String](Math.max(16, toks.length * 2))

@@ -121,7 +121,13 @@ object Nested {
       t(s, d, "orders")
         .select(col("o_orderpriority"), col("o_custkey"))
         // null keys: count(DISTINCT) skips them, a distinct+count(1)
-        // would tally one — filter so the shapes agree on any input
+        // would tally one — the filter aligns the shapes on any input
+        // with one edge-case divergence: a priority group whose
+        // custkeys are ALL null vanishes here, where the one-agg
+        // countDistinct shape would emit it with exact_customers=0
+        // (unreachable on TPC-H — o_custkey is non-null — but a port
+        // to nullable-key data should left-join the priority frame
+        // back if empty groups must survive)
         .where(col("o_custkey").isNotNull)
         .distinct()
         .groupBy(col("o_orderpriority"))

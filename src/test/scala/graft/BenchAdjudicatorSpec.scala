@@ -18,65 +18,76 @@ class BenchAdjudicatorSpec extends AnyFunSuite {
   }
 
   test("solo_failed: a crashed child never produces a judgment") {
-    assert(Bench.soloVerdict(-1.0, 1.0, 2.0, 0, 1.0, cpus, -1, 0.36)
+    assert(Bench.soloVerdict(-1.0, 1.0, 2.0, 0, 1.0, cpus)
       === "solo_failed")
   }
 
   test("in_band_solo: clean child inside the band exonerates the context") {
     // r15 graph_common_neighbors_capped: prev 1.463, ctx 2.471,
     // solo 1.843 <= band 1.902
-    assert(Bench.soloVerdict(1.843, 1.463, 2.471, 14, 7.96, cpus, -1, 0.36)
+    assert(Bench.soloVerdict(1.843, 1.463, 2.471, 14, 7.96, cpus)
       === "in_band_solo")
   }
 
   test("contended: external load voids the measurement") {
-    assert(Bench.soloVerdict(2.0, 1.0, 2.1, 0, cpus * 1.3, cpus, -1, 0.36)
+    assert(Bench.soloVerdict(2.0, 1.0, 2.1, 0, cpus * 1.3, cpus)
       === "contended")
   }
 
   test("gc_bound: a collector-dominated min is heap pressure, not plan cost") {
     // 2.0 s min with 600 ms of GC inside it (>25%)
-    assert(Bench.soloVerdict(2.0, 1.0, 2.1, 600, 2.0, cpus, -1, 0.36)
+    assert(Bench.soloVerdict(2.0, 1.0, 2.1, 600, 2.0, cpus)
       === "gc_bound")
   }
 
   test("unstable_solo_over_band: a child slower than the context it " +
        "arbitrates cannot convict code") {
     // solo 3.87 > 1.2 x ctx 3.14 (this round's gcn_capped firing)
-    assert(Bench.soloVerdict(3.869, 1.463, 3.138, 84, 11.8, cpus, -1, 0.36)
+    assert(Bench.soloVerdict(3.869, 1.463, 3.138, 84, 11.8, cpus)
       === "unstable_solo_over_band")
   }
 
-  test("host_drift: a slowed CPU calibration that explains the mover " +
-       "blames the box, not the code") {
-    // calib 0.36 -> 0.50 (+39%); query 1.0 -> 1.4 (over the 1.3 band,
-    // inside the drift-explained bound 1.389*1.25 = 1.74)
-    assert(Bench.soloVerdict(1.4, 1.0, 1.42, 0, 1.0, cpus, 0.36, 0.50)
-      === "host_drift")
-    // same drift but the query tripled: drift does NOT explain it
-    assert(Bench.soloVerdict(3.0, 1.0, 3.1, 0, 1.0, cpus, 0.36, 0.50)
-      === "regressed")
-    // no prior calibration on record: the branch never fires
-    assert(Bench.soloVerdict(1.4, 1.0, 1.42, 0, 1.0, cpus, -1.0, 0.50)
-      === "regressed")
-    // the drift test reads the best CLEAN measurement — the warm ctx
-    // min as well as the (cold-premium-carrying) solo: r17's
-    // dedup_repeated_spans numbers — calib 0.314->0.364 (+16%),
-    // allowance 1.046*1.161*1.25 = 1.518; solo 1.620 misses it but
-    // ctx 1.412 is inside -> host_drift, not regressed
-    assert(Bench.soloVerdict(1.620, 1.046, 1.412, 11, 7.1, cpus,
-      0.314, 0.364) === "host_drift")
-    // but when BOTH clean measurements exceed the allowance the
-    // drift does not explain the mover
-    assert(Bench.soloVerdict(1.620, 1.046, 1.600, 11, 7.1, cpus,
-      0.314, 0.364) === "regressed")
+  test("calibAdjust: a pure-calib-shift round produces zero movers") {
+    // r16->r17 incident: cpu_calib 0.314->0.365 (+16%) moved the whole
+    // 48-query board one-for-one and every "mover" was host drift.
+    // With the band normalized by the calib ratio, a board where every
+    // query scaled exactly by the drift never clears the mover bar —
+    // zero child JVMs, zero verdicts.
+    val prevCalib = 0.314
+    val nowCalib = 0.365
+    val ratio = nowCalib / prevCalib
+    for (prev <- Seq(0.16, 0.59, 1.05, 2.29, 3.87)) {
+      val cur = prev * ratio // pure host drift, code unchanged
+      assert(cur <= Bench.band(Bench.calibAdjust(prev, prevCalib, nowCalib)),
+        s"pure calib shift flagged a mover at prev=$prev")
+    }
+    // r17's dedup_repeated_spans false positive: prev 1.046, warm ctx
+    // 1.412 on a +16% box — normalized band 1.581 absorbs it, so the
+    // row is not even selected as a mover
+    assert(1.412 <= Bench.band(Bench.calibAdjust(1.046, 0.314, 0.364)))
+    // a real tripling is NOT absorbed by a 16% drift
+    assert(3.0 > Bench.band(Bench.calibAdjust(1.0, 0.314, 0.364)))
+  }
+
+  test("calibAdjust: clamped ratio and missing-calibration identity") {
+    // no calibration on record on either side: prev is untouched
+    assert(Bench.calibAdjust(1.0, -1.0, 0.36) === 1.0)
+    assert(Bench.calibAdjust(1.0, 0.36, -1.0) === 1.0)
+    // a corrupted 3x "drift" sample cannot hide a real regression:
+    // the allowance is clamped at 1.8x
+    assert(Bench.calibAdjust(1.0, 0.3, 0.9) === 1.8)
+    // nor can a "faster box" sample fabricate movers below 0.6x prev
+    assert(Bench.calibAdjust(1.0, 0.9, 0.3) === 0.6)
+    // in-range drift scales exactly
+    assert(math.abs(Bench.calibAdjust(2.0, 0.314, 0.365) -
+      2.0 * 0.365 / 0.314) < 1e-12)
   }
 
   test("regressed requires a concurring second witness") {
     // r15 ann_ivf_kmeans: prev 0.711, first witness 1.062 (verdict0
     // regressed). A second child back inside the band (e.g. this
     // round's measured 0.841 < band 0.961) re-labels it dispersion.
-    assert(Bench.soloVerdict(1.062, 0.711, 1.066, 57, 6.3, cpus, -1, 0.36)
+    assert(Bench.soloVerdict(1.062, 0.711, 1.066, 57, 6.3, cpus)
       === "regressed") // first witness alone would have convicted
     assert(Bench.confirmRegression(1.062, 0.711, 0.841)
       === "dispersive_across_jvms")
