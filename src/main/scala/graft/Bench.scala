@@ -94,6 +94,22 @@ object Bench {
       prevMin * math.min(1.8, math.max(0.6, nowCalib / prevCalib))
     else prevMin
 
+  /** Two-instrument normalization: the integer-mix calibration misses
+    * float/memory-bound host drift (r18 incident: a fresh VM ran the
+    * whole sub-second CPU-tight cohort 1.2–1.8× slower — ann rows,
+    * broadcast_dim_join, simhash — with the integer calib FLAT at
+    * 1.02× and q1_agg at exactly 1.00×; three fresh JVMs concurred,
+    * GC clean, box idle — tools/adjudications/r18_ann_ivfpq_adc.json).
+    * The float calibration sees that class; normalize by whichever
+    * instrument drifted MORE (each clamped inside [[calibAdjust]]), so
+    * a box that slowed on either axis stops fabricating movers while a
+    * flat box keeps the strict band.
+    */
+  def calibAdjust2(prevMin: Double, prevCalib: Double, nowCalib: Double,
+                   prevCalibF32: Double, nowCalibF32: Double): Double =
+    math.max(calibAdjust(prevMin, prevCalib, nowCalib),
+             calibAdjust(prevMin, prevCalibF32, nowCalibF32))
+
   /** First-witness verdict for a bench mover, pure and spec-gated
     * (BenchAdjudicatorSpec) — the chain that decides whether a
     * fresh-child rerun exonerates the context number or escalates.
@@ -160,6 +176,34 @@ object Bench {
     rs.map(_._1).min
   }
 
+  /** Fixed-work FLOAT calibration, seconds (min of 3 after a warmup):
+    * a fused multiply-add sweep over a 64-float array — the inner-loop
+    * shape of the ADC/cosine/hyperplane ANN rows. Exists because the
+    * integer-mix calibration is blind to float/vector host drift: the
+    * r18 box ran the CPU-tight sub-second cohort 1.2–1.8× slower than
+    * r16's on byte-identical code with the integer calib flat (1.02×)
+    * — the two instruments together let the adjudicator discount
+    * whichever axis the fresh VM actually drifted on (calibAdjust2).
+    */
+  def cpuCalibF32Sec(): Double = {
+    def once(iters: Long): (Double, Float) = {
+      val a = Array.tabulate(64)(i => 1.0f + i * 0.001f)
+      var acc = 0.5f
+      var i = 0L
+      val t0 = System.nanoTime()
+      while (i < iters) {
+        val x = a((i & 63L).toInt)
+        acc = acc * 0.999f + x * 0.001f
+        i += 1
+      }
+      ((System.nanoTime() - t0) / 1e9, acc)
+    }
+    once(20000000L) // JIT warmup, discarded
+    val rs = (1 to 3).map(_ => once(200000000L))
+    if (rs.exists(_._2 == 42.0f)) System.err.println("calib f32 sentinel")
+    rs.map(_._1).min
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -190,7 +234,9 @@ object Bench {
     // CPU drift (see cpuCalibSec). Emitted as "cpu_calib_sec"; the
     // adjudicator divides movers by it before blaming code.
     val calibSec = cpuCalibSec()
-    System.err.println(f"[bench] cpu_calib_sec=$calibSec%.4f")
+    val calibF32Sec = cpuCalibF32Sec()
+    System.err.println(
+      f"[bench] cpu_calib_sec=$calibSec%.4f cpu_calib_f32_sec=$calibF32Sec%.4f")
 
     // Warm the session (FS listing, codegen infra, broadcast machinery)
     // outside the timed region.
@@ -387,7 +433,8 @@ object Bench {
           case _ => None
         }).sortBy(-_._1).headOption.map(_._2)
       }
-      val (prevMins: Map[String, Double], prevCalib: Double) =
+      val (prevMins: Map[String, Double], prevCalib: Double,
+           prevCalibF32: Double) =
         prevPath.flatMap { p =>
           try {
             val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -403,10 +450,12 @@ object Bench {
               }
               val c = Option(root.get("cpu_calib_sec"))
                 .map(_.asDouble(-1.0)).getOrElse(-1.0)
-              Some((b.result().filter(_._2 > 0), c))
+              val cf = Option(root.get("cpu_calib_f32_sec"))
+                .map(_.asDouble(-1.0)).getOrElse(-1.0)
+              Some((b.result().filter(_._2 > 0), c, cf))
             }
           } catch { case _: Exception => None }
-        }.getOrElse((Map.empty[String, Double], -1.0))
+        }.getOrElse((Map.empty[String, Double], -1.0, -1.0))
       // Mover selection against the CALIB-NORMALIZED previous min:
       // on a pure host-drift round (every query scaled by the calib
       // ratio) nothing clears band(prevAdj), so no children spawn and
@@ -415,9 +464,11 @@ object Bench {
       val movers = results.collect {
         case (name, rs) if rs.nonEmpty && prevMins.contains(name) &&
           rs.map(_._1).min >
-            band(calibAdjust(prevMins(name), prevCalib, calibSec)) =>
+            band(calibAdjust2(prevMins(name), prevCalib, calibSec,
+                              prevCalibF32, calibF32Sec)) =>
           (name, rs.map(_._1).min, prevMins(name),
-           calibAdjust(prevMins(name), prevCalib, calibSec))
+           calibAdjust2(prevMins(name), prevCalib, calibSec,
+                        prevCalibF32, calibF32Sec))
       }.sortBy { case (_, cur, _, prevAdj) => -(cur - prevAdj) }
         .take(sys.env.getOrElse("SPARK_GRAFT_ADJ_MAX", "4").toInt)
       if (!enabled || movers.isEmpty) ""
@@ -539,6 +590,8 @@ object Bench {
             ",\"solo_warmups\":2" +
             ",\"calib_prev\":" + fmt(prevCalib) +
             ",\"calib_now\":" + fmt(calibSec) +
+            ",\"calib_f32_prev\":" + fmt(prevCalibF32) +
+            ",\"calib_f32_now\":" + fmt(calibF32Sec) +
             ",\"verdict\":\"" + verdict + "\"}"
         }
         s""","adjudication":{"prev":"${prevPath.getOrElse("")}","movers":{${verdicts.mkString(",")}}}"""
@@ -546,7 +599,7 @@ object Bench {
     }
 
     val json =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${minsJson(results)},"stats":${statsJson(results)},"errors":$errs,"warmup":$nWarmups,"runs":$nRuns,"cpu_calib_sec":${fmt(calibSec)},"aqe_primary":$aqePrimary$aqeBlock$adjBlock,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${minsJson(results)},"stats":${statsJson(results)},"errors":$errs,"warmup":$nWarmups,"runs":$nRuns,"cpu_calib_sec":${fmt(calibSec)},"cpu_calib_f32_sec":${fmt(calibF32Sec)},"aqe_primary":$aqePrimary$aqeBlock$adjBlock,"sf":"$sfDir"}"""
     // The driver's tail capture truncated BENCH_r05's stdout — also
     // write the full JSON to a file so the artifact can't be clipped.
     try {

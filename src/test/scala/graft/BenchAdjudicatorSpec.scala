@@ -83,6 +83,22 @@ class BenchAdjudicatorSpec extends AnyFunSuite {
       2.0 * 0.365 / 0.314) < 1e-12)
   }
 
+  test("calibAdjust2: the float instrument covers drift the integer " +
+       "mix is blind to") {
+    // r18 incident: fresh VM ran the CPU-tight cohort 1.2-1.8x slower
+    // with the integer calib FLAT (0.314 -> 0.320) — only a float
+    // instrument can discount that axis. With f32 drifted 1.5x, the
+    // normalized prev follows the BIGGER ratio:
+    assert(math.abs(Bench.calibAdjust2(1.0, 0.314, 0.320, 0.20, 0.30)
+      - 1.5) < 1e-12)
+    // both flat: identity
+    assert(Bench.calibAdjust2(1.0, 0.314, 0.314, 0.20, 0.20) === 1.0)
+    // f32 missing on either side (pre-r18 artifacts): falls back to
+    // the integer ratio alone
+    assert(math.abs(Bench.calibAdjust2(1.0, 0.30, 0.36, -1.0, 0.20)
+      - 1.2) < 1e-12)
+  }
+
   test("regressed requires a concurring second witness") {
     // r15 ann_ivf_kmeans: prev 0.711, first witness 1.062 (verdict0
     // regressed). A second child back inside the band (e.g. this
