@@ -223,7 +223,25 @@ object GenSf {
       .select(col("doc_id"),
         concat(col("src_text"), lit(" dup")).as("text"),
         col("lang"), col("source"))
-    write(withLang.unionByName(dups)
+    // planted MID-BAND near-dup pair (one per corpus, any mult): the
+    // organic near-dup tail is template clones with Jaccard >= 0.90,
+    // so LSH verify thresholds anywhere in (0.5, 0.9) never bound on
+    // this corpus and an r17 mutation probe (0.5 -> 0.8) PASSED the
+    // oracle gate. These two docs share a 24-word prefix over
+    // plant-only vocabulary: 22 shared trigram shingles of 30 resp.
+    // 26 -> exact Jaccard 22/34 = 0.647, inside (0.5, 0.8), so the
+    // 0.5 threshold and the banding both bind (band collision checked
+    // empirically and pinned by GateSensitivitySpec — minhash
+    // emission at jac 0.647 is deterministic for fixed text but not
+    // guaranteed a priori).
+    val plantA = (0 until 32).map(i => f"planta$i%02d").mkString(" ")
+    val plantB = ((0 until 24).map(i => f"planta$i%02d") ++
+      (0 until 4).map(i => f"plantb$i%02d")).mkString(" ")
+    val planted = Seq(
+      (nDocs, plantA, "en", "src0"),
+      (nDocs + 1, plantB, "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+    write(withLang.unionByName(dups).unionByName(planted)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
         length(col("text")).cast("long").as("n_chars"))
       .orderBy("doc_id"), "documents")

@@ -28,6 +28,32 @@ class GateSensitivitySpec extends SparkSpec {
       s"stage 3 saturated ($s3 of $s2): the purchase window no longer binds")
   }
 
+  test("dedup_minhash_lsh: the planted mid-band pair keeps the verify " +
+       "threshold live (r17 probe 20: every organic pair has " +
+       "Jaccard >= 0.90, so thresholds in (0.5, 0.9) never bound)") {
+    // GenSf plants two docs sharing a 24-word prefix over plant-only
+    // vocabulary: exact Jaccard 22/34 = 0.647. This asserts (a) the
+    // LSH banding actually emits the pair (band collision at jac 0.65
+    // is ~54% a priori — deterministic for the committed text, but a
+    // GenSf vocabulary edit can silently lose it) and (b) its jac sits
+    // strictly inside (0.5, 0.8), so a 0.5->0.8 threshold mutation now
+    // KILLS the sf1 gate instead of passing it.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(
+      sfRepo("testdata-sf1") + "/documents.parquet")
+    val planted = operators.Dedup
+      .minhashLshPairs(docs, "doc_id", "text")
+      .where(col("d1") === 50000L) // doc ids nDocs, nDocs+1 at mult 10
+      .collect()
+    assert(planted.length == 1,
+      s"planted pair not emitted by the LSH banding (got " +
+        s"${planted.length} rows) — re-check GenSf's plant block")
+    val jac = planted.head.getAs[Double]("jac")
+    assert(jac > 0.5 && jac < 0.8,
+      s"planted pair jac=$jac left the (0.5, 0.8) band the threshold " +
+        "mutation gate relies on")
+  }
+
   test("graph_common_neighbors_capped emits real rows at the gate SF " +
        "(the r16 vacuous-cap class)") {
     val n = SparkEntry.queries("graph_common_neighbors_capped")(
