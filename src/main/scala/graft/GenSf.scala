@@ -181,6 +181,20 @@ object GenSf {
     val etypes = array(Seq("click", "error", "purchase", "signup",
       "view").map(lit): _*)
     val epoch24 = 1704067200L // 2024-01-01T00:00:00Z
+    // planted NULL-payload event (one per corpus, any mult): the
+    // organic stream is null-free in every column, so the null arms
+    // of the profiling/JSON rows (profile_null_report's n_null,
+    // from_json on a missing payload) verified the constant 0 at
+    // every SF and were mutation-insensitive (r18 saturation audit).
+    // ts/user_id/event_type stay NON-null — watermarks and keyed
+    // state need them; value/props are the honestly-nullable pair.
+    val plantedEvent = spark.range(nEvents, nEvents + 1).select(
+      col("id").as("event_id"),
+      timestamp_seconds(lit(epoch24) + 15L * 86400L).as("ts"),
+      lit(0L).as("user_id"),
+      lit("view").as("event_type"),
+      lit(null).cast("double").as("value"),
+      lit(null).cast("string").as("props"))
     write(spark.range(nEvents).select(
       col("id").as("event_id"),
       timestamp_seconds(lit(epoch24) +
@@ -190,7 +204,8 @@ object GenSf {
       round(-lit(50.0) * log(lit(1.0) - u01(col("id"), 74)), 2)
         .as("value"),
       concat(lit("{\"k\": "), uniInt(col("id"), 75, 100), lit("}"))
-        .as("props")), "events")
+        .as("props"))
+      .unionByName(plantedEvent), "events")
 
     // documents: ~95% originals over the 30-word vocabulary, ~5%
     // near-duplicates (an original's text + " dup") — the tail that
@@ -254,9 +269,19 @@ object GenSf {
       sqrt(lit(-2.0) * log(lit(1.0) - u01(k, 91))) *
         cos(lit(2.0 * math.Pi) * u01(k, 92))
     })
+    // one ORPHAN embedding (vec_id = 2·nDocs, outside the doc-id
+    // range at every mult): embeddings' ids are otherwise a strict
+    // subset of doc ids, so coverage_docs_embeddings'
+    // n_embeddings_without_doc arm verified the constant 0 at every
+    // SF and an anti-join-direction mutation would pass (r18
+    // saturation audit). A normal unit-norm vector otherwise — ANN
+    // rows treat it as one more point.
     write(spark.range(nVecs)
       .select(col("id").as("vec_id"), gauss.as("g"),
         uniInt(col("id"), 93, 10).as("label"))
+      .unionByName(spark.range(2 * nDocs, 2 * nDocs + 1)
+        .select(col("id").as("vec_id"), gauss.as("g"),
+          uniInt(col("id"), 93, 10).as("label")))
       .select(col("vec_id"),
         transform(col("g"), x => (x / sqrt(aggregate(col("g"), lit(0.0),
           (acc, y) => acc + y * y))).cast("float")).as("embedding"),

@@ -1003,13 +1003,23 @@ object Analytics {
             .as("sim"))
         .orderBy("p1")),
     "anomaly_zscore_exact" -> ((s, d) => {
-      // A22: outlier census (|x − mean| > 2σ per group) with ZERO
-      // floating-point error: multiply the inequality through by n² —
-      //   (n·x − S1)² > 4·(n·S2 − S1²)
+      // A22: outlier census (|x − mean| > 1.5σ per group) with ZERO
+      // floating-point error: multiply the inequality through by n²
+      // and by 4 to keep the 1.5² = 9/4 factor integral —
+      //   4·(n·x − S1)² > 9·(n·S2 − S1²)
       // — and evaluate in exact integer/decimal arithmetic over power
       // sums of cents. No sqrt, no division, no order-dependent double
       // accumulation; one window shuffle for the power sums, then a
       // 3-row aggregate.
+      //
+      // Threshold 1.5σ, not the textbook 2σ, because the gate must
+      // BIND (r18 saturation audit): l_extendedprice is bounded
+      // uniform-ish, and a bounded uniform's max deviation is
+      // √3·σ ≈ 1.73σ — at 2σ the outlier census is STRUCTURALLY ZERO
+      // at every SF, so n_outliers verified the constant 0 and any
+      // mutation of the flag expression passed (the events_funnel
+      // class). At 1.5σ ≈ 13% of rows flag and the census erodes
+      // with the data.
       import org.apache.spark.sql.types.DecimalType
       def d38(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
       val w = Window.partitionBy(col("l_returnflag"))
@@ -1021,8 +1031,8 @@ object Analytics {
         .withColumn("lhs_root",
           d38(col("n")) * d38(col("x")) - d38(col("s1")))
         .withColumn("flag",
-          col("lhs_root") * col("lhs_root") >
-            d38(lit(4)) * (d38(col("n")) * col("s2") -
+          d38(lit(4)) * col("lhs_root") * col("lhs_root") >
+            d38(lit(9)) * (d38(col("n")) * col("s2") -
               d38(col("s1")) * d38(col("s1"))))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
@@ -1817,8 +1827,8 @@ object Analytics {
         |        sum(x) AS s1, sum(x * x) AS s2
         |      FROM c GROUP BY 1)
         |SELECT l_returnflag, count(*) AS n_rows,
-        |  CAST(sum(CASE WHEN (g.n * c.x - g.s1) * (g.n * c.x - g.s1)
-        |                   > 4 * (g.n * g.s2 - g.s1 * g.s1)
+        |  CAST(sum(CASE WHEN 4 * (g.n * c.x - g.s1) * (g.n * c.x - g.s1)
+        |                   > 9 * (g.n * g.s2 - g.s1 * g.s1)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM c JOIN g USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,

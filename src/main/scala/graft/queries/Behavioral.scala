@@ -134,19 +134,33 @@ object Behavioral {
     "conversion_by_channel" -> ((s, d) => {
       // B8: conversion rate by acquisition channel — users grouped by
       // their FIRST event type (the acquisition touch), conversion =
-      // ever purchased. One user exchange derives both facts (first
-      // event via a min-struct aggregate — no window needed — and the
-      // purchase flag via a conditional max) in a single pass; the
-      // per-channel rollup is channel-count-sized. Rate fixed-point
-      // e6 from exact counts.
+      // first purchase within 48 HOURS of the first touch. One user
+      // exchange derives both facts (first event via a min-struct
+      // aggregate — no window needed — and the first purchase ts via a
+      // conditional min) in a single pass; the per-channel rollup is
+      // channel-count-sized. Rate fixed-point e6 from exact counts.
+      //
+      // The 48 h window is load-bearing for the GATE, not just the
+      // metric (r18 saturation audit): unwindowed "ever purchased"
+      // saturates on this stream — ~67 events/user over 30 days puts
+      // P(no purchase) ≈ (4/5)^67 ≈ 3e-7 at EVERY SF, so conv_fp_e6
+      // verified the constant 1000000 five times and a mutation of
+      // the conversion predicate passed trivially (the events_funnel
+      // class, r17). The median first-touch→first-purchase gap is
+      // ~2 days, so the 48 h cut sits inside the distribution and the
+      // rate has real per-channel erosion at both gate SFs.
       val perUser = Tables.events(s, d)
         .groupBy(col("user_id"))
         .agg(
           min(struct(col("ts"), col("event_id"), col("event_type")))
             .as("first_ev"),
-          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("converted"))
-        .select(col("first_ev.event_type").as("channel"), col("converted"))
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("first_purchase_ts"))
+        .select(col("first_ev.event_type").as("channel"),
+          when(col("first_purchase_ts").isNotNull &&
+            col("first_purchase_ts") <=
+              col("first_ev.ts") + expr("INTERVAL 48 HOURS"), 1L)
+            .otherwise(0L).as("converted"))
       perUser.groupBy(col("channel"))
         .agg(count(lit(1)).as("n_users"),
           sum(col("converted")).as("n_converted"))
@@ -379,21 +393,27 @@ object Behavioral {
     "conversion_by_channel" ->
       s"""WITH $evSql,
          |f AS (
-         |  SELECT user_id, event_type,
+         |  SELECT user_id, event_type, ts,
          |    row_number() OVER (PARTITION BY user_id
          |      ORDER BY ts, event_id) AS rn
          |  FROM ev),
-         |conv AS (
+         |fp AS (
          |  SELECT user_id,
-         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-         |      AS converted
+         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS fpts
          |  FROM ev GROUP BY 1),
-         |ch AS (SELECT user_id, event_type AS channel FROM f WHERE rn = 1)
+         |ch AS (SELECT user_id, event_type AS channel, ts AS first_ts
+         |       FROM f WHERE rn = 1),
+         |conv AS (
+         |  SELECT ch.user_id, ch.channel,
+         |    CASE WHEN fp.fpts IS NOT NULL
+         |           AND fp.fpts <= ch.first_ts + INTERVAL 48 HOUR
+         |         THEN 1 ELSE 0 END AS converted
+         |  FROM ch JOIN fp USING (user_id))
          |SELECT channel, count(*) AS n_users,
          |  CAST(sum(converted) AS BIGINT) AS n_converted,
          |  CAST(round(1000000.0 * CAST(sum(converted) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE)) AS BIGINT) AS conv_fp_e6
-         |FROM ch JOIN conv USING (user_id)
+         |FROM conv
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "engagement_stickiness" ->
       s"""WITH $evSql,

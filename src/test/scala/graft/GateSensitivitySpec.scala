@@ -54,6 +54,66 @@ class GateSensitivitySpec extends SparkSpec {
         "mutation gate relies on")
   }
 
+  test("conversion_by_channel erodes at the gate SF (unwindowed " +
+       "'ever purchased' saturated at 100% on every channel, r18 audit)") {
+    val rows = SparkEntry.queries("conversion_by_channel")(
+      spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (channel, users, conv) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(conv > 0,
+        s"channel $channel: zero conversions — the window collapsed")
+      // the purchase channel converts 100% BY DEFINITION (its first
+      // touch IS a purchase, trivially inside its own window); every
+      // other channel must show real erosion
+      if (channel != "purchase")
+        assert(conv < users,
+          s"channel $channel: $conv of $users converted — the 48 h " +
+            "conversion window no longer binds (100% = the gate is " +
+            "back to verifying a constant)")
+    }
+  }
+
+  test("anomaly_zscore_exact flags real outliers at the gate SF (2-sigma " +
+       "was structurally zero on bounded uniform data, r18 audit)") {
+    val rows = SparkEntry.queries("anomaly_zscore_exact")(
+      spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, out) = (r.getLong(1), r.getLong(2))
+      assert(out > 0 && out < n,
+        s"flag ${r.getString(0)}: $out outliers of $n — the 1.5-sigma " +
+          "census is degenerate again (all or none)")
+    }
+  }
+
+  test("coverage_docs_embeddings: both anti-join arms live at sf1 " +
+       "(planted orphan embedding + docs beyond the vec range)") {
+    val r = SparkEntry.queries("coverage_docs_embeddings")(
+      spark, sfRepo("testdata-sf1")).head()
+    assert(r.getLong(1) > 0,
+      "n_docs_without_embedding = 0: the docs-side anti-join verifies " +
+        "nothing (doc ids are covered by vec ids again)")
+    assert(r.getLong(2) > 0,
+      "n_embeddings_without_doc = 0: the planted orphan embedding is " +
+        "gone from GenSf — that arm is back to verifying a constant")
+  }
+
+  test("profile_null_report: the null arm is live at sf1 (planted " +
+       "null-payload event)") {
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("profile_null_report")(
+      spark, sfRepo("testdata-sf1"))
+      .where(col("column_name").isin("value", "props")).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L,
+        s"${r.getString(0)}: n_null = ${r.getLong(1)} — the planted " +
+          "null-payload event is gone; the null-count arm verifies 0")
+    }
+  }
+
   test("graph_common_neighbors_capped emits real rows at the gate SF " +
        "(the r16 vacuous-cap class)") {
     val n = SparkEntry.queries("graph_common_neighbors_capped")(
