@@ -125,6 +125,13 @@ object Analytics {
       val w1 = Window.partitionBy(col("event_type"))
         .orderBy(col("x"), col("event_id"))
       val ranked = Tables.events(s, d)
+        // null values are NOT observations: without the filter a null
+        // measurement enters rank and n — and Spark ranks nulls FIRST
+        // (ascending) where DuckDB ranks them LAST, so the two medians
+        // silently pick different elements. Caught by the r18 planted
+        // null-payload event at the sf1 gate; the explicit drop is the
+        // statistical definition, pinned on both sides.
+        .where(col("value").isNotNull)
         .select(col("event_type"), col("event_id"), cents.as("x"))
         .withColumn("rn", row_number().over(w1))
         .withColumn("n", count(lit(1)).over(
@@ -730,7 +737,12 @@ object Analytics {
       // so both engines compute identical doubles and the max picks
       // the same point; scaled to e9 for the hash.
       val ev = Tables.events(s, d)
-        .where(col("event_type").isin("click", "view"))
+        // null values are not samples: they would still count into
+        // n1/n2 and the running ECDF numerators, at an engine-chosen
+        // sort position (Spark nulls-first vs DuckDB nulls-last).
+        // Caught by the r18 planted null-payload event at sf1.
+        .where(col("event_type").isin("click", "view") &&
+               col("value").isNotNull)
         .select(col("event_type"),
           round(col("value") * 100, 0).cast("long").as("x"),
           col("event_id"))
@@ -1330,7 +1342,7 @@ object Analytics {
         |    row_number() OVER (PARTITION BY event_type
         |      ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rn,
         |    count(*) OVER (PARTITION BY event_type) AS n
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |med AS (
         |  SELECT event_type, x AS med FROM ranked
         |  WHERE rn = ceil(n * 0.5)),
@@ -1558,7 +1570,8 @@ object Analytics {
       """WITH ev AS (
         |  SELECT event_type,
         |    CAST(round(value * 100) AS BIGINT) AS x, event_id
-        |  FROM events WHERE event_type IN ('click', 'view')),
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
         |tot AS (
         |  SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
         |         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2

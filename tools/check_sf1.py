@@ -55,7 +55,9 @@ BUDGET_OVERRIDE = {
     "dedup_cdc_chunks": 900,
     "text_cdc_chunks": 900,
     "dedup_repeated_spans": 900,
-    "dedup_cluster_cc": 600,
+    # 600 through r17; the r18 planted docs pushed the WITH RECURSIVE
+    # closure mirror just over it (measured timeout at 600)
+    "dedup_cluster_cc": 1200,
     # the auto variant's oracle mirrors the LSH routing at sf>=0.1:
     # 128 minhashes per doc in SQL plus four banded equi-joins
     "dedup_cluster_cc_auto": 900,
