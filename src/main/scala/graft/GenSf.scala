@@ -252,9 +252,24 @@ object GenSf {
     val plantA = (0 until 32).map(i => f"planta$i%02d").mkString(" ")
     val plantB = ((0 until 24).map(i => f"planta$i%02d") ++
       (0 until 4).map(i => f"plantb$i%02d")).mkString(" ")
+    // two more liveness plants (r18 catalog-wide degeneracy sweep):
+    // plantC carries foreign language markers (the de/es/fr marker
+    // scores were constant 0 on the English-only vocabulary at every
+    // SF), sentence punctuation (every organic doc is one sentence,
+    // so the sentence-split arms of readability/sentence-stats never
+    // fired), and digit-only words (gopher-quality's >=80%-alphabetic
+    // rule was saturated at 100%). plantD repeats a 5-gram so the
+    // gopher dup5 rule fires DETERMINISTICALLY (sf1 had only 3
+    // chance repeats, which a corpus regeneration could lose).
+    val plantC = "der und die nicht el la los una le les est une " +
+      "123 456. der und die nicht el la los una le les est une 789."
+    val plantD = ("plantc00 plantc01 plantc02 plantc03 plantc04 " +
+      "plantc00 plantc01 plantc02 plantc03 plantc04 plantc05")
     val planted = Seq(
       (nDocs, plantA, "en", "src0"),
-      (nDocs + 1, plantB, "en", "src0"))
+      (nDocs + 1, plantB, "en", "src0"),
+      (nDocs + 2, plantC, "de", "src1"),
+      (nDocs + 3, plantD, "en", "src1"))
       .toDF("doc_id", "text", "lang", "source")
     write(withLang.unionByName(dups).unionByName(planted)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),

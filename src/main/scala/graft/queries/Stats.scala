@@ -1161,8 +1161,17 @@ object Stats {
       // fact table was already aggregated away), so the single
       // partition it implies is spine-sized, never corpus-sized; with
       // many series, partition the windows by series key.
+      //
+      // The series is ONE USER's purchases, not the whole stream's:
+      // the corpus-wide daily sum has a purchase on every day at
+      // every SF (density grows with the corpus), so the
+      // interpolation arm NEVER fired and the gate verified a pure
+      // pass-through (r18 degeneracy sweep: known=true on all 30
+      // days). Events-per-user is scale-invariant (~67 over 30 days,
+      // ~13 purchases), so user 0's series has real gaps at every SF
+      // and both arms — pass-through and interpolation — stay live.
       val daily = Tables.events(s, d)
-        .where(col("event_type") === "purchase")
+        .where(col("event_type") === "purchase" && col("user_id") === 0L)
         .groupBy(col("ts").cast("date").as("day"))
         .agg(sum(round(col("value") * 100, 0).cast("long")).as("x"))
         .localCheckpoint(false)
@@ -2005,7 +2014,8 @@ object Stats {
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day,
         |    sum(CAST(round(value * 100) AS BIGINT)) AS x
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |  FROM events WHERE event_type = 'purchase' AND user_id = 0
+        |  GROUP BY 1),
         |spine AS (
         |  SELECT unnest(generate_series(min(day), max(day),
         |                                INTERVAL 1 DAY)) AS day

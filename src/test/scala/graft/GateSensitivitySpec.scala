@@ -114,6 +114,46 @@ class GateSensitivitySpec extends SparkSpec {
     }
   }
 
+  test("interpolate_linear_days: the interpolation arm fires at the " +
+       "gate SF (the corpus-wide series had a purchase every day at " +
+       "every SF, r18 sweep)") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("interpolate_linear_days")(
+      spark, sf("sf0.01"))
+    val known = df.where(col("known")).count()
+    val interp = df.where(!col("known")).count()
+    assert(known > 0 && interp > 0,
+      s"known=$known interpolated=$interp — one arm of the gap-fill " +
+        "is dead again (user-0's per-user density is scale-invariant; " +
+        "if this fails the events generator changed)")
+  }
+
+  test("liveness plants: langid foreign markers, sentence split, " +
+       "non-alpha words, deterministic dup5 (r18 sweep arms)") {
+    import org.apache.spark.sql.functions.col
+    val sfDir = sfRepo("testdata-sf1")
+    val langid = SparkEntry.queries("text_langid")(spark, sfDir)
+      .where(col("score_de") > 0 && col("score_es") > 0 &&
+             col("score_fr") > 0)
+    assert(langid.count() >= 1,
+      "no doc scores >0 on de AND es AND fr markers — plantC is gone " +
+        "and those scoring arms are back to verifying constant 0")
+    val sents = SparkEntry.queries("text_sentence_stats")(spark, sfDir)
+      .where(col("n_sent") > 1)
+    assert(sents.count() >= 1,
+      "no multi-sentence doc — the sentence-split arm is dead again")
+    val alpha = SparkEntry.queries("text_gopher_quality")(spark, sfDir)
+      .where(col("alpha_frac_fp_e6") < 1000000L)
+    assert(alpha.count() >= 1,
+      "no doc with a non-alphabetic word — the >=80%-alpha rule is " +
+        "saturated at 100% again")
+    val dup5 = SparkEntry.queries("text_gopher_repetition")(spark, sfDir)
+      .where(col("dup5_chars") > 0)
+    assert(dup5.count() >= 1,
+      "no doc with a duplicated 5-gram — plantD is gone and the dup5 " +
+        "rule never fires")
+  }
+
   test("graph_common_neighbors_capped emits real rows at the gate SF " +
        "(the r16 vacuous-cap class)") {
     val n = SparkEntry.queries("graph_common_neighbors_capped")(

@@ -51,8 +51,8 @@ class VerifyFenceSpec extends SparkSpec {
       sfRepo("testdata-sf1"), "dedup_cdc_chunks")
     assert(r.isDefined)
     assert(r.get.contains("dedup_cdc_chunks_capped"))
-    // 50002 = 50000 organic + the 2 planted mid-band LSH docs (r18)
-    assert(r.get.contains("over 50002 docs"))
+    // 50004 = 50000 organic + the 4 r18 planted docs (LSH pair + liveness pair)
+    assert(r.get.contains("over 50004 docs"))
   }
 
   test("unfenced names never produce a reason") {

@@ -61,8 +61,8 @@ class WorkCountSpec extends SparkSpec {
     // that here instead. Also pins the sibling's lever: stop-chunk
     // suppression at f <= 64 bounds pairs by 32*chunk_rows.
     val c = WorkCount.cdcCensus(spark, sfRepo("testdata-sf1"))
-    // 50002 = 50000 organic + the 2 planted mid-band LSH docs (r18)
-    assert(c.nDocs == 50002L, s"sf1 corpus changed: ${c.nDocs} docs")
+    // 50004 = 50000 organic + the 4 r18 planted docs (LSH pair + liveness pair)
+    assert(c.nDocs == 50004L, s"sf1 corpus changed: ${c.nDocs} docs")
     assert(c.candPairsBound > 64L * c.nDocs,
       s"cdc census bound ${c.candPairsBound} no longer exceeds the " +
         s"64/doc gate over ${c.nDocs} docs — the dedup_cdc_chunks " +
