@@ -73,7 +73,7 @@ object Nested {
         .where(col("k_val") % 7 === 0)
         .orderBy("event_id")),
     "sketch_count_min" -> ((s, d) => {
-      // Count-Min sketch (depth 4 × width 64) of event-type
+      // Count-Min sketch (depth 4 × width 64) of per-USER event
       // frequencies, next to the exact counts. The counter table is
       // the (d, bucket)-grouped count — 256 mergeable cells that
       // combine map-side, the 100 TB substitute for a per-key shuffle
@@ -82,13 +82,22 @@ object Nested {
       // Bucket hashing is salted md5 (engine-portable), so the oracle
       // builds the IDENTICAL sketch and the match is exact — including
       // any collision overestimates.
+      //
+      // The key is user_id, NOT event_type (changed r18): 5 event
+      // types in 256 cells never collide at ANY SF, so the estimates
+      // equaled the exact counts trivially and a width mutation
+      // passed the gate — the sketch's one interesting behavior
+      // (collision overestimation) was unreachable. With ~150 users
+      // per 64 buckets the collisions are real and gate-checked
+      // (sf0.01: estimates exceed exact on most keys).
       val depth = 4
       val width = 64
       val ds = explode(array((0 until depth).map(lit): _*)).as("dd")
       def bucket(k: org.apache.spark.sql.Column) =
         pmod(graft.functions.TextFns.hash60(
           concat(col("dd").cast("string"), lit("|"), k)), lit(width))
-      val ev = t(s, d, "events").select(col("event_type").as("k"))
+      val ev = Tables.events(s, d)
+        .select(col("user_id").cast("string").as("k"))
       val counters = ev.select(col("k"), ds)
         .withColumn("b", bucket(col("k")))
         .groupBy("dd", "b").agg(count(lit(1)).as("c"))
@@ -473,7 +482,7 @@ object Nested {
         |WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
         |ORDER BY event_id""".stripMargin,
     "sketch_count_min" ->
-      """WITH ev AS (SELECT event_type AS k FROM events),
+      """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
         |ds AS (SELECT unnest([0, 1, 2, 3]) AS dd),
         |rb AS (
         |  SELECT k, dd,

@@ -154,6 +154,16 @@ class GateSensitivitySpec extends SparkSpec {
         "rule never fires")
   }
 
+  test("sketch_count_min: collisions actually occur at the gate SF " +
+       "(5 event types in 256 cells never collided - r18 batch-4 probe)") {
+    import org.apache.spark.sql.functions.col
+    val over = SparkEntry.queries("sketch_count_min")(spark, sf("sf0.01"))
+      .where(col("cms_estimate") > col("exact_cnt")).count()
+    assert(over >= 1,
+      "no key overestimates - the CMS key space stopped colliding and " +
+        "the sketch gate is back to verifying exact counts trivially")
+  }
+
   test("graph_common_neighbors_capped emits real rows at the gate SF " +
        "(the r16 vacuous-cap class)") {
     val n = SparkEntry.queries("graph_common_neighbors_capped")(
