@@ -103,12 +103,39 @@ object Bench {
     * The float calibration sees that class; normalize by whichever
     * instrument drifted MORE (each clamped inside [[calibAdjust]]), so
     * a box that slowed on either axis stops fabricating movers while a
-    * flat box keeps the strict band.
+    * flat box keeps the strict band. When only ONE instrument has both
+    * samples (pre-r18 baselines lack cpu_calib_f32_sec), use that
+    * instrument's adjustment DIRECTLY — max-ing with the identity
+    * would discard a faster-box TIGHTENING (ratio < 1) and let a real
+    * regression hide behind the un-normalized prev (r18 ADVICE).
     */
   def calibAdjust2(prevMin: Double, prevCalib: Double, nowCalib: Double,
-                   prevCalibF32: Double, nowCalibF32: Double): Double =
-    math.max(calibAdjust(prevMin, prevCalib, nowCalib),
-             calibAdjust(prevMin, prevCalibF32, nowCalibF32))
+                   prevCalibF32: Double, nowCalibF32: Double): Double = {
+    val intPresent = prevCalib > 0 && nowCalib > 0
+    val f32Present = prevCalibF32 > 0 && nowCalibF32 > 0
+    if (intPresent && f32Present)
+      math.max(calibAdjust(prevMin, prevCalib, nowCalib),
+               calibAdjust(prevMin, prevCalibF32, nowCalibF32))
+    else if (intPresent) calibAdjust(prevMin, prevCalib, nowCalib)
+    else if (f32Present) calibAdjust(prevMin, prevCalibF32, nowCalibF32)
+    else prevMin
+  }
+
+  /** True when a present instrument's RAW calib ratio lies outside the
+    * [0.6, 1.8] clamp [[calibAdjust]] applies: past the clamp the band
+    * can no longer absorb the drift, both fresh-child witnesses run on
+    * the same slowed box, and confirmRegression would concur — so a
+    * genuine >1.8x host slowdown is stamped "regressed" with no escape
+    * hatch (the removed host_drift branch's allowance was uncapped).
+    * The board must carry a loud warning on such rounds (r18 ADVICE).
+    */
+  def calibClampExceeded(prevCalib: Double, nowCalib: Double,
+                         prevCalibF32: Double, nowCalibF32: Double): Boolean = {
+    def raw(p: Double, n: Double): Double = if (p > 0 && n > 0) n / p else 1.0
+    val ri = raw(prevCalib, nowCalib)
+    val rf = raw(prevCalibF32, nowCalibF32)
+    ri > 1.8 || ri < 0.6 || rf > 1.8 || rf < 0.6
+  }
 
   /** First-witness verdict for a bench mover, pure and spec-gated
     * (BenchAdjudicatorSpec) — the chain that decides whether a
@@ -456,6 +483,27 @@ object Bench {
             }
           } catch { case _: Exception => None }
         }.getOrElse((Map.empty[String, Double], -1.0, -1.0))
+      // Board-level clamp warning: when a present instrument's RAW
+      // ratio is outside the [0.6, 1.8] clamp, the normalized band
+      // cannot absorb the drift and every verdict below runs on the
+      // same drifted box — stamp the artifact so a >1.8x host-slowdown
+      // round is never silently read as "regressed" (r18 ADVICE; the
+      // removed host_drift branch's allowance was uncapped).
+      val clampWarn = {
+        def raw(p: Double, n: Double) = if (p > 0 && n > 0) n / p else 1.0
+        if (calibClampExceeded(prevCalib, calibSec,
+                               prevCalibF32, calibF32Sec)) {
+          System.err.println(
+            f"[adjudicate] WARNING calib ratio outside [0.6,1.8] clamp " +
+            f"(int ${raw(prevCalib, calibSec)}%.3f, " +
+            f"f32 ${raw(prevCalibF32, calibF32Sec)}%.3f) — " +
+            "band cannot absorb this drift; treat 'regressed' verdicts " +
+            "this round as suspect host slowdown")
+          s""","calib_clamp_exceeded":true,"calib_ratio_int":${fmt(
+            raw(prevCalib, calibSec))},"calib_ratio_f32":${fmt(
+            raw(prevCalibF32, calibF32Sec))}"""
+        } else ""
+      }
       // Mover selection against the CALIB-NORMALIZED previous min:
       // on a pure host-drift round (every query scaled by the calib
       // ratio) nothing clears band(prevAdj), so no children spawn and
@@ -471,7 +519,9 @@ object Bench {
                         prevCalibF32, calibF32Sec))
       }.sortBy { case (_, cur, _, prevAdj) => -(cur - prevAdj) }
         .take(sys.env.getOrElse("SPARK_GRAFT_ADJ_MAX", "4").toInt)
-      if (!enabled || movers.isEmpty) ""
+      if (!enabled || (movers.isEmpty && clampWarn.isEmpty)) ""
+      else if (movers.isEmpty)
+        s""","adjudication":{"prev":"${prevPath.getOrElse("")}","movers":{}$clampWarn}"""
       else {
         val javaBin = System.getProperty("java.home") + "/bin/java"
         val jvmArgs = java.lang.management.ManagementFactory
@@ -594,7 +644,7 @@ object Bench {
             ",\"calib_f32_now\":" + fmt(calibF32Sec) +
             ",\"verdict\":\"" + verdict + "\"}"
         }
-        s""","adjudication":{"prev":"${prevPath.getOrElse("")}","movers":{${verdicts.mkString(",")}}}"""
+        s""","adjudication":{"prev":"${prevPath.getOrElse("")}","movers":{${verdicts.mkString(",")}}$clampWarn}"""
       }
     }
 

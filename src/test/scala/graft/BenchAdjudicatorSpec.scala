@@ -97,6 +97,32 @@ class BenchAdjudicatorSpec extends AnyFunSuite {
     // the integer ratio alone
     assert(math.abs(Bench.calibAdjust2(1.0, 0.30, 0.36, -1.0, 0.20)
       - 1.2) < 1e-12)
+    // r18 ADVICE: a missing instrument must NOT be max-ed as identity —
+    // a faster box (ratio < 1) with f32 absent must TIGHTEN the band to
+    // the integer ratio, not discard it (a regression masked by the
+    // faster box would otherwise never flag against pre-r18 baselines)
+    assert(math.abs(Bench.calibAdjust2(1.0, 0.36, 0.30, -1.0, 0.20)
+      - 0.30 / 0.36) < 1e-12)
+    // symmetric: integer missing, f32 present and faster
+    assert(math.abs(Bench.calibAdjust2(1.0, -1.0, 0.30, 0.36, 0.30)
+      - 0.30 / 0.36) < 1e-12)
+    // both missing: identity
+    assert(Bench.calibAdjust2(1.0, -1.0, 0.30, 0.36, -1.0) === 1.0)
+  }
+
+  test("calibClampExceeded: the board warns when raw drift escapes the " +
+       "[0.6, 1.8] clamp (r18 ADVICE: no host-drift escape hatch past " +
+       "the clamp — both witnesses run on the same slowed box)") {
+    // inside the clamp on both instruments: quiet
+    assert(!Bench.calibClampExceeded(0.30, 0.36, 0.20, 0.30))
+    // >1.8x integer slowdown: warn
+    assert(Bench.calibClampExceeded(0.30, 0.60, 0.20, 0.20))
+    // >1.8x float slowdown with integer flat: warn
+    assert(Bench.calibClampExceeded(0.30, 0.30, 0.20, 0.40))
+    // <0.6x (suspiciously fast / corrupted sample): warn
+    assert(Bench.calibClampExceeded(0.30, 0.15, 0.20, 0.20))
+    // missing instruments are not drift evidence: quiet
+    assert(!Bench.calibClampExceeded(-1.0, 0.36, -1.0, 0.20))
   }
 
   test("regressed requires a concurring second witness") {

@@ -41,9 +41,21 @@ class GateSensitivitySpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(
       sfRepo("testdata-sf1") + "/documents.parquet")
+    // Derive the planted pair's ids from the corpus by the plant-only
+    // vocabulary (GenSf: plantA/plantB are the only docs starting
+    // "planta00") rather than a literal id — a regenerated corpus at a
+    // different mult would make a hardcoded id match nothing and this
+    // test would then mis-report "pair not emitted by the LSH banding"
+    // instead of pointing at the id mismatch (r18 ADVICE).
+    val plantIds = docs
+      .where(col("text").startsWith("planta00"))
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(plantIds.length == 2,
+      s"expected exactly 2 planted docs with the planta00 prefix, got " +
+        s"${plantIds.mkString("[", ",", "]")} — re-check GenSf's plant block")
     val planted = operators.Dedup
       .minhashLshPairs(docs, "doc_id", "text")
-      .where(col("d1") === 50000L) // doc ids nDocs, nDocs+1 at mult 10
+      .where(col("d1") === plantIds(0) && col("d2") === plantIds(1))
       .collect()
     assert(planted.length == 1,
       s"planted pair not emitted by the LSH banding (got " +
