@@ -369,11 +369,25 @@ object Nested {
           "doc_id", "toks", budget = 2048)
         .orderBy("chunk_id")),
     "heavy_hitters_words" -> ((s, d) =>
-      // EXACT corpus heavy hitters (freq > n/200) via two-pass
+      // EXACT corpus heavy hitters (freq > n/30) via two-pass
       // Misra–Gries (operators/HeavyHitters): sketch pass + candidate
       // verify pass — no full-vocabulary shuffle at any point.
+      //
+      // k=30, not the original 200 (r19 gate-tier sweep): the corpus
+      // frequency curve is bimodal (≈30 common words at freq ≈ n/30 +
+      // a rare tail), so EVERY k in [33, 1044] selected the identical
+      // set at both gate SFs — the threshold was untestable across
+      // that whole band — and with vocab 31/88 « 200 the MG sketch
+      // never evicted, leaving its one interesting behavior (capacity
+      // pressure + the exactness-restoring verify pass) unreachable,
+      // the sketch_count_min precedent. k=30 sits INSIDE the live zone
+      // (n/freq spreads 28.2–32.3 at sf0.01, 29.8–30.3 at sf1): a ±1
+      // mutation moves words across the threshold at both gates, and
+      // capacity 30 < vocab forces real evictions, so the two-pass
+      // machinery is exercised, not bypassed. GateSensitivitySpec pins
+      // both liveness conditions.
       graft.operators.HeavyHitters
-        .frequentTokens(t(s, d, "documents"), "text", k = 200)
+        .frequentTokens(t(s, d, "documents"), "text", k = 30)
         .orderBy("word")),
     "array_exists_forall" -> ((s, d) =>
       // exists / forall / filter-size over the embedding arrays —
@@ -617,7 +631,7 @@ object Nested {
         |           FROM documents),
         |tot AS (SELECT count(*) AS n FROM w)
         |SELECT word, count(*) AS cnt FROM w, tot
-        |GROUP BY word, n HAVING count(*) * 200 > n
+        |GROUP BY word, n HAVING count(*) * 30 > n
         |ORDER BY word""".stripMargin,
     "array_exists_forall" ->
       """SELECT vec_id,

@@ -435,14 +435,21 @@ object TextDedup {
     }),
     "text_zipf_slope" -> ((s, d) => {
       // T23: Zipf slope of the token frequency distribution — OLS of
-      // ln(freq) on ln(rank) over the top-1000 types (natural text
+      // ln(freq) on ln(rank) over the top-20 types (natural text
       // sits near −1; generated/templated text drifts). Each ln is
       // FIXED-POINTED e4 per term before any sum (the charlm recipe —
       // the only libm calls are per-row, rounded identically by both
-      // engines; e4 keeps n·Σx² inside bigint where e6 would
-      // overflow at n=1000), so the five OLS sums are exact integers
-      // and the slope is one shaped division, fixed-point e6. Ranks
-      // are total (count desc, then token).
+      // engines; e4 keeps n·Σx² inside bigint), so the five OLS sums
+      // are exact integers and the slope is one shaped division,
+      // fixed-point e6. Ranks are total (count desc, then token).
+      //
+      // Head cap 20, not the original 1000 (r19 gate-tier sweep): the
+      // generated corpus vocabulary is 31 types at sf0.01 and 88 at
+      // sf1, so rk <= 1000 NEVER bound at any gate SF — the cap was a
+      // parameter owned by no tier (the assoc_rules top-20 class). At
+      // 20 the cap drops real tail types at every SF, so a cap
+      // mutation moves the OLS sums and the gate kills it;
+      // GateSensitivitySpec pins vocab > cap at the gate SF.
       // the explode emits native per-row token TYPE counts (pre-
       // combined before the Generate — the tfidf/charlm r16 move);
       // sum(c) equals the old occurrence count(*) exactly
@@ -454,7 +461,7 @@ object TextDedup {
         .orderBy(col("c").desc, col("tok"))
       val ranked = tf
         .withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 1000)
+        .where(col("rk") <= 20)
         .select(
           round(lit(10000.0) * log(col("rk").cast("double")), 0)
             .cast("long").as("lr"),
@@ -1506,7 +1513,7 @@ object TextDedup {
         |           AS lf
         |  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
         |        FROM tf)
-        |  WHERE rk <= 1000),
+        |  WHERE rk <= 20),
         |a AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n,
         |    CAST(sum(lr) AS BIGINT) AS sx, CAST(sum(lf) AS BIGINT) AS sy,

@@ -185,4 +185,43 @@ class GateSensitivitySpec extends SparkSpec {
         "cap is selecting (almost) no middles again; the row verifies " +
         "nothing (re-measure the degree distribution, r16 audit)")
   }
+
+  test("heavy_hitters_words: the n/30 threshold SPLITS the vocabulary " +
+       "and capacity 30 < vocab forces MG eviction at the gate SF " +
+       "(r19 gate-tier sweep: k=200 was dead across [33, 1044] and " +
+       "the sketch never evicted)") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .select("w").distinct().count()
+    // capacity pressure: the MG sketch (k=30 counters) must be SMALLER
+    // than the live vocabulary, or the two-pass machinery is bypassed
+    assert(vocab > 30,
+      s"vocab $vocab <= 30: the MG sketch holds every type and never " +
+        "evicts — the candidate-verify pass is decorative again")
+    val out = SparkEntry.queries("heavy_hitters_words")(
+      spark, sf("sf0.01")).count()
+    // threshold liveness: both arms populated (some words above n/30,
+    // some below) — a saturated side makes k mutations one-sided
+    assert(out > 0 && out < vocab,
+      s"threshold n/30 stopped splitting the corpus ($out of $vocab " +
+        "types pass): k is untestable again — re-measure the " +
+        "frequency curve (r19 sweep: n/freq spreads 28.2-32.3 here)")
+  }
+
+  test("text_zipf_slope: the head cap actually binds at the gate SF " +
+       "(r19 gate-tier sweep: rk <= 1000 never bound on a 31-type " +
+       "vocabulary at any SF)") {
+    import org.apache.spark.sql.functions.{col, explode, split}
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .select("w").distinct().count()
+    assert(vocab > 20,
+      s"vocab $vocab <= 20: the top-20 head cap no longer drops any " +
+        "type, so cap mutations are gate-invisible again")
+    // the capped OLS must still see exactly 20 points
+    val n = SparkEntry.queries("text_zipf_slope")(spark, sf("sf0.01"))
+      .head().getLong(0)
+    assert(n === 20L, s"OLS ran over $n points, expected the bound 20")
+  }
 }
