@@ -209,6 +209,30 @@ class GateSensitivitySpec extends SparkSpec {
         "frequency curve (r19 sweep: n/freq spreads 28.2-32.3 here)")
   }
 
+  test("stats_survival_nelson_aalen: the censoring arm is live at the " +
+       "sf1 gate (r19 campaign 5b: a censored-as-death mutation was " +
+       "sf0.01-NEUTRAL - zero censored users there - and only sf1's " +
+       "single censored user killed it; this pins that user)") {
+    import org.apache.spark.sql.functions.{col, min, when, max}
+    import org.apache.spark.sql.expressions.Window
+    val byU = Window.partitionBy(col("user_id"))
+    val ev = Tables.events(spark, sfRepo("testdata-sf1"))
+      .withColumn("signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(byU))
+      .withColumn("death",
+        min(when(col("event_type") === "purchase" &&
+                 col("ts") >= col("signup"), col("ts"))).over(byU))
+    val censored = ev.where(col("signup").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(max(col("death")).as("death"))
+      .where(col("death").isNull).count()
+    assert(censored >= 1,
+      "no right-censored user at sf1: the Nelson-Aalen censoring arm " +
+        "verifies nothing and censored-vs-death mutations pass both " +
+        "gates (r19 probe) - regenerate or plant a signup-no-purchase " +
+        "user")
+  }
+
   test("text_zipf_slope: the head cap actually binds at the gate SF " +
        "(r19 gate-tier sweep: rk <= 1000 never bound on a 31-type " +
        "vocabulary at any SF)") {
