@@ -116,10 +116,18 @@ object Relational {
         .orderBy("o_orderkey")),
     "recode_map" -> ((s, d) =>
       // P6: value-map remap, unmatched pass through.
+      //
+      // The mapped keys are generator names (r19 campaign 5c): the
+      // original CHINA/FRANCE/GERMANY mapping matched NOTHING in the
+      // synthetic nation table (names are NATION_0..24 at every SF),
+      // so the remap arm never fired, every row rode the passthrough,
+      // and a mapping mutation survived the gate — the row verified
+      // only the identity. With present keys both arms are live at
+      // every SF and any mapping edit hash-fails.
       t(s, d, "nation")
         .select(col("n_nationkey"),
-          recode(col("n_name"), Map("CHINA" -> "CN", "FRANCE" -> "FR",
-                                    "GERMANY" -> "DE")).as("n_code"))
+          recode(col("n_name"), Map("NATION_0" -> "N0", "NATION_7" -> "N7",
+                                    "NATION_19" -> "N19")).as("n_code"))
         .orderBy("n_nationkey")),
     "case_when_buckets" -> ((s, d) =>
       // P7: multi-branch conditional.
@@ -467,8 +475,8 @@ object Relational {
         |FROM orders ORDER BY 1""".stripMargin,
     "recode_map" ->
       """SELECT n_nationkey,
-        |  CASE n_name WHEN 'CHINA' THEN 'CN' WHEN 'FRANCE' THEN 'FR'
-        |              WHEN 'GERMANY' THEN 'DE' ELSE n_name END AS n_code
+        |  CASE n_name WHEN 'NATION_0' THEN 'N0' WHEN 'NATION_7' THEN 'N7'
+        |              WHEN 'NATION_19' THEN 'N19' ELSE n_name END AS n_code
         |FROM nation ORDER BY 1""".stripMargin,
     "case_when_buckets" ->
       """SELECT o_orderkey,

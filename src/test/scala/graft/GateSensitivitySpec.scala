@@ -209,6 +209,42 @@ class GateSensitivitySpec extends SparkSpec {
         "frequency curve (r19 sweep: n/freq spreads 28.2-32.3 here)")
   }
 
+  test("recode_map: the remap arm actually fires at the gate SF (r19 " +
+       "campaign 5c: the original CHINA/FRANCE/GERMANY keys matched " +
+       "nothing in the synthetic nation table, so the row verified " +
+       "only the passthrough identity and a mapping mutation survived)") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("recode_map")(spark, sf("sf0.01"))
+    val mapped = out.where(col("n_code").isin("N0", "N7", "N19")).count()
+    assert(mapped === 3L,
+      s"expected exactly 3 remapped nations, got $mapped — the mapping " +
+        "keys no longer exist in the nation table and the remap arm is " +
+        "dead again")
+    val passthrough = out.where(col("n_code").startsWith("NATION_")).count()
+    assert(passthrough > 0L, "no passthrough rows — the unmatched arm died")
+  }
+
+  test("agg_mode: the smallest-value tiebreak is spec-owned via a " +
+       "designed tie (r19 campaign 5c: the mode is UNIQUE per flag at " +
+       "both gate SFs, so a tiebreak mutation is gate-invisible on the " +
+       "organic data — this drives the row's own code over a real tie)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = graft.Scratch.tempDir("agg_mode_tie").toString
+    // flag A: quantity 5 x3, 9 x3 (tied max), 7 x1 -> smallest (5) wins
+    Seq((5L, "A"), (5L, "A"), (5L, "A"), (9L, "A"), (9L, "A"), (9L, "A"),
+        (7L, "A"))
+      .toDF("l_quantity", "l_returnflag")
+      .write.mode("overwrite").parquet(dir + "/lineitem.parquet")
+    val r = SparkEntry.queries("agg_mode")(spark, dir).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("mode_quantity") === 5L,
+      s"tie broken to ${r.head.getAs[Long]("mode_quantity")}, expected " +
+        "the SMALLEST tied value 5 — the documented deterministic " +
+        "tiebreak regressed")
+    assert(r.head.getAs[Long]("mode_count") === 3L)
+  }
+
   test("stats_survival_nelson_aalen: the censoring arm is live at the " +
        "sf1 gate (r19 campaign 5b: a censored-as-death mutation was " +
        "sf0.01-NEUTRAL - zero censored users there - and only sf1's " +
