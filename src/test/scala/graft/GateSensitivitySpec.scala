@@ -245,6 +245,22 @@ class GateSensitivitySpec extends SparkSpec {
     assert(r.head.getAs[Long]("mode_count") === 3L)
   }
 
+  test("corpus_curate: the exact-duplicate arm is live at the sf1 gate " +
+       "(r19 campaign 5d: the canonical-direction mutation was " +
+       "sf0.01-NEUTRAL - zero exact-duplicate texts in the driver " +
+       "corpus - and only sf1's GenSf dup rows killed it)") {
+    import org.apache.spark.sql.functions.{col, count}
+    val docs = spark.read.parquet(
+      sfRepo("testdata-sf1") + "/documents.parquet")
+    val dupRows = docs.groupBy(col("text")).agg(count(col("text")).as("c"))
+      .where(col("c") > 1)
+      .agg(org.apache.spark.sql.functions.sum(col("c") - 1)).head().getLong(0)
+    assert(dupRows >= 1,
+      "no exact-duplicate text at sf1: corpus_curate's exact_duplicate " +
+        "arm (and dedup_exact's whole gate) verify nothing - GenSf's " +
+        "dups union is gone")
+  }
+
   test("stats_survival_nelson_aalen: the censoring arm is live at the " +
        "sf1 gate (r19 campaign 5b: a censored-as-death mutation was " +
        "sf0.01-NEUTRAL - zero censored users there - and only sf1's " +
