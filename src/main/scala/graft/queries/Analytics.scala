@@ -521,8 +521,16 @@ object Analytics {
       // once, not twice — and unlike persist(), the day-count-sized
       // blocks are freed by the ContextCleaner when the query is
       // dropped instead of accumulating across invocations.
+      // USER 0's purchase days, not the whole stream's (r19 campaign
+      // 5e): the corpus-wide daily series has a purchase on EVERY day
+      // at every SF (density grows with the corpus), so the zero-fill
+      // arm — the row's entire reason to exist — never fired and a
+      // fill-value mutation survived both gate tiers (the
+      // interpolate_linear_days class, fixed the same way: per-user
+      // event counts are scale-invariant, ~10 purchase days over a
+      // ~28-day span, so silent days are real at every SF).
       val daily = Tables.events(s, d)
-        .where(col("event_type") === "purchase")
+        .where(col("event_type") === "purchase" && col("user_id") === 0L)
         .groupBy(to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("cnt"))
         .localCheckpoint(false)
@@ -537,8 +545,15 @@ object Analytics {
       // month-grain densification: same spine pattern as gap_fill_days
       // but stepping by calendar months (28–31-day steps — interval
       // arithmetic, not a fixed divisor). Zero rows for silent months.
+      // ONE customer's F-orders, not the whole table's (r19 campaign
+      // 5e, same dead-arm class as gap_fill_days): every month of the
+      // corpus span carries F-orders at every SF, so the zero-fill
+      // never fired. Customer 1's F-orders are sparse at any SF
+      // (5 active months over a 52-month span at sf0.01, 2/21 at sf1
+      // — per-customer order counts are scale-invariant), so silent
+      // months are real.
       val monthly = t(s, d, "orders")
-        .where(col("o_orderstatus") === "F")
+        .where(col("o_orderstatus") === "F" && col("o_custkey") === 1L)
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date")
           .as("month"))
         .agg(count(lit(1)).as("cnt"))
@@ -1504,7 +1519,8 @@ object Analytics {
     "gap_fill_days" ->
       """WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |                      count(*) AS cnt
-        |               FROM events WHERE event_type = 'purchase'
+        |               FROM events
+        |               WHERE event_type = 'purchase' AND user_id = 0
         |               GROUP BY 1)
         |SELECT d.day, coalesce(a.cnt, 0) AS cnt
         |FROM (SELECT unnest(generate_series((SELECT min(day) FROM daily),
@@ -1516,7 +1532,8 @@ object Analytics {
       """WITH monthly AS (SELECT CAST(date_trunc('month', o_orderdate)
         |                          AS DATE) AS month,
         |                        count(*) AS cnt
-        |                 FROM orders WHERE o_orderstatus = 'F'
+        |                 FROM orders
+        |                 WHERE o_orderstatus = 'F' AND o_custkey = 1
         |                 GROUP BY 1)
         |SELECT m.month, coalesce(a.cnt, 0) AS cnt
         |FROM (SELECT unnest(generate_series(

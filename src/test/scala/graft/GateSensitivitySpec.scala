@@ -245,6 +245,24 @@ class GateSensitivitySpec extends SparkSpec {
     assert(r.head.getAs[Long]("mode_count") === 3L)
   }
 
+  test("gap_fill_days / gap_fill_months: the zero-fill arm fires at " +
+       "the gate SF (r19 campaign 5e: the corpus-wide day series has " +
+       "a purchase EVERY day and every month carries F-orders, so the " +
+       "fill value was dead at both tiers until the rows were " +
+       "rescoped to user 0 / customer 1)") {
+    import org.apache.spark.sql.functions.col
+    val silentDays = SparkEntry.queries("gap_fill_days")(
+      spark, sf("sf0.01")).where(col("cnt") === 0L).count()
+    assert(silentDays >= 1,
+      "no zero-filled day: user 0's purchase series became gap-free " +
+        "and the fill arm is dead again")
+    val silentMonths = SparkEntry.queries("gap_fill_months")(
+      spark, sf("sf0.01")).where(col("cnt") === 0L).count()
+    assert(silentMonths >= 1,
+      "no zero-filled month: customer 1's F-order series became " +
+        "gap-free and the fill arm is dead again")
+  }
+
   test("corpus_curate: the exact-duplicate arm is live at the sf1 gate " +
        "(r19 campaign 5d: the canonical-direction mutation was " +
        "sf0.01-NEUTRAL - zero exact-duplicate texts in the driver " +
