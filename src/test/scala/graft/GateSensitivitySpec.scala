@@ -245,6 +245,23 @@ class GateSensitivitySpec extends SparkSpec {
     assert(r.head.getAs[Long]("mode_count") === 3L)
   }
 
+  test("join_left_enrich: the unmatched-left arm is live at the sf1 " +
+       "gate (r19 campaign 5h: a left->inner mutation was " +
+       "sf0.01-NEUTRAL - every customer there has orders - and only " +
+       "sf1's three orderless customers killed it; this pins them)") {
+    import org.apache.spark.sql.functions.col
+    val c = Tables.t(spark, sfRepo("testdata-sf1"), "customer")
+      .select(col("c_custkey"))
+    val o = Tables.t(spark, sfRepo("testdata-sf1"), "orders")
+      .select(col("o_custkey")).distinct()
+    val orderless = c.join(o, col("c_custkey") === col("o_custkey"),
+      "left_anti").count()
+    assert(orderless >= 1,
+      "no customer without orders at sf1: join_left_enrich's " +
+        "null-fill arm (and every left-join unmatched path over this " +
+        "pair) verifies nothing - regenerate or plant one")
+  }
+
   test("gap_fill_days / gap_fill_months: the zero-fill arm fires at " +
        "the gate SF (r19 campaign 5e: the corpus-wide day series has " +
        "a purchase EVERY day and every month carries F-orders, so the " +
