@@ -489,7 +489,10 @@ object Bench {
       // same drifted box — stamp the artifact so a >1.8x host-slowdown
       // round is never silently read as "regressed" (r18 ADVICE; the
       // removed host_drift branch's allowance was uncapped).
-      val clampWarn = {
+      // Guarded on `enabled`: children run with SPARK_GRAFT_ADJUDICATE=off
+      // and must not print the clamp warning once per spawn on a
+      // drifted host (r19 ADVICE).
+      val clampWarn = if (!enabled) "" else {
         def raw(p: Double, n: Double) = if (p > 0 && n > 0) n / p else 1.0
         if (calibClampExceeded(prevCalib, calibSec,
                                prevCalibF32, calibF32Sec)) {

@@ -377,17 +377,25 @@ object Nested {
       // frequency curve is bimodal (≈30 common words at freq ≈ n/30 +
       // a rare tail), so EVERY k in [33, 1044] selected the identical
       // set at both gate SFs — the threshold was untestable across
-      // that whole band — and with vocab 31/88 « 200 the MG sketch
-      // never evicted, leaving its one interesting behavior (capacity
-      // pressure + the exactness-restoring verify pass) unreachable,
-      // the sketch_count_min precedent. k=30 sits INSIDE the live zone
-      // (n/freq spreads 28.2–32.3 at sf0.01, 29.8–30.3 at sf1): a ±1
-      // mutation moves words across the threshold at both gates, and
-      // capacity 30 < vocab forces real evictions, so the two-pass
-      // machinery is exercised, not bypassed. GateSensitivitySpec pins
-      // both liveness conditions.
+      // that whole band. k=30 sits INSIDE the live zone (n/freq
+      // spreads 28.2–32.3 at sf0.01, 29.8–30.3 at sf1): a ±1 mutation
+      // moves words across the threshold at both gates.
+      //
+      // slack=1 ⇒ EFFECTIVE sketch capacity slack·k = 30 and trim
+      // threshold 2·capacity = 60 (r20, r19 ADVICE: the default
+      // slack=4 gave capacity 120 / trim 240, so vocab 31/88 never
+      // evicted and the stated "capacity 30 < vocab" liveness claim
+      // was false — the k change alone had NOT made eviction live).
+      // With capacity 30: the sf1 vocabulary (88 types) crosses the
+      // 60-entry trim threshold, so the MG subtract-and-drop path and
+      // the exactness-restoring candidate-verify pass both really run
+      // at the sf1 gate; sf0.01 (31 types) stays under it. capacity
+      // 30 ≥ k−1 keeps the superset guarantee (undercount ≤ n/31 <
+      // n/30), so output is unchanged — the verify pass is exact
+      // regardless. GateSensitivitySpec pins vocab(sf1) > 60 and the
+      // threshold split at BOTH gate SFs.
       graft.operators.HeavyHitters
-        .frequentTokens(t(s, d, "documents"), "text", k = 30)
+        .frequentTokens(t(s, d, "documents"), "text", k = 30, slack = 1)
         .orderBy("word")),
     "array_exists_forall" -> ((s, d) =>
       // exists / forall / filter-size over the embedding arrays —

@@ -187,26 +187,45 @@ class GateSensitivitySpec extends SparkSpec {
   }
 
   test("heavy_hitters_words: the n/30 threshold SPLITS the vocabulary " +
-       "and capacity 30 < vocab forces MG eviction at the gate SF " +
-       "(r19 gate-tier sweep: k=200 was dead across [33, 1044] and " +
-       "the sketch never evicted)") {
+       "at BOTH gate SFs and the sf1 vocabulary exceeds the EFFECTIVE " +
+       "MG trim threshold 2*slack*k = 60, so eviction really fires " +
+       "(r19 ADVICE: the old pin checked vocab > k=30, but the sketch " +
+       "is built with capacity slack*k and trims only past 2*capacity " +
+       "— with the default slack=4 that was 240 and vocab 31/88 never " +
+       "evicted; the query now passes slack=1)") {
     import org.apache.spark.sql.functions.{col, explode, split}
-    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
-    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
-      .select("w").distinct().count()
-    // capacity pressure: the MG sketch (k=30 counters) must be SMALLER
-    // than the live vocabulary, or the two-pass machinery is bypassed
-    assert(vocab > 30,
-      s"vocab $vocab <= 30: the MG sketch holds every type and never " +
-        "evicts — the candidate-verify pass is decorative again")
-    val out = SparkEntry.queries("heavy_hitters_words")(
-      spark, sf("sf0.01")).count()
-    // threshold liveness: both arms populated (some words above n/30,
-    // some below) — a saturated side makes k mutations one-sided
-    assert(out > 0 && out < vocab,
-      s"threshold n/30 stopped splitting the corpus ($out of $vocab " +
-        "types pass): k is untestable again — re-measure the " +
-        "frequency curve (r19 sweep: n/freq spreads 28.2-32.3 here)")
+    // EFFECTIVE capacity of the sketch as the catalog row builds it:
+    // slack=1, k=30 -> capacity 30, trim threshold 60. If the call
+    // site's slack/k change, change these in lockstep (a mismatch
+    // here means the pin no longer measures the shipped sketch).
+    val capacity = 1 * 30
+    def vocabAt(dir: String): Long =
+      spark.read.parquet(dir + "/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .select("w").distinct().count()
+    // trim-path liveness: the sketch trims only when its buffer
+    // exceeds 2*capacity entries, so the gate corpus must carry more
+    // types than that or the subtract-and-drop machinery never runs
+    val vocab1 = vocabAt(sfRepo("testdata-sf1"))
+    assert(vocab1 > 2L * capacity,
+      s"sf1 vocab $vocab1 <= ${2 * capacity} (= 2*slack*k): the MG " +
+        "sketch holds every type and never evicts at EITHER gate SF " +
+        "— the candidate-verify pass is decorative again")
+    // threshold liveness at both gates: both arms populated (some
+    // words above n/30, some below) — a saturated side makes k
+    // mutations one-sided (r19 ADVICE item 4: sf1 n/freq spreads
+    // 29.8-30.3, within ~1% of the cut, so a corpus regeneration
+    // could silently flip sf1 membership without this pin)
+    for ((dir, vocab) <- Seq(sf("sf0.01") -> vocabAt(sf("sf0.01")),
+                             sfRepo("testdata-sf1") -> vocab1)) {
+      val out = SparkEntry.queries("heavy_hitters_words")(spark, dir)
+        .count()
+      assert(out > 0 && out < vocab,
+        s"threshold n/30 stopped splitting the corpus at $dir ($out " +
+          s"of $vocab types pass): k is untestable again — re-measure " +
+          "the frequency curve (n/freq spreads 28.2-32.3 at sf0.01, " +
+          "29.8-30.3 at sf1)")
+    }
   }
 
   test("recode_map: the remap arm actually fires at the gate SF (r19 " +
@@ -300,19 +319,22 @@ class GateSensitivitySpec extends SparkSpec {
        "sf1 gate (r19 campaign 5b: a censored-as-death mutation was " +
        "sf0.01-NEUTRAL - zero censored users there - and only sf1's " +
        "single censored user killed it; this pins that user)") {
-    import org.apache.spark.sql.functions.{col, min, when, max}
-    import org.apache.spark.sql.expressions.Window
-    val byU = Window.partitionBy(col("user_id"))
-    val ev = Tables.events(spark, sfRepo("testdata-sf1"))
-      .withColumn("signup",
-        min(when(col("event_type") === "signup", col("ts"))).over(byU))
-      .withColumn("death",
-        min(when(col("event_type") === "purchase" &&
-                 col("ts") >= col("signup"), col("ts"))).over(byU))
-    val censored = ev.where(col("signup").isNotNull)
-      .groupBy(col("user_id"))
-      .agg(max(col("death")).as("death"))
-      .where(col("death").isNull).count()
+    import org.apache.spark.sql.functions.{col, countDistinct, sum}
+    // Derived from the query's OWN output (r19 ADVICE: the previous
+    // pin re-implemented the signup/death window logic inline, so a
+    // censoring-definition change would silently diverge from what
+    // the query computes): every user entering the risk table has a
+    // signup event, and each death is counted exactly once in some
+    // row's `d` — so censored = (#signup users) - sum(d). Only the
+    // trivially-stable "has a signup event" count is computed here;
+    // the death/censoring semantics live solely in the query.
+    val signupUsers = Tables.events(spark, sfRepo("testdata-sf1"))
+      .where(col("event_type") === "signup")
+      .agg(countDistinct(col("user_id"))).head().getLong(0)
+    val deaths = SparkEntry.queries("stats_survival_nelson_aalen")(
+      spark, sfRepo("testdata-sf1"))
+      .agg(sum(col("d"))).head().getLong(0)
+    val censored = signupUsers - deaths
     assert(censored >= 1,
       "no right-censored user at sf1: the Nelson-Aalen censoring arm " +
         "verifies nothing and censored-vs-death mutations pass both " +
