@@ -220,9 +220,20 @@ object Relational {
     "join_full_outer" -> ((s, d) => {
       // J3: full outer with coalesced key (old-vs-new release shape,
       // gdp_compare_with_old_data.R:38-44).
-      val a = t(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+      //
+      // Each side filters on the KEY ITSELF (a: nationkey < 20, b:
+      // nationkey >= 5) so BOTH outer arms are live by construction
+      // at every SF — keys 0-4 are a-only, 20-24 b-only, 5-19 matched.
+      // Before the r20 rescope, every nation had both customers and
+      // suppliers at every gate SF, so full_outer ≡ inner, the
+      // coalesce never fired, and a join-type mutation survived the
+      // gate (the r19 gap-fill / join_left_enrich dead-arm class).
+      // GateSensitivitySpec pins both unmatched arms non-empty.
+      val a = t(s, d, "customer").where(col("c_nationkey") < 20)
+        .groupBy(col("c_nationkey").as("nk"))
         .agg(count(lit(1)).as("customer_cnt"))
-      val b = t(s, d, "supplier").groupBy(col("s_nationkey").as("nk2"))
+      val b = t(s, d, "supplier").where(col("s_nationkey") >= 5)
+        .groupBy(col("s_nationkey").as("nk2"))
         .agg(count(lit(1)).as("supplier_cnt"))
       a.join(b, col("nk") === col("nk2"), "full_outer")
         .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
@@ -522,9 +533,11 @@ object Relational {
         |ORDER BY 1""".stripMargin,
     "join_full_outer" ->
       """SELECT COALESCE(a.nk, b.nk) AS nationkey, a.customer_cnt, b.supplier_cnt
-        |FROM (SELECT c_nationkey AS nk, count(*) AS customer_cnt FROM customer GROUP BY 1) a
+        |FROM (SELECT c_nationkey AS nk, count(*) AS customer_cnt FROM customer
+        |      WHERE c_nationkey < 20 GROUP BY 1) a
         |FULL OUTER JOIN
-        |     (SELECT s_nationkey AS nk, count(*) AS supplier_cnt FROM supplier GROUP BY 1) b
+        |     (SELECT s_nationkey AS nk, count(*) AS supplier_cnt FROM supplier
+        |      WHERE s_nationkey >= 5 GROUP BY 1) b
         |ON a.nk = b.nk ORDER BY 1""".stripMargin,
     "join_self_manytomany" ->
       """SELECT a.n_regionkey AS regionkey, a.n_name AS nation_a, b.n_name AS nation_b

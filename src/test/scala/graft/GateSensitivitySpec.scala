@@ -264,6 +264,22 @@ class GateSensitivitySpec extends SparkSpec {
     assert(r.head.getAs[Long]("mode_count") === 3L)
   }
 
+  test("join_full_outer: BOTH unmatched arms are live at the gate SF " +
+       "(r20: before the key-range rescope every nation had both " +
+       "customers and suppliers at every SF, so full_outer was " +
+       "indistinguishable from inner and a join-type mutation " +
+       "survived — the r19 dead-arm class)") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("join_full_outer")(spark, sf("sf0.01"))
+    val aOnly = out.where(col("supplier_cnt").isNull).count()
+    val bOnly = out.where(col("customer_cnt").isNull).count()
+    assert(aOnly >= 1 && bOnly >= 1,
+      s"full-outer arms: $aOnly customer-only / $bOnly supplier-only " +
+        "keys at sf0.01 — an empty arm makes the join type untestable " +
+        "(full_outer degenerates to left/right/inner); re-check the " +
+        "key-range filters (a: nk < 20, b: nk >= 5)")
+  }
+
   test("join_left_enrich: the unmatched-left arm is live at the sf1 " +
        "gate (r19 campaign 5h: a left->inner mutation was " +
        "sf0.01-NEUTRAL - every customer there has orders - and only " +
