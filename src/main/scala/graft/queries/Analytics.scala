@@ -920,12 +920,21 @@ object Analytics {
       // bitwise aggregate surface (bit_and/bit_or/bit_xor): associative
       // + commutative, so they ride partial aggregation like sum —
       // exact at any parallelism.
+      //
+      // CUSTOMER grain, not priority (r20 campaign 6b): over the five
+      // priority groups (~3000 dense keys each) bit_and saturated to 0
+      // and bit_or to 16383 in EVERY group at every SF, so two of the
+      // three arms verified constants and a bit_and operand mutation
+      // survived the gate. At o_custkey grain (~15 keys/group, 98
+      // groups with nonzero bit_and, singleton groups where bit_and =
+      // bit_or = the key at sf0.01) all three arms move with the data.
+      // GateSensitivitySpec pins the nonzero-AND liveness.
       t(s, d, "orders")
-        .groupBy(col("o_orderpriority"))
+        .groupBy(col("o_custkey"))
         .agg(bit_and(col("o_orderkey")).as("key_and"),
              bit_or(col("o_orderkey")).as("key_or"),
              bit_xor(col("o_orderkey")).as("key_xor"))
-        .orderBy("o_orderpriority")),
+        .orderBy("o_custkey")),
     "sample_group_topk" -> ((s, d) => {
       // deterministic per-group k-sample: rank rows inside each group
       // by md5 of the key (a seedless, engine-portable "random" order)
@@ -1770,7 +1779,7 @@ object Analytics {
         |FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders)
         |ORDER BY r_name, o_orderpriority""".stripMargin,
     "bitwise_agg" ->
-      """SELECT o_orderpriority,
+      """SELECT o_custkey,
         |  bit_and(o_orderkey) AS key_and,
         |  bit_or(o_orderkey) AS key_or,
         |  bit_xor(o_orderkey) AS key_xor

@@ -264,6 +264,23 @@ class GateSensitivitySpec extends SparkSpec {
     assert(r.head.getAs[Long]("mode_count") === 3L)
   }
 
+  test("bitwise_agg: the AND/OR arms are live at the gate SF (r20 " +
+       "campaign 6b: at order-priority grain bit_and saturated to 0 " +
+       "and bit_or to 16383 in every group at every SF, so both arms " +
+       "verified constants and an operand mutation survived; customer " +
+       "grain keeps all three arms data-sensitive)") {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val out = SparkEntry.queries("bitwise_agg")(spark, sf("sf0.01"))
+    val nonzeroAnd = out.where(col("key_and") =!= 0).count()
+    assert(nonzeroAnd >= 1,
+      "bit_and is 0 in every group again — the AND arm verifies a " +
+        "constant and operand mutations are gate-invisible")
+    val orSpread = out.agg(min(col("key_or")), max(col("key_or"))).head()
+    assert(orSpread.getLong(0) != orSpread.getLong(1),
+      "bit_or is the same saturated value in every group — the OR arm " +
+        "verifies a constant again")
+  }
+
   test("join_full_outer: BOTH unmatched arms are live at the gate SF " +
        "(r20: before the key-range rescope every nation had both " +
        "customers and suppliers at every SF, so full_outer was " +
