@@ -206,13 +206,28 @@ object Stats {
     }),
     "text_sentence_stats" -> ((s, d) => {
       // T16: sentence-level shape stats — the readability-gate
-      // companion to word-level text_quality_score. Sentences split on
-      // terminal punctuation + space (a regex shared verbatim with the
-      // oracle's RE2 — kept to a class both engines read identically);
-      // empties from trailing punctuation are dropped on both sides.
-      // Row-local HOFs, zero shuffle before the output sort.
+      // companion to word-level text_quality_score: segment each doc,
+      // drop empty segments, emit count / max / fixed-point mean
+      // lengths. Row-local HOFs, zero shuffle before the output sort.
+      //
+      // The delimiter is a RUN OF THE TOKEN 'a', not terminal
+      // punctuation (r20 campaign 6c): the synthetic corpus contains
+      // ZERO '.', '!' or '?' characters at every SF (measured sf0.01
+      // + sf1), so the original '[.!?] +' splitter NEVER split —
+      // n_sent was the constant 1 and the row verified doc-length
+      // stats while the whole splitting/empty-filter machinery was
+      // dead (the recode_map absent-key class). 'a' is corpus-native
+      // and three-armed at every SF: multi-segment docs (388/500 at
+      // sf0.01), no-delimiter single-segment docs (112), and
+      // leading/trailing/doubled delimiter runs whose empty segments
+      // exercise the filter (37). Text is space-wrapped so edge
+      // delimiters match; segments are trimmed before the length
+      // filter; n_sent = 0 emits NULL stats on BOTH sides (DuckDB
+      // list_max of an empty list is NULL). GateSensitivitySpec pins
+      // all three arms.
       val sents = filter(
-        split(col("text"), "[.!?] +"),
+        transform(split(concat(lit(" "), col("text"), lit(" ")),
+          " a( a)* "), x => trim(x)),
         x => length(x) > 0)
       t(s, d, "documents")
         .select(col("doc_id"), sents.as("ss"))
@@ -222,10 +237,13 @@ object Stats {
             .as("sum_chars"),
           aggregate(col("ss"), lit(0L),
             (acc, x) => greatest(acc, length(x).cast("long")))
-            .as("max_sent_chars"))
-        .select(col("doc_id"), col("n_sent"), col("max_sent_chars"),
-          round(lit(1000.0) * col("sum_chars").cast("double")
-            / col("n_sent").cast("double"), 0).cast("long")
+            .as("max_chars_raw"))
+        .select(col("doc_id"), col("n_sent"),
+          when(col("n_sent") > 0, col("max_chars_raw"))
+            .as("max_sent_chars"),
+          when(col("n_sent") > 0,
+            round(lit(1000.0) * col("sum_chars").cast("double")
+              / col("n_sent").cast("double"), 0).cast("long"))
             .as("avg_sent_chars_fp_e3"))
         .orderBy("doc_id")
     }),
@@ -1425,17 +1443,22 @@ object Stats {
     "text_sentence_stats" ->
       """WITH s AS (
         |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(text, '[.!?] +'),
-        |                x -> length(x) > 0) AS ss
+        |    list_filter(
+        |      list_transform(
+        |        regexp_split_to_array(' ' || text || ' ', ' a( a)* '),
+        |        x -> trim(x)),
+        |      x -> length(x) > 0) AS ss
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(ss) AS BIGINT) AS n_sent,
-        |  CAST(list_max(list_transform(ss, x -> length(x))) AS BIGINT)
-        |    AS max_sent_chars,
-        |  CAST(round(1000.0 *
-        |    CAST(list_aggregate(list_transform(ss, x -> length(x)), 'sum')
-        |         AS DOUBLE) / CAST(len(ss) AS DOUBLE)) AS BIGINT)
-        |    AS avg_sent_chars_fp_e3
+        |  CASE WHEN len(ss) > 0 THEN
+        |    CAST(list_max(list_transform(ss, x -> length(x))) AS BIGINT)
+        |  END AS max_sent_chars,
+        |  CASE WHEN len(ss) > 0 THEN
+        |    CAST(round(1000.0 *
+        |      CAST(list_aggregate(list_transform(ss, x -> length(x)), 'sum')
+        |           AS DOUBLE) / CAST(len(ss) AS DOUBLE)) AS BIGINT)
+        |  END AS avg_sent_chars_fp_e3
         |FROM s ORDER BY doc_id""".stripMargin,
     "fuzzy_damerau_pairs" ->
       """SELECT x.p_partkey AS p1,

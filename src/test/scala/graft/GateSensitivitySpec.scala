@@ -264,6 +264,49 @@ class GateSensitivitySpec extends SparkSpec {
     assert(r.head.getAs[Long]("mode_count") === 3L)
   }
 
+  test("exact-dedup fingerprint normalization (lower+trim) is SPEC-" +
+       "owned: the corpus has no case- or whitespace-variant " +
+       "duplicates at ANY SF (r20 campaign 6c data-check), so the " +
+       "normalization arms of md5(lower(trim(text))) are invisible to " +
+       "every oracle gate (dedup_exact, dedup_cluster_size_hist, " +
+       "corpus_curate, dedup_incremental) — this literal-input kill " +
+       "is their owner") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Key Agg Row"), (2L, "key agg row"), (3L, "  key agg row "),
+      (4L, "different text")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L,
+      s"case/whitespace variants did not collapse to one canonical id " +
+        s"($out) — the lower+trim normalization is broken")
+    assert(out(4L) === 4L, "unrelated text joined the cluster")
+  }
+
+  test("text_sentence_stats: splitter, passthrough, and empty-filter " +
+       "arms are all live at the gate SF (r20 campaign 6c: the corpus " +
+       "has ZERO sentence punctuation at any SF, so the original " +
+       "'[.!?] +' splitter never split and n_sent verified the " +
+       "constant 1; the delimiter is now the corpus-native token 'a')") {
+    import org.apache.spark.sql.functions.col
+    val out = SparkEntry.queries("text_sentence_stats")(spark, sf("sf0.01"))
+    val multi = out.where(col("n_sent") > 1).count()
+    val single = out.where(col("n_sent") === 1).count()
+    assert(multi >= 1 && single >= 1,
+      s"n_sent split: $multi multi-segment / $single single-segment " +
+        "docs at sf0.01 — a one-sided split makes delimiter mutations " +
+        "invisible (the pre-r20 state: every doc was single-segment)")
+    // empty-filter liveness: docs with a leading/trailing delimiter
+    // produce an empty trimmed segment the filter must drop
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val edge = docs.where(col("text").startsWith("a ") ||
+      col("text").endsWith(" a")).count()
+    assert(edge >= 1,
+      "no doc starts/ends with the delimiter token at sf0.01 — the " +
+        "empty-segment filter arm is unreachable and filter mutations " +
+        "are gate-invisible")
+  }
+
   test("bitwise_agg: the AND/OR arms are live at the gate SF (r20 " +
        "campaign 6b: at order-priority grain bit_and saturated to 0 " +
        "and bit_or to 16383 in every group at every SF, so both arms " +
