@@ -264,6 +264,53 @@ class GateSensitivitySpec extends SparkSpec {
     assert(r.head.getAs[Long]("mode_count") === 3L)
   }
 
+  test("corpus_vocab_stats: the hapax arm is live at the sf1 gate " +
+       "(r20 campaign 6c: sf0.01's 31-type vocabulary has minimum " +
+       "token frequency >= 4, so n_hapax verified the constant 0 " +
+       "there and a hapax-definition mutation was sf0.01-neutral; " +
+       "sf1's near-dup tail carries 16 frequency-1 types that killed " +
+       "it — this pins them)") {
+    import org.apache.spark.sql.functions.col
+    val hapax = SparkEntry.queries("corpus_vocab_stats")(
+      spark, sfRepo("testdata-sf1")).head().getAs[Long]("n_hapax")
+    assert(hapax >= 1,
+      "no frequency-1 token at sf1: the hapax arm verifies the " +
+        "constant 0 at BOTH gates and its definition is untestable")
+  }
+
+  test("quantile_normalize_sources: the ceiling-division index is " +
+       "live at the sf1 gate (r20 campaign 6c: sf0.01 has exactly 25 " +
+       "docs per source and 25 | 500*rn, so ceil == floor " +
+       "structurally and the (a+b-1)/b trick was sf0.01-invisible; " +
+       "sf1's uneven source counts killed a floor mutation)") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val docs = Tables.t(spark, sfRepo("testdata-sf1"), "documents")
+    val n = docs.count()
+    val nonDividing = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("ns"))
+      .where(lit(n) % col("ns") =!= 0).count()
+    assert(nonDividing >= 1,
+      s"every sf1 source count divides N=$n: ceil-vs-floor indexing " +
+        "is structurally identical at both gates and the exact-rank " +
+        "arithmetic is untestable")
+  }
+
+  test("graph_common_neighbors: the common >= 2 prefilter is a SAFE " +
+       "perf prune with visible slack (r20 campaign 6c: a >= 3 " +
+       "mutation was oracle-neutral because the top-50-by-jaccard " +
+       "selection never reaches that low — min emitted common is 18 " +
+       "at sf0.01; the OUTCOME is owned by the top-k, the threshold " +
+       "only prunes the wedge aggregate before the degree joins)") {
+    import org.apache.spark.sql.functions.{col, min}
+    val out = SparkEntry.queries("graph_common_neighbors")(
+      spark, sf("sf0.01"))
+    val minCommon = out.agg(min(col("common"))).head().getLong(0)
+    assert(minCommon > 2,
+      s"top-50 min common fell to $minCommon (<= the prune threshold " +
+        "2): the prefilter is no longer outcome-neutral — either the " +
+        "corpus flattened or the threshold must drop")
+  }
+
   test("exact-dedup fingerprint normalization (lower+trim) is SPEC-" +
        "owned: the corpus has no case- or whitespace-variant " +
        "duplicates at ANY SF (r20 campaign 6c data-check), so the " +
