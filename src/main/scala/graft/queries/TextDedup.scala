@@ -543,8 +543,17 @@ object TextDedup {
       // vowel-group runs (the standard regex proxy). All three counts
       // are exact integers; the grade is ONE shaped double expression
       // fixed-pointed e3. Map-side projection, zero shuffle.
+      // Sentences = segments between runs of the corpus-native
+      // delimiter token 'a', the text_sentence_stats r20 rescope: the
+      // synthetic corpus has ZERO '.', '!' or '?' at any SF, so the
+      // original '[.!?] +' split never split and n_sents was the
+      // constant 1 — the words/sentence term of the FK grade was a
+      // dead passthrough of n_words. Zero-segment docs emit NULL
+      // grade on both sides.
       val words = size(tokens(col("text"))).cast("long")
-      val sents = size(filter(split(col("text"), "[.!?] +"),
+      val sents = size(filter(
+        transform(split(concat(lit(" "), col("text"), lit(" ")),
+          " a( a)* "), x => trim(x)),
         x => length(x) > 0)).cast("long")
       val syll = size(regexp_extract_all(col("text"),
         lit("[aeiouyAEIOUY]+"), lit(0))).cast("long")
@@ -553,12 +562,13 @@ object TextDedup {
           syll.as("n_syll"))
         .select(col("doc_id"), col("n_words"), col("n_sents"),
           col("n_syll"),
-          round(lit(1000.0) *
-            (lit(0.39) * col("n_words").cast("double")
-               / col("n_sents").cast("double") +
-             lit(11.8) * col("n_syll").cast("double")
-               / col("n_words").cast("double") - lit(15.59)), 0)
-            .cast("long").as("fk_grade_fp_e3"))
+          when(col("n_sents") > 0,
+            round(lit(1000.0) *
+              (lit(0.39) * col("n_words").cast("double")
+                 / col("n_sents").cast("double") +
+               lit(11.8) * col("n_syll").cast("double")
+                 / col("n_words").cast("double") - lit(15.59)), 0)
+              .cast("long")).as("fk_grade_fp_e3"))
         .orderBy("doc_id")
     }),
     "dedup_containment" -> ((s, d) => {
@@ -1564,16 +1574,21 @@ object TextDedup {
       """WITH m AS (
         |  SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |    CAST(len(list_filter(regexp_split_to_array(text, '[.!?] +'),
-        |                         x -> length(x) > 0)) AS BIGINT) AS n_sents,
+        |    CAST(len(list_filter(
+        |      list_transform(
+        |        regexp_split_to_array(' ' || text || ' ', ' a( a)* '),
+        |        x -> trim(x)),
+        |      x -> length(x) > 0)) AS BIGINT) AS n_sents,
         |    CAST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
         |      AS BIGINT) AS n_syll
         |  FROM documents)
         |SELECT doc_id, n_words, n_sents, n_syll,
-        |  CAST(round(1000.0 *
-        |    (0.39 * CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE) +
-        |     11.8 * CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)
-        |     - 15.59)) AS BIGINT) AS fk_grade_fp_e3
+        |  CASE WHEN n_sents > 0 THEN
+        |    CAST(round(1000.0 *
+        |      (0.39 * CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE) +
+        |       11.8 * CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)
+        |       - 15.59)) AS BIGINT)
+        |  END AS fk_grade_fp_e3
         |FROM m ORDER BY doc_id""".stripMargin,
     "dedup_containment" ->
       s"""WITH $shinglesSql,
