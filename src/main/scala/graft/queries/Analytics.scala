@@ -40,12 +40,11 @@ object Analytics {
       // formulation (kept as Triangles.count, equality pinned in
       // TrianglesSpec). Edge building dedups (order, part) first so
       // M:N lineitems don't multiply pairs.
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e = pp.as("a")
-        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      // pair generation: one-shuffle group-to-array expansion
+      // (operators/CoPurchase, r20 -- identical pair multiset, 3
+      // input-sized exchanges -> 1)
+      val e = graft.operators.CoPurchase.pairs(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
       graft.operators.Triangles.countAdjacency(
         graft.operators.Triangles.orientByDegree(e))
     }),
@@ -159,13 +158,12 @@ object Analytics {
       // self-join feeds degree, orientation, AND the final join, so
       // the canonical edge list is materialized ONCE and its degree
       // frame (node-sized) shared between the orientation and the
-      // (deg choose 2) denominator.
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val raw = pp.as("a")
-        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      // (deg choose 2) denominator. Pair generation is the one-shuffle
+      // group-to-array expansion (operators/CoPurchase — r20: replaces
+      // the distinct + self-join prologue, 3 input-sized exchanges → 1,
+      // identical pair multiset).
+      val raw = graft.operators.CoPurchase.pairs(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
       val canon = graft.operators.Triangles.orientById(raw).localCheckpoint()
       val deg = graft.operators.Triangles.degrees(canon).localCheckpoint()
       // batched variant: identical plan below the Σ outdeg² budget
@@ -191,12 +189,11 @@ object Analytics {
       // fixpoint, so unrolling past the measured depth computes the
       // exact k-core); KCoreSpec adds closed forms, a cascading peel,
       // and sequential-reference agreement.
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val raw = pp.as("a")
-        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      // pair generation: one-shuffle group-to-array expansion
+      // (operators/CoPurchase, r20 -- identical pair multiset, 3
+      // input-sized exchanges -> 1)
+      val raw = graft.operators.CoPurchase.pairs(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
       graft.operators.KCore.nodes(
           graft.operators.Triangles.orientById(raw), 3)
         .orderBy("node")
@@ -210,12 +207,11 @@ object Analytics {
       // past the measured depth); KTrussSpec adds closed forms, the
       // cascade case, sequential-reference agreement, truss⊂core
       // nesting.
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val raw = pp.as("a")
-        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      // pair generation: one-shuffle group-to-array expansion
+      // (operators/CoPurchase, r20 -- identical pair multiset, 3
+      // input-sized exchanges -> 1)
+      val raw = graft.operators.CoPurchase.pairs(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
       graft.operators.KTruss.edges(
           graft.operators.Triangles.orientById(raw), 4)
         .orderBy("u", "v")
@@ -234,12 +230,12 @@ object Analytics {
       // coreDecompSql, the same incremental unroll in CTEs; coreness
       // = count of level fixpoints containing the node (nesting makes
       // count ≡ max level).
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val raw = pp.as("a")
-        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      // pair generation: one-shuffle group-to-array expansion
+      // (operators/CoPurchase, r20 -- identical pair multiset, 3
+      // input-sized exchanges -> 1)
+      val raw = graft.operators.CoPurchase.pairs(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w"))
         .where(col("w") >= 2)
         .select(col("u"), col("v"))
@@ -266,12 +262,12 @@ object Analytics {
       // graph_ktruss keeps the raw dense graph as the single-slice
       // coverage. Oracle: trussDecompSql, the same incremental
       // unroll in CTEs.
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val raw = pp.as("a")
-        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      // pair generation: one-shuffle group-to-array expansion
+      // (operators/CoPurchase, r20 -- identical pair multiset, 3
+      // input-sized exchanges -> 1)
+      val raw = graft.operators.CoPurchase.pairs(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("w"))
         .where(col("w") >= 2)
         .select(col("u"), col("v"))
@@ -284,12 +280,11 @@ object Analytics {
       // neighbours in the same graph as graph_triangle_count). One
       // edge-sized dedup + one count per node; p_partkey breaks ties
       // totally under the LIMIT.
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e = pp.as("a")
-        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      // pair generation: one-shuffle group-to-array expansion
+      // (operators/CoPurchase, r20 -- identical pair multiset, 3
+      // input-sized exchanges -> 1)
+      val e = graft.operators.CoPurchase.pairs(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
       graft.operators.Triangles.orientById(e)
         .select(explode(array(col("u"), col("v"))).as("node")) // 1 scan
         .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -1157,12 +1152,11 @@ object Analytics {
       // rounds + total tie order make the result a pure function of
       // the edge list, so the DuckDB oracle mirrors it as 4 unrolled
       // join+argmax rounds (lpaSql).
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val raw = pp.as("a")
-        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      // pair generation: one-shuffle group-to-array expansion
+      // (operators/CoPurchase, r20 -- identical pair multiset, 3
+      // input-sized exchanges -> 1)
+      val raw = graft.operators.CoPurchase.pairs(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
       graft.operators.LabelPropagation
         .run(graft.operators.Triangles.orientById(raw), 4)
         .orderBy("node")
@@ -1330,8 +1324,15 @@ object Analytics {
     // k=5/6 are vacuous); margins above that, and the sf1 depth proof
     // ([ktruss] minSupport=M lines) downgrades to a documented skip if
     // a larger corpus converges deeper
+    // depths cover sf0.001 too (r20 inherited-state fix): the REPEAT
+    // graph is DENSER at tiny SF (fewer parts, same basket sizes), and
+    // the measured sf0.001 cascades are k=4: 5 changing rounds, k=5:
+    // 31, k=6: 6 — the old (6, 6, 4, 4) under-unrolled k≥5 and left
+    // trussness inflated at sf0.001 only (sf0.01/sf0.1/sf1 measured
+    // depths ≤ 3 — extra rounds there peel empty/fixpoint sets and are
+    // no-ops by idempotence, so the gated boards are unchanged).
     "graph_truss_decomposition" -> trussDecompSql(
-      Seq(3 -> 6, 4 -> 6, 5 -> 4, 6 -> 4)),
+      Seq(3 -> 6, 4 -> 10, 5 -> 40, 6 -> 12)),
     "graph_triangle_count" ->
       """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
         |            FROM lineitem),

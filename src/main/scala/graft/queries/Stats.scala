@@ -178,12 +178,11 @@ object Stats {
       // wedge fan-out is deg² per middle node — fine under this data's
       // bounded degrees; at power-law 100 TB swap in minhashed
       // neighbor sketches (operators/Dedup machinery) instead.
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val raw = pp.as("a")
-        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      // pair generation: one-shuffle group-to-array expansion
+      // (operators/CoPurchase, r20 -- identical pair multiset, 3
+      // input-sized exchanges -> 1)
+      val raw = graft.operators.CoPurchase.pairs(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
       val canon = graft.operators.Triangles.orientById(raw).localCheckpoint()
       val deg = graft.operators.Triangles.degrees(canon).localCheckpoint()
       val adj = canon.select(col("u").as("node"), col("v").as("nbr"))
@@ -569,12 +568,11 @@ object Stats {
       // Triangles.degrees frame; the five sums feed one shaped double
       // expression fixed-pointed e6. Degree products stay < 2^63 here
       // (deg ≤ ~200); DECIMAL(38,0) at power-law scale.
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val raw = pp.as("a")
-        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      // pair generation: one-shuffle group-to-array expansion
+      // (operators/CoPurchase, r20 -- identical pair multiset, 3
+      // input-sized exchanges -> 1)
+      val raw = graft.operators.CoPurchase.pairs(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
       val canon = graft.operators.Triangles.orientById(raw).localCheckpoint()
       val deg = graft.operators.Triangles.degrees(canon).localCheckpoint()
       val both = canon.union(canon.select(col("v").as("u"), col("u").as("v")))
@@ -1014,12 +1012,11 @@ object Stats {
       // build. 96 sits inside the distribution (keeps ~20% of nodes
       // at sf0.01, measured 350k qualifying pairs; 12.3M wedges at
       // sf0.1 ≈ 8% of uncapped) and still excludes the hub tail.
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val raw = pp.as("a")
-        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      // Pair generation: one-shuffle group-to-array expansion
+      // (operators/CoPurchase, r20 — identical pair multiset, 3
+      // input-sized exchanges → 1).
+      val raw = graft.operators.CoPurchase.pairs(t(s, d, "lineitem"),
+        col("l_orderkey"), col("l_partkey"))
       val canon = graft.operators.Triangles.orientById(raw).localCheckpoint()
       val deg = graft.operators.Triangles.degrees(canon).localCheckpoint()
       val lowMid = deg.where(col("deg") <= 96)
@@ -1115,15 +1112,20 @@ object Stats {
       // ORDER/LIMIT semantics were never exercised by either gate.
       // ≥2 still prunes 97% of candidate pairs (115,729 → 3,445 at
       // sf0.01) and the LIMIT binds at both gate SFs.
-      val pp = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
+      // basket build: one-shuffle group-to-array (operators/
+      // CoPurchase, r20) — the checkpointed basket frame is ORDER-
+      // grain (147k rows at sf0.1) instead of the old (ok, pk)-grain
+      // distinct (600k rows), and feeds pairs, item supports AND the
+      // order count without any further wide exchange; pair multiset
+      // identical, oracle unchanged.
+      val baskets = graft.operators.CoPurchase.baskets(
+          t(s, d, "lineitem"), col("l_orderkey"), col("l_partkey"))
         .localCheckpoint() // basket list feeds pairs AND item supports
-      val nOrders = pp.select(col("ok")).distinct().count()
-      val item = pp.groupBy(col("pk")).agg(count(lit(1)).as("supp"))
-      val pair = pp.as("a")
-        .join(pp.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      val nOrders = baskets.count()
+      val item = baskets.select(explode(col("ps")).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("supp"))
+      val pair = graft.operators.CoPurchase.pairsFromBaskets(baskets)
+        .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("supp_uv"))
         .where(col("supp_uv") >= 2)
       pair
