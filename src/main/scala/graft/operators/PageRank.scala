@@ -31,24 +31,36 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85,
           src: String = "src", dst: String = "dst"): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
+    // edge list materialized ONCE (r20): un-checkpointed, the
+    // upstream edge build re-executed for every consumer — the node
+    // union scanned it twice, the degree aggregate and the
+    // degree-attach join once each (4 executions of e.g. a
+    // lineitem ⋈ orders build). One explode-aggregate then yields
+    // node set, out-degrees AND the dangling flag in a single
+    // edge-sized shuffle — the old shape paid a union-distinct
+    // shuffle plus a node-sized left join for the same frames.
     val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst")))
-      .distinct()
-      .localCheckpoint(false) // lazy: reused by every iteration
-    val n = nodes.count()
-    if (n == 0) return nodes.withColumn("rank", lit(0.0))
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(false)
+    val perNode = e.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("c")),
+        struct(col("dst").as("node"), lit(0L).as("c")))).as("x"))
+      .select(col("x.node").as("node"), col("x.c").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("__outdeg"))
+      .localCheckpoint(false) // feeds the dangling tag AND the degrees
+    // dangling flag carried through every iteration's rank frame — the
+    // per-iteration dangling-mass sum is then a pure map-side
+    // aggregate over ranks, not a node-sized semi-join shuffle per
+    // round
+    val nodesTag = perNode
+      .select(col("node"), (col("__outdeg") === 0L).as("__dang"))
+      .localCheckpoint(false)
+    val n = nodesTag.count()
+    if (n == 0)
+      return nodesTag.select(col("node")).withColumn("rank", lit(0.0))
+    val outDeg = perNode.where(col("__outdeg") > 0)
+      .select(col("node").as("src"), col("__outdeg").as("__deg"))
     val edgesDeg = e.join(outDeg, "src")
       .localCheckpoint(false) // the per-iteration join probe side
-    // dangling flag joined ONCE onto the node set and carried through
-    // every iteration's rank frame — the per-iteration dangling-mass
-    // sum is then a pure map-side aggregate over ranks, not a
-    // node-sized semi-join shuffle per round
-    val nodesTag = nodes
-      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .select(col("node"), col("__deg").isNull.as("__dang"))
-      .localCheckpoint(false)
     var ranks = nodesTag.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
@@ -97,24 +109,31 @@ object PageRank {
                src: String = "src", dst: String = "dst"): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     require(dampNum >= 0 && dampNum <= dampDen && scale > 0)
+    // single-materialization setup — see [[run]]'s r20 note: one
+    // checkpointed edge list, one explode-aggregate for node set +
+    // out-degrees + dangling flag (the old shape re-executed the
+    // upstream edge build 4x and paid a union-distinct shuffle plus a
+    // node-sized left join for the same frames)
     val e = edges.select(col(src).cast("long").as("src"),
                          col(dst).cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst")))
-      .distinct()
       .localCheckpoint(false)
-    val n = nodes.count()
-    if (n == 0) return nodes.withColumn("rank_fp", lit(0L))
+    val perNode = e.select(explode(array(
+        struct(col("src").as("node"), lit(1L).as("c")),
+        struct(col("dst").as("node"), lit(0L).as("c")))).as("x"))
+      .select(col("x.node").as("node"), col("x.c").as("c"))
+      .groupBy("node").agg(sum(col("c")).as("__outdeg"))
+      .localCheckpoint(false) // feeds the dangling tag AND the degrees
+    val nodesTag = perNode
+      .select(col("node"), (col("__outdeg") === 0L).as("__dang"))
+      .localCheckpoint(false)
+    val n = nodesTag.count()
+    if (n == 0)
+      return nodesTag.select(col("node")).withColumn("rank_fp", lit(0L))
     val init = scale / n
     val teleport = ((dampDen - dampNum) * init) / dampDen
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val outDeg = perNode.where(col("__outdeg") > 0)
+      .select(col("node").as("src"), col("__outdeg").as("__deg"))
     val edgesDeg = e.join(outDeg, "src").localCheckpoint(false)
-    // dangling flag carried through iterations (see run): dangling
-    // mass becomes a map-side aggregate, not a per-round semi-join
-    val nodesTag = nodes
-      .join(outDeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .select(col("node"), col("__deg").isNull.as("__dang"))
-      .localCheckpoint(false)
     var ranks = nodesTag.withColumn("rank_fp", lit(init))
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
