@@ -36,6 +36,17 @@ object CorpusPipeline {
     val uniqRatio = size(array_distinct(w)).cast("double") / wordCnt
     val langGuessCol = langGuess(col(textCol))
 
+    // The gate expressions (two tokenizations + the language guess)
+    // are the per-row hot path: un-materialized, every downstream
+    // consumer re-derives them from its own corpus scan — the r20
+    // plan audit counted FOUR full (doc_id, text) scans each paying
+    // the gate projection (exact-canon build, the left side of the
+    // exact join, the survivor side of the near-dup pass, and the
+    // final assembly). One lazy localCheckpoint of the gated frame
+    // (narrowed: the word/uniq counters fold into drop_reason before
+    // materialization) makes every consumer read the one materialized
+    // copy — the same stage-output shape a cluster curation pipeline
+    // has anyway. Output columns and values are unchanged.
     val gated = docs
       .withColumn("__words", wordCnt)
       .withColumn("__uniq", uniqRatio)
@@ -44,18 +55,23 @@ object CorpusPipeline {
         when(col("__words") < cfg.minWords, "too_short")
           .when(col("__uniq") < cfg.minUniqRatio, "low_diversity")
           .when(!col("__lang").isin(cfg.langs.toSeq: _*), "language"))
+      .drop("__words", "__uniq")
+      .localCheckpoint(false)
 
     val alive = gated.where(col("drop_reason").isNull)
 
     // exact dedup: canonical id per normalized-text group
     val exactCanon = Dedup.exact(alive, idCol, textCol)
       .select(col(idCol).as("__id"), col("canonical_id"))
+    // checkpointed for the same reason as `gated`: referenced by both
+    // the near-dup survivor side and the final assembly
     val afterExact = gated
       .join(exactCanon, gated(idCol) === col("__id"), "left")
       .withColumn("drop_reason",
         coalesce(col("drop_reason"),
           when(col("canonical_id") < gated(idCol), "exact_duplicate")))
       .drop("__id")
+      .localCheckpoint(false)
 
     // near-dup removal among survivors: drop the larger id of each pair
     val survivors = afterExact.where(col("drop_reason").isNull)
