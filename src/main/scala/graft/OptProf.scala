@@ -208,6 +208,34 @@ object OptProf {
           CoPurchase.pairs(t("lineitem"),
             col("l_orderkey"), col("l_partkey"))))
 
+      case "confab" =>
+        // within-JVM A/B of a runtime conf over a query subset:
+        // args(2) = conf key, args(3) = off/on values "v0|v1",
+        // args(4) = comma query list, interleaved 4 rounds, min wins.
+        val key = args(2)
+        val Array(v0, v1) = args(3).split("\\|")
+        val names = args(4).split(",").toSeq
+        val mins = collection.mutable.Map[(String, String), Double]()
+          .withDefaultValue(Double.MaxValue)
+        for (r <- 1 to 4; v <- Seq(v0, v1)) {
+          spark.conf.set(key, v)
+          for (nm <- names) {
+            spark.catalog.clearCache()
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            val t0 = System.nanoTime()
+            SparkEntry.queries(nm)(spark, sfDir).queryExecution.toRdd.count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (r > 1) // round 1 = warmup
+              mins((nm, v)) = math.min(mins((nm, v)), dt)
+          }
+        }
+        for (nm <- names)
+          println(f"[optprof] $nm%-32s $v0=${mins((nm, v0))}%6.2f " +
+            f"$v1=${mins((nm, v1))}%6.2f")
+        println(f"[optprof] TOTAL $v0=${names.map(n => mins((n, v0))).sum}%6.2f " +
+          f"$v1=${names.map(n => mins((n, v1))).sum}%6.2f")
+
       case "pagerank" =>
         val fn = SparkEntry.queries("pagerank_fixed")
         for (r <- 1 to 3) time(s"pagerank_fixed run$r")(drain(fn(spark, sfDir)))

@@ -53,16 +53,32 @@ object Dedup {
     * Emits (d1, d2, jac) with d1 < d2.
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   threshold: Double): DataFrame = {
+                   threshold: Double): DataFrame =
+    jaccardPairsFromBase(shingleBase(docs, idCol, textCol), threshold)
+
+  /** The shared (doc, sh, n) shingle-hash frame every pair path starts
+    * from, lazily checkpointed: first action materializes; blocks
+    * freed by ContextCleaner when the plan is GC'd — persist() would
+    * pin an input-sized cache entry per call (see Packing). Factored
+    * out (r20) so [[pairsAuto]] computes it ONCE for the saturation
+    * census AND the routed pair path instead of re-shingling the
+    * corpus per consumer.
+    */
+  private def shingleBase(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
     graft.functions.expressions.SortedLongIntersectSize.register(docs.sparkSession)
     graft.functions.expressions.ShingleHashes.register(docs.sparkSession)
-    val base = docs
+    graft.functions.expressions.MinHashSignature.register(docs.sparkSession)
+    docs
       .select(col(idCol).as("doc"),
         expr(s"graft_shingle_hashes($textCol, 3)").as("sh"))
       .withColumn("n", size(col("sh")))
-      .localCheckpoint(false) // lazy: first action materializes; blocks
-      // freed by ContextCleaner when the plan is GC'd — persist()
-      // would pin an input-sized cache entry per call (see Packing)
+      .localCheckpoint(false)
+  }
+
+  /** [[jaccardPairs]] over a prebuilt [[shingleBase]] frame. */
+  private def jaccardPairsFromBase(base: DataFrame,
+                                   threshold: Double): DataFrame = {
     // sh is sorted by hash — a uniform global order — so the prefix is
     // simply the leading slice; no per-doc reordering pass needed.
     // Same float guard as the positional bound: when t*n rounds UP past
@@ -126,11 +142,19 @@ object Dedup {
                             textCol: String,
                             threshold: Double): DataFrame = {
     graft.functions.expressions.ShingleHashes.register(docs.sparkSession)
-    val base = docs
+    prefixSaturationStatsFromBase(docs
       .select(col(idCol).as("doc"),
         expr(s"graft_shingle_hashes($textCol, 3)").as("sh"))
-      .withColumn("n", size(col("sh")))
-      .where(col("n") > 0)
+      .withColumn("n", size(col("sh"))), threshold)
+  }
+
+  /** [[prefixSaturationStats]] over a prebuilt (doc, sh, n) frame —
+    * [[pairsAuto]] passes its shared checkpointed [[shingleBase]] so
+    * the census and the routed pair path shingle the corpus once.
+    */
+  private def prefixSaturationStatsFromBase(rawBase: DataFrame,
+                                            threshold: Double): DataFrame = {
+    val base = rawBase.where(col("n") > 0)
     val prefixLen =
       (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int")
     val buckets = base
@@ -173,13 +197,17 @@ object Dedup {
     */
   def pairsAuto(docs: DataFrame, idCol: String, textCol: String,
                 threshold: Double, maxCandPerDoc: Long = 64): DataFrame = {
-    val stats = prefixSaturationStats(docs, idCol, textCol, threshold)
+    // ONE shared shingle pass (r20): the census head() materializes
+    // the checkpointed base, and whichever pair path wins the route
+    // reads the same materialized frame — the old shape re-shingled
+    // the whole corpus for the census and again for the pair join.
+    val base = shingleBase(docs, idCol, textCol)
+    val stats = prefixSaturationStatsFromBase(base, threshold)
       .select(col("cand_pairs_bound"), col("n_docs")).head()
     val saturated =
       stats.getLong(0) > maxCandPerDoc * stats.getLong(1)
-    if (saturated) minhashLshPairs(docs, idCol, textCol,
-      threshold = threshold)
-    else jaccardPairs(docs, idCol, textCol, threshold)
+    if (saturated) minhashLshPairsFromBase(base, threshold = threshold)
+    else jaccardPairsFromBase(base, threshold)
   }
 
   /** EXACT Jaccard pairs like [[jaccardPairs]], but the PPJoin global
@@ -345,15 +373,35 @@ object Dedup {
     graft.functions.expressions.MinHashSignature.register(docs.sparkSession)
     graft.functions.expressions.SortedLongIntersectSize.register(docs.sparkSession)
     graft.functions.expressions.ShingleHashes.register(docs.sparkSession)
-    val rpb = k / bands
-    val base = docs
+    minhashLshFromSigBase(docs
       .select(col(idCol).as("doc"),
         expr(s"graft_shingle_hashes($textCol, 3)").as("sh"))
       .withColumn("n", size(col("sh")))
       .withColumn("sig", expr(s"graft_minhash(sh, $k)"))
-      .localCheckpoint(false) // lazy: first action materializes; blocks
+      .localCheckpoint(false), // lazy: first action materializes; blocks
       // freed by ContextCleaner when the plan is GC'd — persist()
       // would pin an input-sized cache entry per call (see Packing)
+      k, bands, threshold)
+  }
+
+  /** [[minhashLshPairs]] over a prebuilt [[shingleBase]] frame
+    * ([[pairsAuto]]'s saturated route): only the signature column is
+    * added (and lazily checkpointed — it feeds the band keys and both
+    * verify lookups), the shingle pass itself is shared.
+    */
+  private def minhashLshPairsFromBase(base: DataFrame, k: Int = 16,
+                                      bands: Int = 4,
+                                      threshold: Double): DataFrame =
+    minhashLshFromSigBase(
+      base.withColumn("sig", expr(s"graft_minhash(sh, $k)"))
+        .localCheckpoint(false),
+      k, bands, threshold)
+
+  /** Band join + exact verify over a materialized
+    * (doc, sh, n, sig) frame.
+    */
+  private def minhashLshFromSigBase(base: DataFrame, k: Int, bands: Int,
+                                    threshold: Double): DataFrame = {
     val banded = bandedKeys(base, k, bands)
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
