@@ -252,14 +252,19 @@ object Triangles {
     // output casts back to long).
     val od = e64.groupBy(col("u"))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("od"))
-    val censusRow = od.agg(sum(col("od") * col("od"))).head()
-    val s = if (censusRow.isNullAt(0)) 0L else censusRow.getLong(0)
-    val idRange = e64
-      .agg(min(least(col("u"), col("v"))), max(greatest(col("u"), col("v"))))
+    // census (Σ outdeg²) and id range in ONE driver action (r20): the
+    // two 1-row aggregates cross-join into a single 4-column row, so
+    // the checkpointed edge list is read once and the driver blocks
+    // once instead of twice per invocation
+    val censusRow = od.agg(sum(col("od") * col("od")).as("s2"))
+      .crossJoin(e64.agg(
+        min(least(col("u"), col("v"))).as("lo"),
+        max(greatest(col("u"), col("v"))).as("hi")))
       .head()
-    val fitsInt = !idRange.isNullAt(0) &&
-      idRange.getLong(0) >= Int.MinValue.toLong &&
-      idRange.getLong(1) <= Int.MaxValue.toLong
+    val s = if (censusRow.isNullAt(0)) 0L else censusRow.getLong(0)
+    val fitsInt = !censusRow.isNullAt(1) &&
+      censusRow.getLong(1) >= Int.MinValue.toLong &&
+      censusRow.getLong(2) <= Int.MaxValue.toLong
     val e = if (fitsInt)
       e64.select(col("u").cast("int").as("u"), col("v").cast("int").as("v"))
     else e64
