@@ -118,17 +118,29 @@ object Fns {
     * 6.76E+03 everywhere else. Rounding the exact BigDecimal expansion
     * with HALF_EVEN reproduces printf.
     */
+  // shared per-call state hoisted out of the row loop (r20): the
+  // MathContext is immutable, and the old f-interpolator built a
+  // locale-resolving java.util.Formatter PER ROW for a two-digit
+  // zero-pad — a corpus-sized allocation stream in a scan-speed
+  // projection. Output bytes are identical (FnsSpec).
+  private val sciMc =
+    new java.math.MathContext(3, java.math.RoundingMode.HALF_EVEN)
+
   private[graft] def sciFormatStr(d: Double): String = {
     if (d == 0.0) return "0.00E+00"
     if (d.isNaN || d.isInfinite) return d.toString
     val exact = new java.math.BigDecimal(math.abs(d))
-    val rounded = exact.round(
-      new java.math.MathContext(3, java.math.RoundingMode.HALF_EVEN))
+    val rounded = exact.round(sciMc)
     val exp = rounded.precision - rounded.scale - 1
     val mantissa = rounded.movePointLeft(exp).setScale(2)
-    val sign = if (d < 0) "-" else ""
-    val expSign = if (exp < 0) "-" else "+"
-    f"$sign${mantissa.toPlainString}E$expSign${math.abs(exp)}%02d"
+    val ae = math.abs(exp)
+    val sb = new java.lang.StringBuilder(12)
+    if (d < 0) sb.append('-')
+    sb.append(mantissa.toPlainString).append('E')
+      .append(if (exp < 0) '-' else '+')
+    if (ae < 10) sb.append('0')
+    sb.append(ae)
+    sb.toString
   }
 
   val sciFormat: UserDefinedFunction = udf { d: java.lang.Double =>
