@@ -29,10 +29,13 @@ object OptProf {
       println(f"[optprof] $label%-36s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
       r
     }
-    def drain(df: DataFrame): Long = {
+    // mirror Bench.runBlock: clear state FIRST, then construct + count
+    // inside the timed region (construction may run eager checkpoints)
+    def drain(mk: => DataFrame): Long = {
+      spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      df.queryExecution.toRdd.count()
+      mk.queryExecution.toRdd.count()
     }
 
     val t = (n: String) => Tables.t(spark, sfDir, n)

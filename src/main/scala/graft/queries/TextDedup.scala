@@ -39,11 +39,14 @@ object TextDedup {
       // the top-k sort.
       val docs = t(s, d, "documents")
       val w = split(col("text"), " ")
-      val bigrams = docs.select(explode(expr(
-        """CASE WHEN size(split(text, ' ')) >= 2
-          |THEN transform(sequence(1, size(split(text, ' ')) - 1),
-          |     i -> concat(element_at(split(text, ' '), i), ' ',
-          |                 element_at(split(text, ' '), i + 1)))
+      // split ONCE into a bound column before the lambda (r20): HOF
+      // lambdas are interpreted, so the old inline form re-ran
+      // split(text) for BOTH element_at calls of every bigram —
+      // O(words²) splits per doc; this is O(words), same bigrams.
+      val bigrams = docs.select(w.as("w")).select(explode(expr(
+        """CASE WHEN size(w) >= 2
+          |THEN transform(sequence(1, size(w) - 1),
+          |     i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
           |ELSE array() END""".stripMargin)).as("bg"))
       val unigrams = docs.select(explode(w).as("tok"))
       // cb feeds the nb total and the PMI numerator; cu feeds the nu
